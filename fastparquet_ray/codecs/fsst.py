@@ -1,0 +1,307 @@
+"""FSST-style symbol-table string compression (numpy-vectorized).
+
+Based on the public FSST design (Boncz, Neumann, Leis: "FSST: Fast
+Random Access String Compression", VLDB 2020): up to 255 symbols of
+1..8 bytes, one output byte per matched symbol, escape byte 255
+followed by one literal byte for uncovered input bytes. The reference
+repo has no FSST; its closest analog is the dictionary page
+(/root/reference/fastparquet/writer.py:481-517) — FSST is required by
+the north rule for the string columns (doc_id/source).
+
+Deviations from the paper (documented, still decodes bit-identically by
+construction): symbol selection is a single greedy pass over substring
+frequencies of a bounded sample (gain = count * len) instead of the
+paper's iterated re-counting; encoding uses longest-match (paper uses
+it too) found via 8 vectorized searchsorted passes over uint64 windows
+plus a frontier (pointer-jumping) walk — no per-byte Python loop.
+
+All functions operate on (lengths: int64[n_strings], data: uint8[total])
+ragged string buffers, which map zero-copy onto Arrow StringArray
+offsets/data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from .varint import decode_uvarint, encode_uvarint
+
+__all__ = ["FsstTable", "train_fsst"]
+
+ESCAPE = 255
+MAX_SYMBOLS = 255
+MAX_SYM_LEN = 8
+
+_MASKS = np.array(
+    [0] + [(1 << (8 * L)) - 1 for L in range(1, 9)], dtype=np.uint64
+)
+
+
+def _windows_u64(data: np.ndarray) -> np.ndarray:
+    """Little-endian uint64 read at every byte position (zero-padded)."""
+    padded = np.concatenate([data, np.zeros(8, dtype=np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(padded, 8)[: data.size]
+    return np.ascontiguousarray(win).view("<u8").ravel()
+
+
+def _end_dist(lengths: np.ndarray, total: int) -> np.ndarray:
+    """Per byte position: distance to the end of its string."""
+    ends = np.repeat(np.cumsum(lengths), lengths)
+    return ends - np.arange(total, dtype=np.int64)
+
+
+class FsstTable:
+    """Immutable trained symbol table; encode/decode are vectorized."""
+
+    def __init__(self, symbols: list[bytes]):
+        if len(symbols) > MAX_SYMBOLS:
+            raise ValueError("at most 255 symbols")
+        for s in symbols:
+            if not 1 <= len(s) <= MAX_SYM_LEN:
+                raise ValueError("symbol length must be 1..8")
+        self.symbols = symbols
+        # decode side: concatenated symbol bytes + offsets + lengths
+        self.sym_lens = np.array([len(s) for s in symbols], dtype=np.int64)
+        self.sym_offsets = np.concatenate([[0], np.cumsum(self.sym_lens)])
+        self.sym_data = np.frombuffer(b"".join(symbols), dtype=np.uint8)
+        # encode side: per length, sorted u64 keys + aligned codes
+        self._by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for L in range(1, MAX_SYM_LEN + 1):
+            codes = [i for i, s in enumerate(symbols) if len(s) == L]
+            if not codes:
+                continue
+            keys = np.array(
+                [
+                    int.from_bytes(symbols[c], "little")
+                    for c in codes
+                ],
+                dtype=np.uint64,
+            )
+            order = np.argsort(keys)
+            self._by_len[L] = (keys[order], np.array(codes, np.uint8)[order])
+
+    # ---------------- serialization ----------------
+
+    def serialize(self) -> bytes:
+        out = [encode_uvarint(len(self.symbols))]
+        out.append(bytes(len(s) for s in self.symbols))
+        out.extend(self.symbols)
+        return b"".join(out)
+
+    @classmethod
+    def deserialize(cls, buf: bytes, pos: int = 0) -> tuple["FsstTable", int]:
+        n, pos = decode_uvarint(buf, pos)
+        lens = list(buf[pos : pos + n])
+        pos += n
+        syms = []
+        for ln in lens:
+            syms.append(bytes(buf[pos : pos + ln]))
+            pos += ln
+        return cls(syms), pos
+
+    def table_hash(self) -> str:
+        return hashlib.md5(self.serialize()).hexdigest()
+
+    # ---------------- encode ----------------
+
+    def _match(
+        self, w64: np.ndarray, edist: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Longest symbol match at each given window; returns (len, code)
+        with len=1/code=ESCAPE where nothing matches."""
+        k = w64.size
+        best_len = np.zeros(k, dtype=np.int64)
+        best_code = np.full(k, ESCAPE, dtype=np.uint8)
+        for L in range(MAX_SYM_LEN, 0, -1):
+            if L not in self._by_len:
+                continue
+            keys, codes = self._by_len[L]
+            kk = w64 & _MASKS[L]
+            idx = np.searchsorted(keys, kk)
+            idx_c = np.minimum(idx, keys.size - 1)
+            ok = (keys[idx_c] == kk) & (edist >= L) & (best_len == 0)
+            best_len[ok] = L
+            best_code[ok] = codes[idx_c[ok]]
+        best_len[best_len == 0] = 1  # escapes advance one byte
+        return best_len, best_code
+
+    def encode(
+        self, lengths: np.ndarray, data: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (enc_lengths, enc_data)."""
+        total = int(data.size)
+        nstr = int(lengths.size)
+        if total == 0:
+            return np.zeros(nstr, dtype=np.int64), np.empty(0, np.uint8)
+        offsets = np.concatenate([[0], np.cumsum(lengths)])
+        avg_len = total / max(nstr, 1)
+        if avg_len > 64:
+            # long strings: precompute matches at every position (few,
+            # long frontier iterations would be overhead-bound)
+            w64 = _windows_u64(data)
+            edist = _end_dist(lengths, total)
+            blen_all, bcode_all = self._match(w64, edist)
+            cur = offsets[:-1].astype(np.int64)
+            ends = offsets[1:]
+            parts = []
+            alive = cur < ends
+            while alive.any():
+                parts.append(cur[alive])
+                cur = cur.copy()
+                cur[alive] += blen_all[cur[alive]]
+                alive = cur < ends
+            visited = np.sort(np.concatenate(parts))
+            codes = bcode_all[visited]
+        else:
+            # short strings: match lazily only at visited positions
+            padded = np.concatenate([data, np.zeros(8, dtype=np.uint8)])
+            r8 = np.arange(8, dtype=np.int64)
+            cur = offsets[:-1].astype(np.int64)
+            ends = offsets[1:].astype(np.int64)
+            pos_parts: list[np.ndarray] = []
+            code_parts: list[np.ndarray] = []
+            alive = cur < ends
+            while alive.any():
+                p = cur[alive]
+                e = ends[alive]
+                win = (
+                    np.ascontiguousarray(padded[p[:, None] + r8])
+                    .view("<u8")
+                    .ravel()
+                )
+                blen, bcode = self._match(win, e - p)
+                pos_parts.append(p)
+                code_parts.append(bcode)
+                cur = cur.copy()
+                cur[alive] = p + blen
+                alive = cur < ends
+            pos_all = np.concatenate(pos_parts)
+            code_all = np.concatenate(code_parts)
+            order = np.argsort(pos_all, kind="stable")
+            visited = pos_all[order]
+            codes = code_all[order]
+        is_esc = codes == ESCAPE
+        unit_out = np.where(is_esc, 2, 1).astype(np.int64)
+        out_off = np.concatenate([[0], np.cumsum(unit_out)])
+        out = np.empty(int(out_off[-1]), dtype=np.uint8)
+        out[out_off[:-1]] = codes
+        out[out_off[:-1][is_esc] + 1] = data[visited[is_esc]]
+        # per-string encoded lengths
+        vis_bounds = np.searchsorted(visited, offsets)
+        enc_lengths = np.diff(out_off[vis_bounds])
+        return enc_lengths, out
+
+    # ---------------- decode ----------------
+
+    def decode(
+        self, enc_lengths: np.ndarray, enc: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (lengths, data) — exact inverse of encode."""
+        total = int(enc.size)
+        nstr = int(enc_lengths.size)
+        if total == 0:
+            return np.zeros(nstr, dtype=np.int64), np.empty(0, np.uint8)
+        enc_offsets = np.concatenate([[0], np.cumsum(enc_lengths)])
+        is255 = enc == ESCAPE
+        prev255 = np.concatenate([[False], is255[:-1]])
+        str_start = np.zeros(total, dtype=bool)
+        str_start[enc_offsets[:-1][enc_lengths > 0]] = True
+        runstart = is255 & (~prev255 | str_start)
+        all255 = np.flatnonzero(is255)
+        if all255.size:
+            rs = runstart[all255]
+            run_idx = np.cumsum(rs) - 1
+            run_start_pos = all255[np.flatnonzero(rs)][run_idx]
+            off_in_run = all255 - run_start_pos
+            esc_pos = all255[off_in_run % 2 == 0]
+        else:
+            esc_pos = all255
+        consumed = np.zeros(total, dtype=bool)
+        consumed[esc_pos + 1] = True
+        unit_pos = np.flatnonzero(~consumed)
+        is_esc_unit = np.zeros(total, dtype=bool)
+        is_esc_unit[esc_pos] = True
+        esc_u = is_esc_unit[unit_pos]
+        codes = enc[unit_pos].astype(np.int64)
+        sym_lens = self.sym_lens if self.sym_lens.size else np.zeros(1, np.int64)
+        out_lens = np.where(esc_u, 1, sym_lens[np.where(esc_u, 0, codes)])
+        out_off = np.concatenate([[0], np.cumsum(out_lens)])
+        total_out = int(out_off[-1])
+        # ragged gather from a combined source space
+        combined = np.concatenate([self.sym_data, enc])
+        sym_offs = (
+            self.sym_offsets if self.sym_offsets.size > 1 else np.zeros(1, np.int64)
+        )
+        base = np.where(
+            esc_u,
+            self.sym_data.size + unit_pos + 1,  # literal byte after escape
+            sym_offs[np.where(esc_u, 0, codes)],
+        )
+        unit_id = np.repeat(np.arange(unit_pos.size), out_lens)
+        within = np.arange(total_out, dtype=np.int64) - out_off[unit_id]
+        out = combined[base[unit_id] + within]
+        # per-string decoded lengths
+        ub = np.searchsorted(unit_pos, enc_offsets)
+        lengths = np.diff(out_off[ub])
+        return lengths, out
+
+
+def train_fsst(
+    lengths: np.ndarray,
+    data: np.ndarray,
+    max_sample_bytes: int = 1 << 17,
+    max_symbols: int = MAX_SYMBOLS,
+    per_len_candidates: int = 1024,
+) -> FsstTable:
+    """Train a symbol table on (a deterministic sample of) the strings.
+
+    Single greedy pass: count substring frequencies for lengths 1..8
+    (windows never crossing string boundaries), gain = count * len,
+    take the top ``max_symbols``.
+    """
+    total = int(data.size)
+    if total == 0:
+        return FsstTable([])
+    if total > max_sample_bytes:
+        # deterministic stride sample of whole strings
+        cum = np.cumsum(lengths)
+        n_keep = int(np.searchsorted(cum, max_sample_bytes)) + 1
+        stride = max(1, lengths.size // max(n_keep, 1))
+        keep = np.arange(0, lengths.size, stride)
+        offs = np.concatenate([[0], cum])
+        parts = [data[offs[i] : offs[i + 1]] for i in keep]
+        s_lengths = lengths[keep]
+        s_data = (
+            np.concatenate(parts) if parts else np.empty(0, np.uint8)
+        )
+        if s_data.size > 4 * max_sample_bytes:
+            s_data = s_data[: 4 * max_sample_bytes]
+            s_lengths = None  # boundaries invalidated; treat as one blob
+    else:
+        s_lengths, s_data = lengths, data
+    if s_lengths is None:
+        s_lengths = np.array([s_data.size], dtype=np.int64)
+    w64 = _windows_u64(s_data)
+    edist = _end_dist(s_lengths, int(s_data.size))
+    cands: list[tuple[int, int, bytes]] = []  # (gain, -len, symbol)
+    for L in range(1, MAX_SYM_LEN + 1):
+        valid = edist >= L
+        if not valid.any():
+            break
+        keys = w64[valid] & _MASKS[L]
+        uniq, counts = np.unique(keys, return_counts=True)
+        if uniq.size > per_len_candidates:
+            top = np.argpartition(counts, -per_len_candidates)[
+                -per_len_candidates:
+            ]
+            uniq, counts = uniq[top], counts[top]
+        min_count = 2 if L > 1 else 1
+        for key, cnt in zip(uniq.tolist(), counts.tolist()):
+            if cnt < min_count:
+                continue
+            sym = int(key).to_bytes(8, "little")[:L]
+            cands.append((cnt * L, -L, sym))
+    cands.sort(reverse=True)
+    return FsstTable([sym for _, _, sym in cands[:max_symbols]])
