@@ -1,0 +1,347 @@
+"""Shard container: one encoded blob per partition of an Arrow table.
+
+Replaces the reference's file/row-group/column-chunk/page nesting
+(/root/reference/fastparquet/writer.py:672-695 make_part_file,
+:644-669 make_row_group, :414-641 write_column) with a flat layout —
+the Ray block is the unit of encoding, so one shard = one "row group":
+
+    magic "FPRS1" | u32 header_len | header JSON | column buffers...
+
+The header carries the serialized Arrow schema, per-column codec ids,
+buffer offsets, and min/max/null_count statistics (reference analog:
+Statistics thrift, writer.py:502-538). Shared symbol tables are
+referenced by hash and resolved from a sidecar (see state/manifest.py).
+
+Columns are encoded by arrow type:
+    int / uint / timestamp / date / bool -> intcodec (auto or plan)
+    float32/64                           -> PLAIN bytes
+    string                               -> strcodec (plain/dict/fsst)
+    list<int*> / list<float*>            -> lengths intcodec + values
+Nullable columns store a packed validity bitmap; values are encoded
+with nulls filled (0 / ""), restored on decode (Arrow-native nulls
+replace the reference's definition levels, writer.py:375-408).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import intcodec as ic
+from .codecs import strcodec as sc
+from .codecs.fsst import FsstTable, train_fsst
+
+MAGIC = b"FPRS1"
+
+# ---------------------------------------------------------------------------
+# type normalization
+
+
+def _storage_kind(t: pa.DataType) -> str:
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        vt = t.value_type
+        if _storage_kind(vt) in ("int", "float"):
+            return "list"
+        raise TypeError(f"unsupported list value type {vt}")
+    if (
+        pa.types.is_integer(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_time(t)
+    ):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_dictionary(t):
+        return _storage_kind(t.value_type)
+    raise TypeError(f"unsupported column type {t}")
+
+
+def _to_int_np(arr: pa.Array) -> np.ndarray:
+    """Arrow numeric-ish array (no nulls) -> numpy int array."""
+    t = arr.type
+    if pa.types.is_boolean(t):
+        return arr.to_numpy(zero_copy_only=False).astype(np.uint8)
+    if pa.types.is_timestamp(t) or pa.types.is_date64(t) or pa.types.is_time64(t):
+        return arr.cast(pa.int64()).to_numpy()
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return arr.cast(pa.int32()).to_numpy()
+    return arr.to_numpy()
+
+
+def _encode_int_auto(values: np.ndarray, codec: str | None) -> bytes:
+    """Encode with requested codec, falling back to the smallest of the
+    applicable ones when unset; PLAIN fallback on range errors."""
+    if codec:
+        try:
+            return ic.INT_ENCODERS[codec](values)
+        except ValueError:
+            return ic.encode_plain_int(values)
+    best = ic.encode_plain_int(values)
+    for name in ("for_bp", "rle", "dict"):
+        try:
+            b = ic.INT_ENCODERS[name](values)
+        except ValueError:
+            continue
+        if len(b) < len(best):
+            best = b
+    return best
+
+
+# ---------------------------------------------------------------------------
+# encode
+
+
+class ShardEncoder:
+    """Encodes pyarrow Tables into shard blobs under a CodecPlan.
+
+    plan: {column: spec} where spec is
+        int col:  {"codec": "plain|for_bp|rle|dict"}
+        str col:  {"codec": "plain|dict|fsst", "table_hash": str|None}
+        list col: {"lengths": spec, "values": spec}
+    tables: {table_hash: serialized table bytes} for shared dict/fsst.
+    Missing columns/specs use per-shard auto-selection.
+    """
+
+    def __init__(self, plan: dict | None = None, tables: dict[str, bytes] | None = None):
+        self.plan = plan or {}
+        self.tables = tables or {}
+        self._fsst_cache: dict[str, FsstTable] = {}
+        self._dict_cache: dict[str, list[bytes]] = {}
+
+    def _fsst_table(self, thash: str) -> FsstTable:
+        if thash not in self._fsst_cache:
+            t, _ = FsstTable.deserialize(self.tables[thash])
+            self._fsst_cache[thash] = t
+        return self._fsst_cache[thash]
+
+    def _dict_table(self, thash: str) -> list[bytes]:
+        if thash not in self._dict_cache:
+            t, _ = sc._unpack_str_list(self.tables[thash], 0)
+            self._dict_cache[thash] = t
+        return self._dict_cache[thash]
+
+    def _encode_str(self, arr: pa.Array, spec: dict | None) -> bytes:
+        lengths, data = sc.str_to_bufs(arr)
+        codec = (spec or {}).get("codec")
+        thash = (spec or {}).get("table_hash")
+        if codec == "plain":
+            return sc.encode_plain_str(lengths, data)
+        if codec == "dict":
+            shared = self._dict_table(thash) if thash else None
+            return sc.encode_dict_str(lengths, data, shared_table=shared)
+        if codec == "fsst":
+            if thash:
+                return sc.encode_fsst_str(
+                    lengths, data, self._fsst_table(thash), shared=True
+                )
+            return sc.encode_fsst_str(lengths, data, train_fsst(lengths, data))
+        # auto: smallest of plain/dict/fsst(embedded)
+        cands = [
+            sc.encode_plain_str(lengths, data),
+            sc.encode_dict_str(lengths, data),
+            sc.encode_fsst_str(lengths, data, train_fsst(lengths, data)),
+        ]
+        return min(cands, key=len)
+
+    def _encode_column(self, arr: pa.Array, spec: dict | None) -> tuple[list[bytes], dict]:
+        """Returns (buffers, column header info)."""
+        t = arr.type
+        if pa.types.is_dictionary(t):
+            arr = arr.cast(t.value_type)
+            t = arr.type
+        info: dict[str, Any] = {}
+        null_count = arr.null_count
+        info["null_count"] = null_count
+        validity = b""
+        if null_count:
+            mask = arr.is_valid().to_numpy(zero_copy_only=False)
+            validity = np.packbits(mask, bitorder="little").tobytes()
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                arr = arr.fill_null("")
+            elif pa.types.is_floating(t):
+                arr = arr.fill_null(0.0)
+            elif pa.types.is_list(t) or pa.types.is_large_list(t):
+                raise TypeError("null list values unsupported")
+            else:
+                arr = arr.fill_null(0)
+        info["validity_len"] = len(validity)
+        kind = _storage_kind(t)
+        info["kind"] = kind
+        if kind == "str":
+            body = self._encode_str(arr, spec)
+            bufs = [validity, body]
+            info["sizes"] = [len(body)]
+        elif kind == "list":
+            arr = arr.cast(pa.list_(t.value_type)) if pa.types.is_large_list(t) else arr
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset : arr.offset + len(arr) + 1
+            ].astype(np.int64)
+            lengths = np.diff(offs).astype(np.int32)
+            values = arr.flatten()
+            if values.null_count:
+                raise TypeError("null list elements unsupported")
+            lspec = (spec or {}).get("lengths", {})
+            vspec = (spec or {}).get("values", {})
+            lb = _encode_int_auto(lengths, lspec.get("codec"))
+            if pa.types.is_floating(t.value_type):
+                vnp = values.to_numpy()
+                vb = b"F" + np.ascontiguousarray(vnp).tobytes()
+                info["float_values"] = str(vnp.dtype)
+            else:
+                vb = _encode_int_auto(_to_int_np(values), vspec.get("codec"))
+            bufs = [validity, lb, vb]
+            info["sizes"] = [len(lb), len(vb)]
+        elif kind == "float":
+            vnp = arr.to_numpy(zero_copy_only=False)
+            body = np.ascontiguousarray(vnp).tobytes()
+            info["float_dtype"] = str(vnp.dtype)
+            bufs = [validity, body]
+            info["sizes"] = [len(body)]
+        else:  # int-ish
+            vnp = _to_int_np(arr)
+            body = _encode_int_auto(vnp, (spec or {}).get("codec"))
+            bufs = [validity, body]
+            info["sizes"] = [len(body)]
+            if vnp.size and null_count == 0:
+                info["min"] = int(vnp.min())
+                info["max"] = int(vnp.max())
+        return bufs, info
+
+    def encode_table(self, table: pa.Table, partition_id: str | None = None) -> bytes:
+        table = table.combine_chunks()
+        cols = []
+        buffers: list[bytes] = []
+        raw = 0
+        for name in table.column_names:
+            col = table.column(name)
+            arr = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+            raw += col.nbytes
+            spec = self.plan.get(name)
+            bufs, info = self._encode_column(arr, spec)
+            info["name"] = name
+            info["offset"] = sum(len(b) for b in buffers)
+            info["length"] = sum(len(b) for b in bufs)
+            cols.append(info)
+            buffers.extend(bufs)
+        payload = b"".join(buffers)
+        header = {
+            "version": 1,
+            "num_rows": table.num_rows,
+            "partition_id": partition_id,
+            "schema": base64.b64encode(
+                table.schema.serialize().to_pybytes()
+            ).decode(),
+            "columns": cols,
+            "raw_bytes": raw,
+            "enc_bytes": len(payload),
+        }
+        hj = json.dumps(header, separators=(",", ":")).encode()
+        return MAGIC + len(hj).to_bytes(4, "little") + hj + payload
+
+
+# ---------------------------------------------------------------------------
+# decode
+
+
+def read_header(blob: bytes) -> dict:
+    if blob[:5] != MAGIC:
+        raise ValueError("bad shard magic")
+    hlen = int.from_bytes(blob[5:9], "little")
+    return json.loads(blob[9 : 9 + hlen])
+
+
+def decode_table(
+    blob: bytes, tables: dict[str, bytes] | None = None, columns: list[str] | None = None
+) -> pa.Table:
+    header = read_header(blob)
+    hlen = int.from_bytes(blob[5:9], "little")
+    base = 9 + hlen
+    schema = pa.ipc.read_schema(
+        pa.py_buffer(base64.b64decode(header["schema"]))
+    )
+    n = header["num_rows"]
+    out_cols = []
+    out_fields = []
+    for info in header["columns"]:
+        name = info["name"]
+        if columns is not None and name not in columns:
+            continue
+        field = schema.field(name)
+        start = base + info["offset"]
+        vlen = info["validity_len"]
+        validity = blob[start : start + vlen]
+        pos = start + vlen
+        kind = info["kind"]
+        t = field.type
+        if pa.types.is_dictionary(t):
+            t = t.value_type
+        if kind == "str":
+            body = blob[pos : pos + info["sizes"][0]]
+            lengths, data = sc.decode_any_str(body, tables)
+            arr = sc.bufs_to_arrow(lengths, data)
+        elif kind == "list":
+            lb = blob[pos : pos + info["sizes"][0]]
+            vb = blob[pos + info["sizes"][0] : pos + info["sizes"][0] + info["sizes"][1]]
+            lengths = ic.decode_any_int(lb).astype(np.int64)
+            if "float_values" in info:
+                values = np.frombuffer(vb, dtype=info["float_values"], offset=1)
+                varr = pa.array(values, type=t.value_type)
+            else:
+                vals = ic.decode_any_int(vb)
+                varr = pa.array(vals, type=t.value_type)
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(lengths, out=offsets[1:])
+            arr = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), varr
+            )
+        elif kind == "float":
+            body = blob[pos : pos + info["sizes"][0]]
+            values = np.frombuffer(body, dtype=info["float_dtype"])
+            arr = pa.array(values, type=t)
+        else:
+            body = blob[pos : pos + info["sizes"][0]]
+            vals = ic.decode_any_int(body)
+            if pa.types.is_boolean(t):
+                arr = pa.array(vals.astype(bool), type=t)
+            else:
+                arr = pa.array(vals).cast(t)
+        if info["null_count"]:
+            mask = np.unpackbits(
+                np.frombuffer(validity, dtype=np.uint8), bitorder="little"
+            )[:n].astype(bool)
+            arr = pa.compute.if_else(pa.array(mask), arr, pa.scalar(None, arr.type))
+        if pa.types.is_dictionary(field.type):
+            arr = arr.dictionary_encode()
+        out_cols.append(arr)
+        out_fields.append(field)
+    return pa.Table.from_arrays(out_cols, schema=pa.schema(out_fields))
+
+
+def partition_id_for(table: pa.Table, key_column: str | None = None) -> str:
+    """Deterministic content-derived partition id: hash of the key
+    column bytes (or all column names + row count as fallback). Used
+    for idempotent shard naming + resume (reference analog:
+    append='overwrite' path keying, writer.py:1014-1032)."""
+    h = hashlib.md5()
+    if key_column and key_column in table.column_names:
+        col = table.column(key_column).combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            lengths, data = sc.str_to_bufs(col)
+            h.update(lengths.tobytes())
+            h.update(data.tobytes())
+        else:
+            h.update(col.to_numpy(zero_copy_only=False).tobytes())
+    else:
+        for name in table.column_names:
+            h.update(name.encode())
+    h.update(str(table.num_rows).encode())
+    return h.hexdigest()[:16]

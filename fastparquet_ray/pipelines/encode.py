@@ -1,0 +1,142 @@
+"""The flagship encode pipeline (SURVEY.md §3.4 lifecycle):
+
+    read_parquet(shards)                        stateless read tasks
+      -> [skew] salted groupby-source shuffle   explicit, optional
+      -> map_batches(EncodeShard, actor pool)   shared symbol tables
+      -> shard files + manifest records         idempotent per partition
+
+Streaming end-to-end: the only driver-side materialization is the tiny
+manifest dataset (one row per partition). Resume prunes finished
+partition ids before encoding (reference analog: append='overwrite',
+/root/reference/fastparquet/writer.py:1014-1032).
+
+Ray is NEVER initialised here — callers (bench.py / tests / driver)
+own the session.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from ..data import SOURCES
+from ..plan import CodecPlan, sample_fragments, train_plan
+from ..stages.encode_stage import EncodeShard, add_salt_column
+from ..state.manifest import Manifest
+
+# The encode batch is ONE Ray block (batch_size=None): block formation
+# from identical inputs is deterministic, so content-hashed partition
+# ids are stable across runs — the property resume relies on. Shard
+# size is governed by the read's block size (DataContext
+# target_max_block_size, default 128 MiB — a sane shard size at 100 TB).
+DEFAULT_BATCH_ROWS = None
+
+
+def make_plan(paths: list[str]) -> CodecPlan:
+    """Stats/sampling pass -> CodecPlan (driver-side tiny reduce).
+    Samples head rows of every fragment; deterministic."""
+    return train_plan(sample_fragments(paths))
+
+
+def salted_shuffle(ds, plan: CodecPlan, total_buckets: int = 32):
+    """Explicit skew handling: hash-shuffle on (source, salt) where the
+    per-source salt-bucket count is proportional to sampled frequency,
+    so the hottest source splits into many partitions instead of one
+    giant one. This is the one all-to-all exchange in the pipeline —
+    applied only when the caller asks for source-partitioned output."""
+    import pyarrow as pa
+
+    hist = plan.stats.get("__source_hist__") or {}
+    total = sum(hist.values()) or 1
+    buckets = {
+        s: max(1, round(total_buckets * c / total)) for s, c in hist.items()
+    }
+    for s in SOURCES:
+        buckets.setdefault(str(s), 1)
+
+    ds = ds.map_batches(
+        lambda b: add_salt_column(b, buckets),
+        batch_format="pyarrow",
+    )
+
+    def regroup(group: pa.Table) -> pa.Table:
+        return group
+
+    return ds.groupby(["source", "__salt__"]).map_groups(
+        regroup, batch_format="pyarrow"
+    )
+
+
+def encode_pipeline(
+    paths: list[str] | str,
+    out_dir: str,
+    plan: CodecPlan | None = None,
+    resume: bool = True,
+    batch_rows: int | None = DEFAULT_BATCH_ROWS,
+    concurrency: Any = None,
+    partition_by_source: bool = False,
+    key_column: str = "doc_id",
+) -> dict:
+    """Run the encode job; returns summary metrics (rows, bytes, ratio,
+    partitions encoded vs skipped)."""
+    import ray
+    import ray.data
+
+    if isinstance(paths, str):
+        import glob as _glob
+
+        paths = sorted(_glob.glob(os.path.join(paths, "*.parquet")))
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = Manifest(out_dir)
+
+    if plan is None:
+        if resume and manifest.has_plan():
+            plan = manifest.load_plan()
+        else:
+            plan = make_plan(paths)
+            manifest.write_plan(plan)
+    else:
+        manifest.write_plan(plan)
+
+    finished = manifest.finished_ids() if resume else set()
+    finished_ref = ray.put(finished) if finished else None
+    if concurrency is None:
+        # leave CPUs for the read (and shuffle) stages — a pool that
+        # reserves every CPU starves upstream stages and deadlocks
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, min(ncpu - 2, 30))
+
+    ds = ray.data.read_parquet(paths)
+    if partition_by_source:
+        ds = salted_shuffle(ds, plan)
+
+    mani_ds = ds.map_batches(
+        EncodeShard,
+        fn_constructor_kwargs={
+            "plan_json": plan.to_json(),
+            "out_dir": out_dir,
+            "finished": finished_ref,
+            "key_column": key_column,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_rows,
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    records = mani_ds.take_all()  # tiny: one row per partition
+    manifest.append(records)
+    encoded = [r for r in records if r["status"] == "encoded"]
+    skipped = [r for r in records if r["status"] == "skipped"]
+    raw = sum(r["raw_bytes"] for r in records)
+    enc = sum(r["enc_bytes"] for r in records)
+    return {
+        "partitions": len(records),
+        "encoded": len(encoded),
+        "skipped": len(skipped),
+        "rows": int(sum(r["rows"] for r in records)),
+        "raw_bytes": int(raw),
+        "enc_bytes": int(enc),
+        "ratio": (enc / raw) if raw else None,
+        "out_dir": out_dir,
+    }

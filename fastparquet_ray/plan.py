@@ -1,0 +1,208 @@
+"""Codec auto-selection: sample partitions, compute per-column stats,
+trial-encode the sample with each applicable codec, pick the smallest.
+
+Reference analog: `infer_object_encoding` head-sniffing
+(/root/reference/fastparquet/writer.py:316-336) and per-column
+`compression=` dicts (writer.py:829-860); here the choice is measured
+(encoded size on a deterministic sample), so retries are bit-identical
+and the plan is recorded in the manifest.
+
+The CodecPlan holds per-column codec specs plus shared symbol tables
+(dict tables / FSST tables) trained once on the sample and broadcast
+to encoder actors (SURVEY.md ST1) — the scale path: ~KBs shipped via
+``ray.put`` once, never re-trained per batch.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .codecs import intcodec as ic
+from .codecs import strcodec as sc
+from .codecs.fsst import train_fsst
+
+SAMPLE_ROWS_PER_FRAGMENT = 2000
+INT_CANDIDATES = ("plain", "for_bp", "rle", "dict")
+
+
+@dataclass
+class CodecPlan:
+    """Per-column codec choices + shared symbol tables."""
+
+    specs: dict = field(default_factory=dict)  # column -> spec dict
+    tables: dict = field(default_factory=dict)  # hash -> serialized bytes
+    stats: dict = field(default_factory=dict)  # column -> sampled stats
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "specs": self.specs,
+                "tables": {
+                    k: base64.b64encode(v).decode() for k, v in self.tables.items()
+                },
+                "stats": self.stats,
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "CodecPlan":
+        d = json.loads(s)
+        return cls(
+            specs=d["specs"],
+            tables={
+                k: base64.b64decode(v) for k, v in d["tables"].items()
+            },
+            stats=d.get("stats", {}),
+        )
+
+
+def _int_stats(values: np.ndarray) -> dict:
+    if values.size == 0:
+        return {"n": 0}
+    v = values
+    runs = int(np.count_nonzero(v[1:] != v[:-1])) + 1
+    sample = v[: 100_000]
+    return {
+        "n": int(v.size),
+        "min": int(v.min()),
+        "max": int(v.max()),
+        "run_frac": runs / v.size,
+        "n_distinct_sample": int(np.unique(sample).size),
+    }
+
+
+def _pick_int_codec(values: np.ndarray) -> tuple[str, dict]:
+    """Trial-encode, pick smallest (deterministic)."""
+    if values.size == 0:
+        return "plain", {"n": 0}
+    best_name, best_len = "plain", len(ic.encode_plain_int(values))
+    for name in ("for_bp", "rle", "dict"):
+        try:
+            ln = len(ic.INT_ENCODERS[name](values))
+        except ValueError:
+            continue
+        if ln < best_len:
+            best_name, best_len = name, ln
+    return best_name, _int_stats(values)
+
+
+def _pick_str_codec(arr: pa.Array) -> tuple[dict, dict[str, bytes], dict]:
+    """Returns (spec, tables, stats) for a string column sample.
+
+    dict: shared table when sampled cardinality is small;
+    fsst: shared table otherwise, if it beats plain; else plain.
+    """
+    lengths, data = sc.str_to_bufs(arr)
+    n = len(arr)
+    distinct = pc.count_distinct(arr).as_py() if n else 0
+    stats = {
+        "n": n,
+        "n_distinct_sample": distinct,
+        "avg_len": float(data.size / max(n, 1)),
+    }
+    plain_len = len(sc.encode_plain_str(lengths, data))
+    out_tables: dict[str, bytes] = {}
+    cands: list[tuple[int, dict]] = [(plain_len, {"codec": "plain"})]
+    if distinct and distinct <= max(n // 4, 16) and distinct <= 65536:
+        table = sorted(
+            v.as_py().encode() for v in pc.unique(arr)
+        )
+        thash = sc.dict_table_hash(table)
+        blob = sc.encode_dict_str(lengths, data, shared_table=table)
+        out_tables[thash] = sc._pack_str_list(table)
+        cands.append((len(blob), {"codec": "dict", "table_hash": thash}))
+    if n:
+        ftable = train_fsst(lengths, data)
+        if ftable.symbols:
+            fhash = ftable.table_hash()
+            blob = sc.encode_fsst_str(lengths, data, ftable, shared=True)
+            out_tables[fhash] = ftable.serialize()
+            cands.append((len(blob), {"codec": "fsst", "table_hash": fhash}))
+    cands.sort(key=lambda x: x[0])
+    spec = cands[0][1]
+    used = {spec.get("table_hash")} if spec.get("table_hash") else set()
+    return spec, {k: v for k, v in out_tables.items() if k in used}, stats
+
+
+def sample_fragments(paths: list[str], rows_per_fragment: int = SAMPLE_ROWS_PER_FRAGMENT) -> pa.Table:
+    """Deterministic sample: head rows of every fragment (cheap, reads
+    only leading row groups). For true 100TB scale this becomes a Ray
+    map over fragments returning head slices; fragment count is the
+    parallelism either way."""
+    import pyarrow.parquet as pq
+
+    parts = []
+    for p in paths:
+        f = pq.ParquetFile(p)
+        got = 0
+        batches = []
+        for batch in f.iter_batches(batch_size=rows_per_fragment):
+            batches.append(batch)
+            got += batch.num_rows
+            if got >= rows_per_fragment:
+                break
+        if batches:
+            t = pa.Table.from_batches(batches)
+            parts.append(t.slice(0, rows_per_fragment))
+        f.close()
+    return pa.concat_tables(parts) if parts else pa.table({})
+
+
+def train_plan(sample: pa.Table) -> CodecPlan:
+    """Build a CodecPlan from a sampled table."""
+    plan = CodecPlan()
+    sample = sample.combine_chunks()
+    for name in sample.column_names:
+        col = sample.column(name)
+        arr = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+        t = arr.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            if arr.null_count:
+                arr = arr.fill_null("")
+            spec, tables, stats = _pick_str_codec(arr)
+            plan.specs[name] = spec
+            plan.tables.update(tables)
+            plan.stats[name] = stats
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            values = arr.flatten()
+            lengths = pc.list_value_length(arr).cast(pa.int32()).to_numpy()
+            lcodec, lstats = _pick_int_codec(np.asarray(lengths))
+            if pa.types.is_floating(t.value_type):
+                vspec = {"codec": "plain_float"}
+                vstats = {"n": len(values)}
+            else:
+                vcodec, vstats = _pick_int_codec(values.to_numpy())
+                vspec = {"codec": vcodec}
+            plan.specs[name] = {
+                "lengths": {"codec": lcodec},
+                "values": vspec,
+            }
+            plan.stats[name] = {"lengths": lstats, "values": vstats}
+        elif pa.types.is_floating(t):
+            plan.specs[name] = {"codec": "plain_float"}
+            plan.stats[name] = {"n": len(arr)}
+        else:
+            try:
+                from .container import _to_int_np
+
+                if arr.null_count:
+                    arr = arr.fill_null(0)
+                codec, stats = _pick_int_codec(_to_int_np(arr))
+                plan.specs[name] = {"codec": codec}
+                plan.stats[name] = stats
+            except (TypeError, pa.ArrowInvalid):
+                plan.specs[name] = {}
+                plan.stats[name] = {}
+    # source-skew histogram for the salting stage
+    if "source" in sample.column_names:
+        vc = sample.column("source").combine_chunks().value_counts()
+        plan.stats["__source_hist__"] = {
+            str(x["values"]): int(x["counts"]) for x in vc.to_pylist()
+        }
+    return plan

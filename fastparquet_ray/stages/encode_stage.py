@@ -1,0 +1,165 @@
+"""map_batches callables for the encode/decode/verify pipelines.
+
+EncodeShard / DecodeShard are callable CLASSES — Ray Data runs them as
+an actor pool (`concurrency=N`), so symbol-table deserialization and
+plan parsing happen once per actor in ``__init__`` (SURVEY.md ST1:
+the reference reads its dict page once per column chunk and reuses it
+across pages, core.py:459-479; here the trained tables are broadcast
+once and reused across ALL batches an actor sees).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from ..container import ShardEncoder, decode_table, partition_id_for, read_header
+from ..plan import CodecPlan
+
+_PRIME = np.uint64(1099511628211)  # FNV prime, used for row fingerprints
+# positional weights (wraparound uint64 powers of the prime); position is
+# taken mod 4096 — deterministic on both sides of the comparison
+_POWERS = np.concatenate(
+    [
+        np.ones(1, dtype=np.uint64),
+        np.cumprod(np.full(4095, _PRIME, dtype=np.uint64)),
+    ]
+)
+
+
+class EncodeShard:
+    """Encode one Arrow batch -> one shard file + one manifest row.
+
+    Idempotent + resumable: the partition id is a content hash of the
+    key column, the shard write is tmp+rename (atomic), and ids in
+    ``finished`` short-circuit to a 'skipped' record.
+    """
+
+    def __init__(
+        self,
+        plan_json: str,
+        out_dir: str,
+        finished: Any = None,  # set[str] or ObjectRef[set[str]]
+        key_column: str = "doc_id",
+    ):
+        import ray
+
+        plan = CodecPlan.from_json(plan_json)
+        self.encoder = ShardEncoder(plan.specs, plan.tables)
+        self.out_dir = out_dir
+        self.key_column = key_column
+        if finished is not None and isinstance(finished, ray.ObjectRef):
+            finished = ray.get(finished)
+        self.finished: set[str] = finished or set()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if "__salt__" in batch.column_names:
+            batch = batch.drop_columns(["__salt__"])
+        pid = partition_id_for(batch, self.key_column)
+        shard = f"shard-{pid}.fprs"
+        path = os.path.join(self.out_dir, shard)
+        if pid in self.finished and os.path.exists(path):
+            hdr = read_header(open(path, "rb").read(64 * 1024))
+            return _manifest_batch(pid, shard, batch.num_rows, hdr, "skipped")
+        blob = self.encoder.encode_table(batch, pid)
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        hdr = read_header(blob)
+        return _manifest_batch(pid, shard, batch.num_rows, hdr, "encoded")
+
+
+def _manifest_batch(
+    pid: str, shard: str, rows: int, hdr: dict, status: str
+) -> pa.Table:
+    codecs = {}
+    for c in hdr.get("columns", []):
+        codecs[c["name"]] = c.get("kind", "")
+    return pa.table(
+        {
+            "partition_id": [pid],
+            "shard": [shard],
+            "rows": [rows],
+            "raw_bytes": [hdr.get("raw_bytes", 0)],
+            "enc_bytes": [hdr.get("enc_bytes", 0)],
+            "status": [status],
+        }
+    )
+
+
+class DecodeShard:
+    """Decode shard blobs (rows of ``bytes``) back into Arrow tables."""
+
+    def __init__(self, tables: Any = None, columns: list[str] | None = None):
+        import ray
+
+        if tables is not None and isinstance(tables, ray.ObjectRef):
+            tables = ray.get(tables)
+        self.tables: dict[str, bytes] = tables or {}
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for blob in batch.column("bytes"):
+            outs.append(
+                decode_table(blob.as_py(), self.tables, columns=self.columns)
+            )
+        return pa.concat_tables(outs) if outs else pa.table({})
+
+
+def row_fingerprints(batch: pa.Table, key: str = "doc_id", list_col: str = "tokens") -> pa.Table:
+    """Vectorized 64-bit per-row fingerprint over (key, token array) for
+    distributed roundtrip verification (per-row token equality joined on
+    doc_id — BASELINE.md correctness gate)."""
+    import pandas as pd
+
+    n = batch.num_rows
+    h = np.zeros(n, dtype=np.uint64)
+    if key in batch.column_names:
+        kh = pd.util.hash_array(
+            batch.column(key).to_pandas().to_numpy(dtype=object)
+        ).astype(np.uint64)
+        h ^= kh
+    if list_col in batch.column_names:
+        col = batch.column(list_col).combine_chunks()
+        flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False)).astype(
+            np.uint64
+        )
+        lengths = np.asarray(
+            pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lengths)])
+        pos = np.arange(flat.size, dtype=np.int64) - np.repeat(
+            offsets[:-1], lengths
+        )
+        weighted = flat * _POWERS[pos & 4095]
+        th = np.zeros(n, dtype=np.uint64)
+        nonempty = lengths > 0
+        if nonempty.any():
+            sums = np.add.reduceat(weighted, offsets[:-1][nonempty])
+            th[nonempty] = sums
+        h ^= th * _PRIME + np.uint64(0x9E3779B97F4A7C15)
+    return pa.table({"fp": h, "n": np.ones(n, dtype=np.int64)})
+
+
+def add_salt_column(
+    batch: pa.Table, buckets_by_source: dict[str, int], key: str = "doc_id"
+) -> pa.Table:
+    """Add ``__salt__`` = hash(doc_id) % K(source), where K grows with
+    the source's sampled frequency — bounds the hottest source's
+    partition size (SURVEY.md §4.2 skew row)."""
+    import pandas as pd
+
+    kh = pd.util.hash_array(
+        batch.column(key).to_pandas().to_numpy(dtype=object)
+    ).astype(np.uint64)
+    src = batch.column("source").to_pandas().to_numpy(dtype=object)
+    k = np.array(
+        [buckets_by_source.get(s, 1) for s in src], dtype=np.uint64
+    )
+    salt = (kh % np.maximum(k, 1)).astype(np.int32)
+    return batch.append_column("__salt__", pa.array(salt, pa.int32()))

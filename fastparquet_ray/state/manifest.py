@@ -1,0 +1,82 @@
+"""Checkpoint manifest: per-partition lineage records + plan/symbol
+sidecars, the engine's resume mechanism.
+
+Reference analogs: the `_metadata` sidecar consolidating row-group
+metadata (/root/reference/fastparquet/writer.py:1044-1047,
+util.py:115-213 metadata_from_many) and `append='overwrite'`
+idempotent partition replacement (writer.py:1014-1032). Here: one
+JSONL line per encoded partition (partition id, shard path, codec ids,
+symbol-table hashes, byte counts); a killed run resumes by pruning
+finished partition ids before encoding (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ..plan import CodecPlan
+
+MANIFEST_NAME = "_manifest.jsonl"
+PLAN_NAME = "_plan.json"
+
+
+class Manifest:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.path = os.path.join(out_dir, MANIFEST_NAME)
+        self.plan_path = os.path.join(out_dir, PLAN_NAME)
+
+    # ----- plan sidecar (includes shared symbol tables) -----
+
+    def has_plan(self) -> bool:
+        return os.path.exists(self.plan_path)
+
+    def write_plan(self, plan: CodecPlan) -> None:
+        tmp = self.plan_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(plan.to_json())
+        os.replace(tmp, self.plan_path)
+
+    def load_plan(self) -> CodecPlan:
+        with open(self.plan_path) as f:
+            return CodecPlan.from_json(f.read())
+
+    # ----- per-partition records -----
+
+    def load_records(self) -> dict[str, dict]:
+        """partition_id -> last record (later lines win)."""
+        out: dict[str, dict] = {}
+        if not os.path.exists(self.path):
+            return out
+        with open(self.path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                out[rec["partition_id"]] = rec
+        return out
+
+    def finished_ids(self) -> set[str]:
+        """Partitions whose shard file actually exists on disk."""
+        done = set()
+        for pid, rec in self.load_records().items():
+            if rec.get("status") in ("encoded", "skipped") and os.path.exists(
+                os.path.join(self.out_dir, rec["shard"])
+            ):
+                done.add(pid)
+        return done
+
+    def append(self, records: list[dict]) -> None:
+        with open(self.path, "a") as f:
+            for rec in records:
+                f.write(json.dumps(rec, separators=(",", ":")) + "\n")
+
+    def shard_paths(self) -> list[str]:
+        recs = self.load_records()
+        return sorted(
+            os.path.join(self.out_dir, r["shard"])
+            for r in recs.values()
+            if r.get("status") in ("encoded", "skipped")
+        )
