@@ -117,6 +117,7 @@ def encode_pipeline(
             "out_dir": out_dir,
             "finished": finished_ref,
             "key_column": key_column,
+            "split_by": ["source", "__salt__"] if partition_by_source else None,
         },
         batch_format="pyarrow",
         batch_size=batch_rows,

@@ -44,6 +44,7 @@ class EncodeShard:
         out_dir: str,
         finished: Any = None,  # set[str] or ObjectRef[set[str]]
         key_column: str = "doc_id",
+        split_by: list[str] | None = None,
     ):
         import ray
 
@@ -51,11 +52,12 @@ class EncodeShard:
         self.encoder = ShardEncoder(plan.specs, plan.tables)
         self.out_dir = out_dir
         self.key_column = key_column
+        self.split_by = split_by
         if finished is not None and isinstance(finished, ray.ObjectRef):
             finished = ray.get(finished)
         self.finished: set[str] = finished or set()
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _encode_one(self, batch: pa.Table) -> pa.Table:
         if "__salt__" in batch.column_names:
             batch = batch.drop_columns(["__salt__"])
         pid = partition_id_for(batch, self.key_column)
@@ -71,6 +73,27 @@ class EncodeShard:
         os.replace(tmp, path)
         hdr = read_header(blob)
         return _manifest_batch(pid, shard, batch.num_rows, hdr, "encoded")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.split_by or not all(
+            c in batch.column_names for c in self.split_by
+        ):
+            return self._encode_one(batch)
+        # a block may hold several shuffle groups — split so each shard
+        # is pure in the split keys (e.g. one (source, salt) bucket)
+        import pyarrow.compute as pc
+
+        keys = None
+        for c in self.split_by:
+            codes = pc.dictionary_encode(
+                batch.column(c).combine_chunks()
+            ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = codes if keys is None else keys * 100_003 + codes
+        outs = []
+        for k in np.unique(keys):
+            sub = batch.filter(pa.array(keys == k))
+            outs.append(self._encode_one(sub))
+        return pa.concat_tables(outs)
 
 
 def _manifest_batch(

@@ -1,0 +1,111 @@
+"""Ray pipeline integration tests (SURVEY.md §5 layer 4): encode ->
+decode -> bit-identical verify, resume-after-partial-failure, salted
+skew shuffle. Uses the session-scoped Ray fixture."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fastparquet_ray.data import SKEWED_WEIGHTS, write_tokens_dataset
+from fastparquet_ray.pipelines import (
+    decode_dataset,
+    encode_pipeline,
+    verify_roundtrip,
+)
+from fastparquet_ray.state.manifest import Manifest
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("tokens_src"))
+    paths = write_tokens_dataset(src, 6000, n_fragments=6)
+    return src, paths
+
+
+def test_encode_verify_roundtrip(ray_session, dataset, tmp_path):
+    src, paths = dataset
+    out = str(tmp_path / "enc")
+    summary = encode_pipeline(paths, out)
+    assert summary["rows"] == 6000
+    assert summary["encoded"] == summary["partitions"] >= 6
+    assert summary["ratio"] < 0.6
+    res = verify_roundtrip(paths, out)
+    assert res["ok"]
+    assert res["fingerprint_groups"] == 6000
+
+
+def test_resume_only_reencodes_missing(ray_session, dataset, tmp_path):
+    src, paths = dataset
+    out = str(tmp_path / "enc")
+    s1 = encode_pipeline(paths, out)
+    shards = sorted(glob.glob(os.path.join(out, "shard-*.fprs")))
+    removed = shards[:2]
+    for s in removed:
+        os.remove(s)
+    s2 = encode_pipeline(paths, out)
+    assert s2["encoded"] == len(removed)
+    assert s2["skipped"] == s1["partitions"] - len(removed)
+    # third run: everything cached
+    s3 = encode_pipeline(paths, out)
+    assert s3["encoded"] == 0 and s3["skipped"] == s1["partitions"]
+    assert verify_roundtrip(paths, out)["ok"]
+
+
+def test_manifest_records(ray_session, dataset, tmp_path):
+    src, paths = dataset
+    out = str(tmp_path / "enc")
+    encode_pipeline(paths, out)
+    m = Manifest(out)
+    recs = m.load_records()
+    assert recs
+    for rec in recs.values():
+        assert rec["status"] == "encoded"
+        assert rec["enc_bytes"] < rec["raw_bytes"]
+        assert os.path.exists(os.path.join(out, rec["shard"]))
+    assert m.has_plan()
+    plan = m.load_plan()
+    assert "doc_id" in plan.specs and "tokens" in plan.specs
+
+
+def test_salted_shuffle_bounds_skew(ray_session, tmp_path):
+    """FIXTURES.md F5: 95%-hot source must split into multiple
+    partitions rather than one giant one."""
+    src = str(tmp_path / "skew_src")
+    paths = write_tokens_dataset(
+        src, 4000, n_fragments=4, weights=SKEWED_WEIGHTS
+    )
+    out = str(tmp_path / "skew_enc")
+    s = encode_pipeline(paths, out, partition_by_source=True)
+    assert s["rows"] == 4000
+    # the hot source ('web', 95%) must be spread over several shards
+    from fastparquet_ray.container import decode_table
+
+    tables = Manifest(out).load_plan().tables
+    sizes = {}
+    for shard in sorted(glob.glob(os.path.join(out, "shard-*.fprs"))):
+        t = decode_table(open(shard, "rb").read(), tables, columns=["source"])
+        if t.num_rows == 0:
+            continue
+        srcs = set(t.column("source").to_pylist())
+        assert len(srcs) == 1  # shards are source-pure after the shuffle
+        sizes.setdefault(srcs.pop(), []).append(t.num_rows)
+    assert len(sizes.get("web", [])) >= 4
+    assert max(sizes["web"]) < 4000 * 0.95
+    assert verify_roundtrip(paths, out)["ok"]
+
+
+def test_decode_projection_streaming(ray_session, dataset, tmp_path):
+    src, paths = dataset
+    out = str(tmp_path / "enc")
+    encode_pipeline(paths, out)
+    ds = decode_dataset(out, columns=["doc_id", "n_tok"])
+    assert set(ds.schema().names) == {"doc_id", "n_tok"}
+    total = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        total += b.num_rows
+        assert pa.types.is_int32(b.schema.field("n_tok").type)
+    assert total == 6000
