@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library code these call.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries() covers SURVEY.md §2 operator families (sources, projections,
+predicates, stats, aggregations, sorts/limits, set ops) plus the
+training-data-pipeline operators (dedup family, text analysis,
+similarity search, multimodal plumbing) and the flagship encode engine
+(encode -> decode -> aggregate, checked by SQL oracles over the
+original parquet, which proves the roundtrip).
 """
 
 from __future__ import annotations
@@ -18,27 +16,162 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# tokens oracle path: the driver evaluates oracles at sf=0.01; the
+# matching Ray queries generate this deterministic dataset on first use
+_TOKENS_GLOB = "/tmp/fpray_tokens/sf0.01/*.parquet"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: generate the
+    deterministic tokens table, run the streaming encode pipeline
+    (stats -> codec plan -> actor-pool encode -> shards + manifest),
+    verify bit-identical decode, and return the summary."""
+    from fastparquet_ray.pipelines.flagship import tokens_roundtrip_summary
+
+    return tokens_roundtrip_summary("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from fastparquet_ray.functions import dedup, multimodal, relational, similarity, textops
+    from fastparquet_ray.pipelines import flagship
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational / reference operator surface (SURVEY §2) ---
+        "projection": relational.projection,
+        "filter_predicate": relational.filter_predicate,
+        "filter_in": relational.filter_in,
+        "count_rows": relational.count_rows,
+        "stats_minmax": relational.stats_minmax,
+        "groupby_agg": relational.groupby_agg,
+        "distinct_count": relational.distinct_count,
+        "distinct_values": relational.distinct_values,
+        "sort_topk": relational.sort_topk,
+        "head_limit": relational.head_limit,
+        "partition_counts": relational.partition_counts,
+        "null_counts": relational.null_counts,
+        "dtype_convert_time": relational.dtype_convert_time,
+        "join_broadcast": relational.join_broadcast,
+        "sorted_detect": relational.sorted_detect,
+        # --- flagship encode engine (tokens table) ---
+        "tokens_groupby_source": flagship.tokens_groupby_source,
+        "tokens_checksum": flagship.tokens_checksum,
+        "tokens_roundtrip": flagship.tokens_roundtrip_summary,
+        "codec_plan": flagship.codec_plan_report,
+        # --- dedup family ---
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash": dedup.simhash,
+        "embedding_neardup": dedup.embedding_neardup,
+        # --- text analysis ---
+        "token_count": textops.token_count,
+        "quality_score": textops.quality_score,
+        "fingerprint": textops.fingerprint,
+        "adjacent_similarity": textops.adjacent_similarity,
+        "lang_id": textops.lang_id,
+        # --- similarity search ---
+        "ann_topk": similarity.ann_topk,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
+        # --- multimodal plumbing (stubbed decode) ---
+        "multimodal_features": multimodal.multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "projection": (
+            "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem"
+        ),
+        "filter_predicate": (
+            "SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem "
+            "WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 30"
+        ),
+        "filter_in": (
+            "SELECT o_orderkey, o_orderstatus FROM orders "
+            "WHERE o_orderstatus IN ('F','O') "
+            "AND o_orderpriority NOT IN ('1-URGENT')"
+        ),
+        "count_rows": "SELECT count(*) AS n FROM lineitem",
+        "stats_minmax": (
+            "SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, "
+            "min(l_extendedprice) AS min_price, "
+            "max(l_extendedprice) AS max_price, count(*) AS n FROM lineitem"
+        ),
+        "groupby_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(l_quantity) AS sum_qty, "
+            "ROUND(sum(l_extendedprice), 3) AS sum_price, "
+            "count(*) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "distinct_count": (
+            "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp FROM lineitem"
+        ),
+        "distinct_values": "SELECT DISTINCT l_returnflag FROM lineitem",
+        "sort_topk": (
+            "SELECT l_orderkey, l_extendedprice FROM lineitem "
+            "ORDER BY l_extendedprice DESC, l_orderkey LIMIT 10"
+        ),
+        "head_limit": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_orderkey LIMIT 100"
+        ),
+        "partition_counts": (
+            "SELECT source, count(*) AS n FROM documents GROUP BY source"
+        ),
+        "null_counts": (
+            "SELECT CAST(count(*) - count(props) AS BIGINT) AS null_props, "
+            "count(*) AS n FROM events"
+        ),
+        "dtype_convert_time": (
+            "SELECT event_type, min(ts) AS first_ts, max(ts) AS last_ts, "
+            "count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "join_broadcast": (
+            "SELECT c_mktsegment, count(*) AS n, "
+            "ROUND(sum(o_totalprice), 3) AS total "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        # flagship: oracle reads the ORIGINAL parquet; the Ray side
+        # answers from decoded shards -> equality proves the roundtrip
+        "tokens_groupby_source": (
+            "SELECT source, count(*) AS n, "
+            "CAST(sum(n_tok) AS BIGINT) AS sum_tok "
+            f"FROM read_parquet('{_TOKENS_GLOB}') GROUP BY source"
+        ),
+        "tokens_checksum": (
+            "SELECT CAST(sum(tok) AS BIGINT) AS token_sum, "
+            "count(tok) AS token_cnt FROM (SELECT unnest(tokens) AS tok "
+            f"FROM read_parquet('{_TOKENS_GLOB}'))"
+        ),
+        "dedup_exact": (
+            "SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id, "
+            "count(*) AS n_dups FROM documents GROUP BY text"
+        ),
+        "token_count": (
+            "SELECT doc_id, CAST(length(text) - "
+            "length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words "
+            "FROM documents"
+        ),
+        "quality_score": (
+            "SELECT source, avg(n_chars) AS avg_chars, "
+            "avg(length(text) - length(replace(text, ' ', '')) + 1) "
+            "AS avg_words, count(*) AS n FROM documents GROUP BY source"
+        ),
+        "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "adjacent_similarity": (
+            "SELECT id_a, id_b, sim FROM ("
+            "SELECT doc_id AS id_a, "
+            "lead(doc_id) OVER (ORDER BY doc_id) AS id_b, "
+            "jaccard(text, lead(text) OVER (ORDER BY doc_id)) AS sim "
+            "FROM documents) WHERE id_b IS NOT NULL"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings "
+            "WHERE vec_id = (SELECT min(vec_id) FROM embeddings)) "
+            "SELECT vec_id FROM embeddings "
+            "ORDER BY list_cosine_similarity(embedding, (SELECT qv FROM q)) "
+            "DESC, vec_id LIMIT 10"
+        ),
+    }

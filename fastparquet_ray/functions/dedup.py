@@ -1,0 +1,238 @@
+"""Deduplication operators over the documents table — exact, MinHash+
+LSH near-dup, SimHash, n-gram Jaccard verification. The reference has
+no dedup (SURVEY.md §2.8); these are the training-data-pipeline ops
+the north star requires, built on the canonical Ray patterns:
+hash -> groupby for exact; shingle -> minhash -> band-bucket groupby ->
+candidate pairs -> verify for near-dup.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SEED = np.uint64(0x9E3779B97F4A7C15)
+_PRIME = np.uint64(1099511628211)
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: group by full text, keep the smallest doc_id
+    (hash-partition + per-group first — SURVEY §2.8). Returns one row
+    per distinct text with the survivor id and duplicate count."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups")
+    )
+    return out
+
+
+def _word_shingles(texts: list[str], k: int = 3) -> list[np.ndarray]:
+    """Per text: uint64 hashes of word k-shingles (deterministic FNV)."""
+    out = []
+    for t in texts:
+        words = t.split()
+        if len(words) < k:
+            shingles = [" ".join(words)] if words else []
+        else:
+            shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        hs = np.empty(len(shingles), dtype=np.uint64)
+        for i, s in enumerate(shingles):
+            h = np.uint64(14695981039346656037)
+            for b in s.encode():
+                h = (h ^ np.uint64(b)) * _PRIME
+            hs[i] = h
+        out.append(np.unique(hs))
+    return out
+
+
+class MinHasher:
+    """k=64 minhash signatures via universal hashing over shingle
+    hashes — vectorized per doc; the permutation constants are built
+    once per actor."""
+
+    def __init__(self, num_hashes: int = 64, shingle_k: int = 3):
+        rng = np.random.default_rng(42)
+        self.a = rng.integers(1, 2**61, num_hashes, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 2**61, num_hashes, dtype=np.uint64)
+        self.k = shingle_k
+        self.num = num_hashes
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if shingles.size == 0:
+            return np.full(self.num, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (num_hashes, n_shingles) universal hashes, row-min
+        vals = (
+            self.a[:, None] * shingles[None, :] + self.b[:, None]
+        )  # uint64 wraparound
+        return vals.min(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        shingles = _word_shingles(df["text"].tolist(), self.k)
+        sigs = np.stack([self.signature(s) for s in shingles])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "sig": [row.tobytes() for row in sigs],
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.5,
+):
+    """MinHash+LSH near-duplicate candidate pairs, verified with exact
+    shingle Jaccard. Pipeline: minhash (actor pool) -> explode to
+    (band, band_hash, doc_id) -> groupby band buckets -> pairs ->
+    verify. Verification joins texts via broadcast at test scale; at
+    100TB the verify join becomes a bucketed self-join on doc_id.
+    """
+    import ray
+    import ray.data
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    sigs = ds.map_batches(
+        MinHasher, batch_format="pandas", concurrency=2, batch_size=4096
+    )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"band": [], "band_hash": [], "doc_id": []}
+        for did, sig in zip(df["doc_id"], df["sig"]):
+            s = np.frombuffer(sig, dtype=np.uint64)
+            for b in range(bands):
+                chunk = s[b * rows_per_band : (b + 1) * rows_per_band]
+                rows["band"].append(b)
+                rows["band_hash"].append(int(chunk.sum() % (2**63)))
+                rows["doc_id"].append(did)
+        return pd.DataFrame(rows)
+
+    buckets = sigs.map_batches(explode, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64")}
+            )
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    cand = (
+        buckets.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if cand.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    # exact-verify candidates (broadcast texts; candidate set is small)
+    texts = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
+    tmap = dict(zip(texts["doc_id"], texts["text"]))
+    sh_cache: dict[int, np.ndarray] = {}
+
+    def sh(did: int) -> np.ndarray:
+        if did not in sh_cache:
+            sh_cache[did] = _word_shingles([tmap[did]])[0]
+        return sh_cache[did]
+
+    jac = []
+    for a, b in zip(cand["id_a"], cand["id_b"]):
+        sa, sb = sh(int(a)), sh(int(b))
+        inter = np.intersect1d(sa, sb).size
+        union = sa.size + sb.size - inter
+        jac.append(inter / union if union else 1.0)
+    cand = cand.assign(jaccard=jac)
+    out = cand[cand["jaccard"] >= jaccard_threshold].reset_index(drop=True)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+class SimHasher:
+    """64-bit SimHash over word-unigram hashes (deterministic)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(len(df), dtype=np.uint64)
+        for i, text in enumerate(df["text"].tolist()):
+            words = text.split()
+            if not words:
+                continue
+            hs = np.empty(len(words), dtype=np.uint64)
+            for j, w in enumerate(words):
+                h = np.uint64(14695981039346656037)
+                for bch in w.encode():
+                    h = (h ^ np.uint64(bch)) * _PRIME
+                hs[j] = h
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = bits.sum(axis=0) * 2 - len(words)
+            sim = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    sim |= np.uint64(1) << np.uint64(b)
+            out[i] = sim
+        return pd.DataFrame({"doc_id": df["doc_id"], "simhash": out.astype("uint64")})
+
+
+def simhash(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        SimHasher, batch_format="pandas", concurrency=2, batch_size=4096
+    )
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.95):
+    """Embedding-cosine near-duplicate pairs within each label group
+    (label plays the LSH-bucket role so the pair space stays bounded).
+    Vectorized: per-group normalized matmul."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        sim = mn @ mn.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sim[iu] >= threshold
+        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo.astype("int64"), "id_b": hi.astype("int64"),
+             "sim": sim[iu][mask]}
+        )
+
+    out = ds.groupby("label").map_groups(group_pairs, batch_format="pandas")
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "sim": pd.Series([], dtype="float64")}
+        )
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -1,0 +1,309 @@
+"""Relational operators over the testdata tables, each the Ray-Data
+analog of a reference capability (file:line cited per function).
+
+All functions take ``sf_dir`` and return a Dataset / pandas DataFrame;
+they never call ray.init (driver/bench owns the session).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def projection(sf_dir: str):
+    """Column pruning at the read (reference M1: api.py:433-439 reads
+    only requested columns; here pushdown into read_parquet)."""
+    return _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"]
+    )
+
+
+def filter_predicate(sf_dir: str):
+    """Row filter via vectorized predicate inside map_batches
+    (reference M3: api.py:356-385 two-pass row filter; M4 ops
+    util.py:411-419). Predicate also pushed to the read for row-group
+    pruning (M2: filter_row_groups api.py:948-999)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_shipdate"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.greater(t["l_quantity"], pa.scalar(30.0)),
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def filter_in(sf_dir: str):
+    """IN / NOT-IN predicates (reference M4 'in'/'not in' filter ops,
+    api.py:1042-1135 filter_val/in/not_in)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_in(t["o_orderstatus"], value_set=pa.array(["F", "O"])),
+            pc.invert(
+                pc.is_in(
+                    t["o_orderpriority"], value_set=pa.array(["1-URGENT"])
+                )
+            ),
+        )
+        return t.select(["o_orderkey", "o_orderstatus"]).filter(keep)
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def count_rows(sf_dir: str):
+    """Total row count (reference A3: api.py:512-525 count() from
+    metadata)."""
+    n = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    return pd.DataFrame({"n": [n]})
+
+
+def stats_minmax(sf_dir: str):
+    """Per-column min/max/count statistics (reference A1/A2: write-side
+    stats writer.py:502-538, statistics() api.py:822-902). Partial
+    per-batch stats merged on the driver — embarrassingly parallel."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "min_qty": [pc.min(t["l_quantity"]).as_py()],
+                "max_qty": [pc.max(t["l_quantity"]).as_py()],
+                "min_price": [pc.min(t["l_extendedprice"]).as_py()],
+                "max_price": [pc.max(t["l_extendedprice"]).as_py()],
+                "n": [t.num_rows],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "min_qty": [parts["min_qty"].min()],
+            "max_qty": [parts["max_qty"].max()],
+            "min_price": [parts["min_price"].min()],
+            "max_price": [parts["max_price"].max()],
+            "n": [int(parts["n"].sum())],
+        }
+    )
+
+
+def groupby_agg(sf_dir: str):
+    """Grouped aggregation, TPC-H Q1 shape (pre-aggregation inside
+    map_batches before the shuffle — SURVEY §2.6/ray_guide 'aggregation
+    at scale'; the reference computes stats per row group similarly,
+    writer.py:502-538)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_price=("l_extendedprice", "sum"),
+                n=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price", alias_name="sum_price"),
+        Sum("n", alias_name="n"),
+    )
+    return out
+
+
+def distinct_count(sf_dir: str):
+    """Distinct cardinality (reference A7 — only ever read from stats,
+    api.py:869-870; here computed: per-batch unique -> union -> count,
+    avoiding a full-row shuffle)."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def uniq(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "col": ["l_partkey"] * len(pc.unique(t["l_partkey"]))
+                + ["l_suppkey"] * len(pc.unique(t["l_suppkey"])),
+                "val": pa.concat_arrays(
+                    [
+                        pc.unique(t["l_partkey"]),
+                        pc.unique(t["l_suppkey"]),
+                    ]
+                ),
+            }
+        )
+
+    pairs = ds.map_batches(uniq, batch_format="pyarrow").to_pandas()
+    dd = pairs.drop_duplicates()
+    return pd.DataFrame(
+        {
+            "n_part": [int((dd["col"] == "l_partkey").sum())],
+            "n_supp": [int((dd["col"] == "l_suppkey").sum())],
+        }
+    )
+
+
+def distinct_values(sf_dir: str):
+    """DISTINCT over one column (ds.unique — a shuffle, appropriate for
+    a low-cardinality column)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag"])
+    vals = sorted(ds.unique("l_returnflag"))
+    return pd.DataFrame({"l_returnflag": vals})
+
+
+def sort_topk(sf_dir: str):
+    """Top-k by sort+limit (reference §2.7 has head() only;
+    deterministic tiebreak on the key)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    return ds.sort(
+        ["l_extendedprice", "l_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+def head_limit(sf_dir: str):
+    """head(n) with deterministic order (reference S4 head,
+    api.py:231-250)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort("o_orderkey").limit(100)
+
+
+def partition_counts(sf_dir: str):
+    """Per-partition-value row counts (reference M8 partition-value
+    parsing api.py:700-758; here 'source' plays the hive key)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["source"])
+    return ds.groupby("source").aggregate(Count(alias_name="n"))
+
+
+def null_counts(sf_dir: str):
+    """Null counting (reference M9/A5: writer.py:444-448)."""
+    ds = _read(sf_dir, "events", ["props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"nulls": [t.column("props").null_count], "n": [t.num_rows]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {"null_props": [int(parts["nulls"].sum())], "n": [int(parts["n"].sum())]}
+    )
+
+
+def dtype_convert_time(sf_dir: str):
+    """Timestamp handling per group (reference M5/E16 time-unit shifts,
+    converted_types.py:196-207): min/max event time per type."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("event_type", as_index=False).agg(
+            first_ts=("ts", "min"), last_ts=("ts", "max"), n=("ts", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby("event_type").aggregate(
+        Min("first_ts", alias_name="first_ts"),
+        Max("last_ts", alias_name="last_ts"),
+        Sum("n", alias_name="n"),
+    )
+    return out
+
+
+def join_broadcast(sf_dir: str):
+    """Broadcast (map-side) join: the customer dimension is ray.put
+    once and looked up inside map_batches — no shuffle join (SURVEY
+    §2.5: symbol-table distribution is a broadcast, never a shuffle).
+    Partial aggregation precedes the tiny final groupby."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    lookup_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()))
+    )
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    class SegmentJoin:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df["c_mktsegment"] = df["o_custkey"].map(self.lookup)
+            g = df.groupby("c_mktsegment", as_index=False).agg(
+                n=("o_custkey", "size"), total=("o_totalprice", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(
+        SegmentJoin,
+        fn_constructor_kwargs={"ref": lookup_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return partials.groupby("c_mktsegment").aggregate(
+        Sum("n", alias_name="n"), Sum("total", alias_name="total")
+    )
+
+
+def sorted_detect(sf_dir: str):
+    """Detect globally-sorted columns from per-block min/max (reference
+    A4: sorted_partitioned_columns, api.py:905-945). rows-only check
+    (not expressible as deterministic SQL over unordered views)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "lo": [], "hi": [], "block_sorted": []}
+        for col in ["event_id", "user_id"]:
+            v = t.column(col).to_numpy()
+            rows["column"].append(col)
+            rows["lo"].append(float(v.min()) if v.size else np.nan)
+            rows["hi"].append(float(v.max()) if v.size else np.nan)
+            rows["block_sorted"].append(bool((np.diff(v) >= 0).all()))
+        return pa.table(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for col, g in parts.groupby("column"):
+        g = g.sort_values("lo")
+        non_overlap = bool((g["hi"].to_numpy()[:-1] <= g["lo"].to_numpy()[1:]).all())
+        out.append(
+            {
+                "column": col,
+                "is_sorted": bool(g["block_sorted"].all() and non_overlap),
+            }
+        )
+    return pd.DataFrame(out).sort_values("column").reset_index(drop=True)

@@ -1,0 +1,144 @@
+"""Similarity search over the embeddings table.
+
+- brute-force cosine top-k: the baseline — numpy matmul per batch
+  against a broadcast query matrix (ray.put once, read per actor).
+- IVF-bucketed variant: coarse k-means-ish centroids from a sample,
+  batches route vectors to nearest centroid, search probes only the
+  closest buckets — the 100TB scale path (bounded candidate set).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _emb(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+
+def _query_vector(sf_dir: str) -> tuple[int, np.ndarray]:
+    """Deterministic query: the embedding of the smallest vec_id."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    i = int(np.argmin(t.column("vec_id").to_numpy()))
+    qid = int(t.column("vec_id")[i].as_py())
+    q = np.array(t.column("embedding")[i].as_py(), dtype=np.float64)
+    return qid, q
+
+
+def ann_topk(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k against the deterministic query vector.
+    Per-batch partial top-k (numpy matmul) then a tiny global merge —
+    no full sort of the corpus."""
+    import ray
+
+    qid, q = _query_vector(sf_dir)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(qn)
+
+    class Scorer:
+        def __init__(self, ref, k):
+            self.q = ray.get(ref)
+            self.k = k
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sim = (m @ self.q) / norms
+            order = np.argsort(-sim, kind="stable")[: self.k]
+            return pd.DataFrame(
+                {
+                    "vec_id": df["vec_id"].to_numpy()[order],
+                    "sim": np.round(sim[order], 6),
+                }
+            )
+
+    partials = _emb(sf_dir).map_batches(
+        Scorer,
+        fn_constructor_kwargs={"ref": q_ref, "k": k},
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=2,
+    )
+    df = partials.to_pandas()
+    df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    # only ids are oracle-compared: DuckDB computes cosine in float32,
+    # numpy in float64 — the top-k SET is stable, the 7th decimal isn't
+    return df[["vec_id"]].reset_index(drop=True)
+
+
+def ann_topk_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8, n_probe: int = 2):
+    """IVF variant: centroids from a deterministic sample; only the
+    n_probe closest buckets are scanned. Results may differ from exact
+    top-k (approximate by design) — rows-only check."""
+    import pyarrow.parquet as pq
+    import ray
+
+    qid, q = _query_vector(sf_dir)
+    qn = q / (np.linalg.norm(q) or 1.0)
+
+    # deterministic centroid init: first n_centroids * 16 vectors, then
+    # 5 Lloyd iterations on the sample
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    sample = np.stack(t.column("embedding").to_numpy()[: n_centroids * 16]).astype(
+        np.float64
+    )
+    cent = sample[:n_centroids].copy()
+    for _ in range(5):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_centroids):
+            pts = sample[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(0)
+    probe = np.argsort(((cent - q) ** 2).sum(1))[:n_probe]
+    cent_ref = ray.put((cent, set(int(p) for p in probe), qn))
+
+    class IvfScorer:
+        def __init__(self, ref, k):
+            self.cent, self.probe, self.q = ray.get(ref)
+            self.k = k
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            d = ((m[:, None, :] - self.cent[None, :, :]) ** 2).sum(-1)
+            bucket = d.argmin(1)
+            keep = np.isin(bucket, list(self.probe))
+            if not keep.any():
+                return pd.DataFrame(
+                    {"vec_id": pd.Series([], dtype="int64"),
+                     "sim": pd.Series([], dtype="float64")}
+                )
+            m = m[keep]
+            ids = df["vec_id"].to_numpy()[keep]
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sim = (m @ self.q) / norms
+            order = np.argsort(-sim, kind="stable")[: self.k]
+            return pd.DataFrame(
+                {"vec_id": ids[order], "sim": np.round(sim[order], 6)}
+            )
+
+    partials = _emb(sf_dir).map_batches(
+        IvfScorer,
+        fn_constructor_kwargs={"ref": cent_ref, "k": k},
+        batch_format="pandas",
+        batch_size=8192,
+        concurrency=2,
+    )
+    df = partials.to_pandas()
+    df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    return df.reset_index(drop=True)

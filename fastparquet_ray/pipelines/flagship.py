@@ -1,0 +1,139 @@
+"""Flagship tokens-table pipelines exposed as queries: encode the
+deterministic synthetic tokens dataset (FIXTURES.md F1), then answer
+aggregates FROM THE DECODED SHARDS — so the DuckDB oracle (which reads
+the original parquet) verifies the encode->decode path end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..data import ensure_tokens_dataset, tokens_dir_for_sf
+from .decode import decode_dataset
+from .encode import encode_pipeline
+from .verify import verify_roundtrip
+
+TOKENS_BASE = "/tmp/fpray_tokens"
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.01
+
+
+def encoded_dir_for(sf: float) -> str:
+    return os.path.join(TOKENS_BASE, f"sf{sf:g}_enc")
+
+
+def ensure_encoded(sf_dir: str, partition_by_source: bool = False) -> tuple[list[str], str]:
+    """Generate (cached) + encode (resumable, cached) the tokens table
+    for the scale factor implied by sf_dir. Returns (src_paths, enc_dir)."""
+    sf = sf_from_dir(sf_dir)
+    paths = ensure_tokens_dataset(sf, base=TOKENS_BASE)
+    out = encoded_dir_for(sf)
+    encode_pipeline(paths, out, resume=True, partition_by_source=partition_by_source)
+    return paths, out
+
+
+def tokens_groupby_source(sf_dir: str):
+    """Per-source row count and token totals computed FROM DECODED
+    SHARDS (oracle reads the source parquet — equality proves the
+    roundtrip for source/n_tok)."""
+    from ray.data.aggregate import Count, Sum
+
+    _, out = ensure_encoded(sf_dir)
+    ds = decode_dataset(out, columns=["source", "n_tok"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("source", as_index=False).agg(
+            n=("n_tok", "size"), sum_tok=("n_tok", "sum")
+        )
+        g["sum_tok"] = g["sum_tok"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("source").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_tok", alias_name="sum_tok")
+    )
+
+
+def tokens_checksum(sf_dir: str):
+    """Order-insensitive checksum over every decoded token value —
+    the strongest SQL-checkable roundtrip invariant (sum + count of the
+    flattened token stream)."""
+    _, out = ensure_encoded(sf_dir)
+    ds = decode_dataset(out, columns=["tokens"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat = t.column("tokens").combine_chunks().flatten()
+        s = pc.sum(flat).as_py() or 0
+        return pa.table(
+            {"token_sum": [int(s)], "token_cnt": [len(flat)]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "token_sum": [int(parts["token_sum"].sum())],
+            "token_cnt": [int(parts["token_cnt"].sum())],
+        }
+    )
+
+
+def tokens_roundtrip_summary(sf_dir: str):
+    """Full encode + bit-identical verify; one summary row (rows-only
+    check: covers what SQL cannot — per-row positional equality)."""
+    paths, out = ensure_encoded(sf_dir)
+    res = verify_roundtrip(paths, out)
+    from ..state.manifest import Manifest
+
+    recs = Manifest(out).load_records()
+    raw = sum(r["raw_bytes"] for r in recs.values())
+    enc = sum(r["enc_bytes"] for r in recs.values())
+    return pd.DataFrame(
+        {
+            "rows": [int(res["fingerprint_groups"])],
+            "partitions": [len(recs)],
+            "raw_bytes": [int(raw)],
+            "enc_bytes": [int(enc)],
+            "ratio": [enc / raw if raw else None],
+            "verified_ok": [bool(res["ok"])],
+        }
+    )
+
+
+def codec_plan_report(sf_dir: str):
+    """The auto-selected codec per column (reference analog: per-column
+    compression dict, writer.py:829-860) — rows-only."""
+    sf = sf_from_dir(sf_dir)
+    ensure_encoded(sf_dir)
+    from ..state.manifest import Manifest
+
+    plan = Manifest(encoded_dir_for(sf)).load_plan()
+    rows = []
+    for col, spec in sorted(plan.specs.items()):
+        if "lengths" in spec:
+            rows.append(
+                {
+                    "column": col,
+                    "codec": f"list<lengths={spec['lengths'].get('codec')},"
+                    f"values={spec['values'].get('codec')}>",
+                    "shared_table": "",
+                }
+            )
+        else:
+            rows.append(
+                {
+                    "column": col,
+                    "codec": str(spec.get("codec", "auto")),
+                    "shared_table": str(spec.get("table_hash") or ""),
+                }
+            )
+    return pd.DataFrame(rows)
