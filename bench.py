@@ -1,0 +1,166 @@
+"""Benchmark harness (driver contract).
+
+Headline: the flagship encode pipeline (read parquet -> stats/plan ->
+actor-pool encode -> shards + manifest) over the deterministic tokens
+table at the scale factor implied by $GRAFT_SF_DIR, in a FRESH output
+dir (no resume short-circuit). Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": ...}
+plus throughput/ratio extras.
+
+--scaling: runs the identical job in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 and reports both throughputs + efficiency
+(the sandbox stand-in for the N -> 4N cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from fastparquet_ray.data import ensure_tokens_dataset
+    from fastparquet_ray.pipelines import encode_pipeline, verify_roundtrip
+    from fastparquet_ray.pipelines.flagship import sf_from_dir
+
+    sf = sf_from_dir(sf_dir)
+    paths = ensure_tokens_dataset(sf)  # cached across runs (deterministic)
+
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    queries: dict[str, float] = {}
+
+    # headline: streaming encode into a fresh dir
+    out = tempfile.mkdtemp(prefix="fpray_bench_")
+    t0 = time.time()
+    summary = encode_pipeline(paths, out, resume=False)
+    encode_sec = time.time() - t0
+    queries["encode"] = round(encode_sec, 3)
+
+    # decode + distributed bit-identical verify
+    t0 = time.time()
+    ver = verify_roundtrip(paths, out)
+    queries["decode_verify"] = round(time.time() - t0, 3)
+    assert ver["ok"], "roundtrip verification FAILED"
+
+    # salted skew shuffle variant (explicit all-to-all exchange)
+    out2 = tempfile.mkdtemp(prefix="fpray_bench_salted_")
+    t0 = time.time()
+    encode_pipeline(paths, out2, resume=False, partition_by_source=True)
+    queries["encode_salted"] = round(time.time() - t0, 3)
+
+    # auxiliary operator timings over the testdata tables
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ["groupby_agg", "dedup_exact", "token_count", "ann_topk"]:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # consume datasets so laziness doesn't hide work
+        try:
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                res.count()
+        except Exception:
+            pass
+        queries[name] = round(time.time() - t0, 3)
+
+    # token throughput numbers
+    import pyarrow.parquet as pq
+
+    total_tokens = 0
+    for p in paths:
+        t = pq.read_table(p, columns=["n_tok"])
+        total_tokens += int(
+            pq.read_table(p, columns=["n_tok"]).column("n_tok").to_numpy().sum()
+        )
+
+    raw = summary["raw_bytes"]
+    result = {
+        "metric": "tokens-encode wall time (read->stats->encode->write+manifest)",
+        "value": round(encode_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "rows": summary["rows"],
+        "partitions": summary["partitions"],
+        "raw_bytes": raw,
+        "enc_bytes": summary["enc_bytes"],
+        "compression_ratio": round(summary["ratio"], 4),
+        "encode_gbps": round(raw / encode_sec / 1e9, 4),
+        "tokens_per_sec": round(total_tokens / encode_sec, 1),
+        "verified": bool(ver["ok"]),
+    }
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out2, ignore_errors=True)
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    lo_cpus, hi_cpus = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    thr_lo = lo["raw_bytes"] / lo["value"]
+    thr_hi = hi["raw_bytes"] / hi["value"]
+    eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling efficiency (N=8 -> 4N=32 CPUs, fresh sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "gbps_8": round(thr_lo / 1e9, 4),
+        "gbps_32": round(thr_hi / 1e9, 4),
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -28,6 +28,8 @@ from .codecs import strcodec as sc
 from .codecs.fsst import train_fsst
 
 SAMPLE_ROWS_PER_FRAGMENT = 2000
+SAMPLE_ROWS_TOTAL = 12_000  # cap: plan cost must not scale with input
+SAMPLE_VALUES_CAP = 400_000  # per-column value cap for trial encodes
 INT_CANDIDATES = ("plain", "for_bp", "rle", "dict")
 
 
@@ -81,15 +83,21 @@ def _pick_int_codec(values: np.ndarray) -> tuple[str, dict]:
     """Trial-encode, pick smallest (deterministic)."""
     if values.size == 0:
         return "plain", {"n": 0}
-    best_name, best_len = "plain", len(ic.encode_plain_int(values))
+    if values.size > SAMPLE_VALUES_CAP:
+        values = values[:SAMPLE_VALUES_CAP]
+    # candidates in encode-speed order; a slower codec must beat the
+    # faster ones by >5% encoded size to be chosen (deterministic)
+    sizes: dict[str, int] = {"plain": len(ic.encode_plain_int(values))}
     for name in ("for_bp", "rle", "dict"):
         try:
-            ln = len(ic.INT_ENCODERS[name](values))
+            sizes[name] = len(ic.INT_ENCODERS[name](values))
         except ValueError:
             continue
-        if ln < best_len:
-            best_name, best_len = name, ln
-    return best_name, _int_stats(values)
+    best = min(sizes.values())
+    for name in ("plain", "for_bp", "rle", "dict"):
+        if name in sizes and sizes[name] <= best * 1.05:
+            return name, _int_stats(values)
+    return "plain", _int_stats(values)
 
 
 def _pick_str_codec(arr: pa.Array) -> tuple[dict, dict[str, bytes], dict]:
@@ -130,13 +138,18 @@ def _pick_str_codec(arr: pa.Array) -> tuple[dict, dict[str, bytes], dict]:
     return spec, {k: v for k, v in out_tables.items() if k in used}, stats
 
 
-def sample_fragments(paths: list[str], rows_per_fragment: int = SAMPLE_ROWS_PER_FRAGMENT) -> pa.Table:
+def sample_fragments(paths: list[str], rows_per_fragment: int | None = None) -> pa.Table:
     """Deterministic sample: head rows of every fragment (cheap, reads
-    only leading row groups). For true 100TB scale this becomes a Ray
-    map over fragments returning head slices; fragment count is the
-    parallelism either way."""
+    only leading row groups), capped so plan cost stays O(1) in input
+    size. For true 100TB scale this becomes a Ray map over fragments
+    returning head slices; fragment count is the parallelism either way."""
     import pyarrow.parquet as pq
 
+    if rows_per_fragment is None:
+        rows_per_fragment = min(
+            SAMPLE_ROWS_PER_FRAGMENT,
+            max(200, SAMPLE_ROWS_TOTAL // max(len(paths), 1)),
+        )
     parts = []
     for p in paths:
         f = pq.ParquetFile(p)
