@@ -147,22 +147,26 @@ def encode_rle_int(values: np.ndarray) -> bytes:
 
 
 def encode_dict_int(values: np.ndarray) -> bytes:
-    """np.unique table + RLE/bit-packed indices."""
+    """Hash-based dictionary (pyarrow dictionary_encode — first-
+    occurrence order, deterministic) + RLE/bit-packed indices."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     v = np.ascontiguousarray(values)
     head = _header(_C_DICT, v)
     if v.size == 0:
         return head
-    table, idx = np.unique(v, return_inverse=True)
-    w = bit_width(table.size - 1)
-    body = rle_encode(idx.astype(np.uint32), w)
-    tbytes = table.astype(table.dtype.newbyteorder("<")).tobytes()
-    return (
-        head
-        + encode_uvarint(table.size)
-        + bytes([w])
-        + tbytes
-        + body
+    denc = pc.dictionary_encode(pa.array(v))
+    table = denc.dictionary.to_numpy(zero_copy_only=False).astype(
+        v.dtype, copy=False
     )
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint32)
+    w = bit_width(table.size - 1)
+    body = rle_encode(idx, w)
+    tbytes = np.ascontiguousarray(
+        table.astype(table.dtype.newbyteorder("<"), copy=False)
+    ).tobytes()
+    return head + encode_uvarint(table.size) + bytes([w]) + tbytes + body
 
 
 def decode_any_int(buf: bytes) -> np.ndarray:

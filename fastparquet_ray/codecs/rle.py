@@ -13,13 +13,17 @@ read_rle_bit_packed_hybrid, RLE runs :22-50, bit-packed runs :127-167):
                                    LSB-first
 
 The reference *encoder* only ever emits a single bit-packed run
-(cencoding.pyx:272-282 encode_rle_bp); this encoder is a real chooser
-(RLE for runs >= _MIN_RLE_RUN, bit-packing between them), which is the
-engine's improvement — decoded output is what must match.
+(cencoding.pyx:272-282 encode_rle_bp); this encoder is a real chooser —
+decoded output is what must match.
 
-Vectorization strategy: run boundaries via np.diff; the Python loop is
-over *runs emitted* (RLE runs are >= 8 values each; consecutive short
-runs collapse into one bit-packed span), never over values.
+Encoder strategy (fully vectorized — run-heavy data like token streams
+would otherwise cost one Python call per run): values are viewed in
+Parquet's natural groups of 8; maximal stretches of uniform groups with
+one value become RLE runs (counts quantized to multiples of 8), all
+remaining groups are bit-packed in ONE pack_bits call, and the
+interleaved stream is assembled with ragged scatters. Mid-stream
+bit-packed runs therefore always hold a multiple of 8 values — the
+invariant the decoder requires (padding is only valid terminally).
 """
 
 from __future__ import annotations
@@ -31,90 +35,223 @@ from .varint import decode_uvarint, encode_uvarint
 
 __all__ = ["rle_encode", "rle_decode"]
 
-_MIN_RLE_RUN = 8  # shorter runs are cheaper bit-packed
+
+def _vec_varint(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized ULEB128: returns (bytes matrix (n,5), lengths)."""
+    a = arr.astype(np.uint64)
+    # varint length = ceil(bit_length / 7), min 1; bit_length via frexp
+    bl = np.frexp(a.astype(np.float64))[1]
+    lens = np.maximum((bl + 6) // 7, 1).astype(np.int64)
+    out = np.zeros((a.size, 5), dtype=np.uint8)
+    for k in range(5):
+        byte = ((a >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (k + 1 < lens).astype(np.uint8) * 0x80
+        out[:, k] = byte | cont
+    return out, lens
 
 
-def _rle_run(value: int, count: int, width: int) -> bytes:
-    nbytes = (width + 7) // 8  # 0 when width == 0
-    return encode_uvarint(count << 1) + int(value).to_bytes(nbytes, "little")
-
-
-def _bitpacked_run(values: np.ndarray, width: int) -> bytes:
-    n = values.size
-    groups = (n + 7) // 8
-    if n % 8:
-        values = np.concatenate(
-            [values, np.zeros(groups * 8 - n, dtype=values.dtype)]
-        )
-    return encode_uvarint((groups << 1) | 1) + pack_bits(values, width)
+def _scatter_ragged(
+    dst: np.ndarray,
+    dst_off: np.ndarray,
+    src: np.ndarray,
+    src_off: np.ndarray,
+    lengths: np.ndarray,
+) -> None:
+    """dst[dst_off[i]:+len[i]] = src[src_off[i]:+len[i]] for all i.
+    Index construction fused to two np.repeat + one arange."""
+    nz = lengths > 0
+    if not nz.any():
+        return
+    d0 = dst_off[nz].astype(np.int64)
+    s0 = src_off[nz].astype(np.int64)
+    ln = lengths[nz].astype(np.int64)
+    total = int(ln.sum())
+    cum = np.concatenate([[0], np.cumsum(ln)[:-1]])
+    ar = np.arange(total, dtype=np.int64)
+    dst[np.repeat(d0 - cum, ln) + ar] = src[np.repeat(s0 - cum, ln) + ar]
 
 
 def rle_encode(values: np.ndarray, width: int) -> bytes:
-    """Encode non-negative ints (< 2**width) into the hybrid stream."""
+    """Encode non-negative ints (< 2**width) into the hybrid stream.
+
+    Layout (parquet-cpp RleEncoder-equivalent, derived in closed form):
+    maximal equal runs of length >= 8 become RLE runs; each run's HEAD
+    is trimmed by pad = (gap to the previous run's end) % -8 so that
+    every literal (bit-packed) span between runs is a whole number of
+    8-value groups — run starts are aligned, run LENGTHS are arbitrary
+    (no end quantization, unlike a naive group-uniform scheme). All
+    candidates are accepted, so piece geometry is a pure array
+    computation; the stream is assembled with ragged scatters.
+    """
     v = np.ascontiguousarray(values, dtype=np.uint32)
     n = v.size
     if n == 0:
         return b""
     if width == 0:
-        # all values are 0: single RLE run
-        return _rle_run(0, n, 0)
-    # run-length segmentation
+        return encode_uvarint(n << 1)  # value occupies 0 bytes
+    nbytes_val = (width + 7) // 8
+
+    # maximal equal runs
     change = np.flatnonzero(v[1:] != v[:-1])
-    starts = np.concatenate([[0], change + 1])
+    starts = np.concatenate([[0], change + 1]).astype(np.int64)
     lengths = np.diff(np.concatenate([starts, [n]]))
-    rle_mask = lengths >= _MIN_RLE_RUN
-    out = []
-    pos = 0  # next value index not yet emitted
-    # Invariant: every bit-packed run except the terminal one holds a
-    # multiple of 8 values — the decoder consumes groups*8 values, so
-    # mid-stream padding would corrupt. When the preceding span isn't
-    # 8-aligned we steal the first (8 - span%8) values from the RLE run.
-    for s, ln in zip(starts[rle_mask], lengths[rle_mask]):
-        s = int(s)
-        ln = int(ln)
-        span = s - pos
-        pad = (-span) % 8
-        if pad:
-            if ln - pad < _MIN_RLE_RUN:
-                continue  # run too short once aligned: absorb into bitpack
-            out.append(_bitpacked_run(v[pos : s + pad], width))
-            out.append(_rle_run(int(v[s]), ln - pad, width))
-        else:
-            if span:
-                out.append(_bitpacked_run(v[pos:s], width))
-            out.append(_rle_run(int(v[s]), ln, width))
-        pos = s + ln
-    if pos < n:
-        out.append(_bitpacked_run(v[pos:], width))
-    return b"".join(out)
+    cand = lengths >= 8
+    s = starts[cand]
+    l = lengths[cand]
+    k = s.size
+
+    # closed-form piece geometry: prev candidate ends e, head pads
+    e = np.concatenate([[0], (s + l)[:-1]])  # previous run end
+    pad = (-(s - e)) % 8
+    rle_start = s + pad
+    rle_count = l - pad  # >= 1
+    bp_start = e  # literal span [e, rle_start)
+    bp_len = rle_start - bp_start  # multiple of 8
+    # terminal literal span
+    tail_start = int((s + l)[-1]) if k else 0
+    tail_len = n - tail_start
+
+    # piece stream: [bp_0][rle_0][bp_1][rle_1]...[bp_k(tail)]
+    # drop zero-length bp pieces
+    rle_vals = v[s] if k else np.empty(0, np.uint32)
+
+    # build interleaved arrays of (is_rle, count_or_groups, src_off)
+    bp_groups = bp_len // 8
+    kinds = np.empty(2 * k + 1, dtype=bool)
+    kinds[0::2] = False
+    kinds[1::2] = True
+    counts = np.empty(2 * k + 1, dtype=np.int64)
+    counts[0::2][:k] = bp_groups
+    counts[-1] = (tail_len + 7) // 8  # terminal groups (padded)
+    counts[1::2] = rle_count
+    srcs = np.empty(2 * k + 1, dtype=np.int64)
+    srcs[0::2][:k] = bp_start
+    srcs[-1] = tail_start
+    srcs[1::2] = rle_start
+    keep = counts > 0
+    kinds, counts, srcs = kinds[keep], counts[keep], srcs[keep]
+    n_pieces = kinds.size
+    if n_pieces == 0:
+        return b""
+
+    headers = np.where(kinds, counts << 1, (counts << 1) | 1)
+    hbytes, hlens = _vec_varint(headers)
+    body_lens = np.where(kinds, nbytes_val, counts * width).astype(np.int64)
+    piece_lens = hlens + body_lens
+    piece_off = np.concatenate([[0], np.cumsum(piece_lens)])
+    out = np.zeros(int(piece_off[-1]), dtype=np.uint8)
+
+    # headers
+    _scatter_ragged(
+        out,
+        piece_off[:-1],
+        hbytes.reshape(-1),
+        np.arange(n_pieces, dtype=np.int64) * 5,
+        hlens,
+    )
+    body_off = piece_off[:-1] + hlens
+
+    # RLE values (width bytes LE each)
+    rle_idx = np.flatnonzero(kinds)
+    if rle_idx.size:
+        vals32 = v[srcs[rle_idx]].astype("<u4")
+        vbytes = vals32.view(np.uint8).reshape(-1, 4)[:, :nbytes_val]
+        _scatter_ragged(
+            out,
+            body_off[rle_idx],
+            np.ascontiguousarray(vbytes).reshape(-1),
+            np.arange(rle_idx.size, dtype=np.int64) * nbytes_val,
+            np.full(rle_idx.size, nbytes_val, dtype=np.int64),
+        )
+
+    # literal spans: gather values -> one pack_bits -> scatter payloads
+    bp_idx = np.flatnonzero(~kinds)
+    if bp_idx.size:
+        nvals = counts[bp_idx] * 8
+        gather = np.zeros(int(nvals.sum()), dtype=np.uint32)
+        gath_off = np.concatenate([[0], np.cumsum(nvals)[:-1]])
+        # clip lengths at n for the (possibly padded) terminal span
+        real_lens = np.minimum(nvals, n - srcs[bp_idx])
+        _scatter_ragged(gather, gath_off, v, srcs[bp_idx], real_lens)
+        packed = np.frombuffer(pack_bits(gather, width), dtype=np.uint8)
+        bp_byte_lens = (counts[bp_idx] * width).astype(np.int64)
+        bp_src_off = np.concatenate([[0], np.cumsum(bp_byte_lens)[:-1]])
+        _scatter_ragged(out, body_off[bp_idx], packed, bp_src_off, bp_byte_lens)
+
+    return out.tobytes()
 
 
 def rle_decode(buf: bytes, width: int, count: int) -> np.ndarray:
-    """Decode ``count`` values from the hybrid stream. Returns uint32."""
-    out = np.empty(count, dtype=np.uint32)
+    """Decode ``count`` values from the hybrid stream. Returns uint32.
+
+    Two passes: a thin Python walk over run headers (no numpy work per
+    run), then ONE vectorized expansion — np.repeat for all RLE runs,
+    one unpack_bits over the gathered bit-packed payloads, ragged
+    scatters into the output. Run-heavy streams decode at array speed.
+    """
+    if count == 0:
+        return np.empty(0, dtype=np.uint32)
     raw = memoryview(buf)
+    nbytes = (width + 7) // 8
+    # pass 1: header walk
+    rle_vals: list[int] = []
+    rle_counts: list[int] = []
+    rle_dst: list[int] = []
+    bp_src: list[int] = []  # payload byte offset
+    bp_groups: list[int] = []
+    bp_dst: list[int] = []
     pos = 0
     filled = 0
-    nbytes = (width + 7) // 8
     while filled < count:
         header, pos = decode_uvarint(raw, pos)
-        if header & 1:  # bit-packed run
+        if header & 1:
             groups = header >> 1
-            nvals = groups * 8
-            nbuf = (nvals * width + 7) // 8
-            vals = unpack_bits(raw[pos : pos + nbuf], width, nvals)
-            pos += nbuf
-            take = min(nvals, count - filled)
-            out[filled : filled + take] = vals[:take]
-            filled += take
-        else:  # RLE run
+            bp_src.append(pos)
+            bp_groups.append(groups)
+            bp_dst.append(filled)
+            pos += groups * width  # groups*8 values * width bits / 8
+            filled += groups * 8
+        else:
             run = header >> 1
-            if width:
-                value = int.from_bytes(raw[pos : pos + nbytes], "little")
-                pos += nbytes
-            else:
-                value = 0
-            take = min(run, count - filled)
-            out[filled : filled + take] = value
-            filled += take
-    return out
+            value = int.from_bytes(raw[pos : pos + nbytes], "little")
+            pos += nbytes
+            rle_vals.append(value)
+            rle_counts.append(run)
+            rle_dst.append(filled)
+            filled += run
+    out = np.empty(max(filled, count), dtype=np.uint32)
+    # pass 2a: all RLE runs at once
+    if rle_vals:
+        vals = np.array(rle_vals, dtype=np.uint32)
+        cnts = np.array(rle_counts, dtype=np.int64)
+        dsts = np.array(rle_dst, dtype=np.int64)
+        total = int(cnts.sum())
+        expanded = np.repeat(vals, cnts)
+        uid = np.repeat(np.arange(cnts.size), cnts)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnts)[:-1]]), cnts
+        )
+        out[dsts[uid] + within] = expanded
+    # pass 2b: all bit-packed runs in one unpack
+    if bp_src:
+        srcs = np.array(bp_src, dtype=np.int64)
+        grps = np.array(bp_groups, dtype=np.int64)
+        dsts = np.array(bp_dst, dtype=np.int64)
+        blens = grps * width
+        payload = np.empty(int(blens.sum()), dtype=np.uint8)
+        rawnp = np.frombuffer(buf, dtype=np.uint8)
+        _scatter_ragged(
+            payload,
+            np.concatenate([[0], np.cumsum(blens)[:-1]]),
+            rawnp,
+            srcs,
+            blens,
+        )
+        vals = unpack_bits(payload, width, int(grps.sum()) * 8)
+        vcnt = grps * 8
+        uid = np.repeat(np.arange(vcnt.size), vcnt)
+        within = np.arange(int(vcnt.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(vcnt)[:-1]]), vcnt
+        )
+        out[dsts[uid] + within] = vals
+    return out[:count]

@@ -40,21 +40,30 @@ def dedup_exact(sf_dir: str):
 
 
 def _word_shingles(texts: list[str], k: int = 3) -> list[np.ndarray]:
-    """Per text: uint64 hashes of word k-shingles (deterministic FNV)."""
-    out = []
+    """Per text: uint64 hashes of word k-shingles. Shingle hashing is
+    vectorized (pandas hash_array, stable across processes); only the
+    shingle-string construction is per doc."""
+    all_shingles: list[str] = []
+    counts: list[int] = []
     for t in texts:
         words = t.split()
         if len(words) < k:
-            shingles = [" ".join(words)] if words else []
+            sh = [" ".join(words)] if words else []
         else:
-            shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-        hs = np.empty(len(shingles), dtype=np.uint64)
-        for i, s in enumerate(shingles):
-            h = np.uint64(14695981039346656037)
-            for b in s.encode():
-                h = (h ^ np.uint64(b)) * _PRIME
-            hs[i] = h
-        out.append(np.unique(hs))
+            sh = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        all_shingles.extend(sh)
+        counts.append(len(sh))
+    if all_shingles:
+        hs = pd.util.hash_array(
+            np.array(all_shingles, dtype=object)
+        ).astype(np.uint64)
+    else:
+        hs = np.empty(0, dtype=np.uint64)
+    out = []
+    pos = 0
+    for c in counts:
+        out.append(np.unique(hs[pos : pos + c]))
+        pos += c
     return out
 
 

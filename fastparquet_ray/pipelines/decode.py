@@ -38,15 +38,14 @@ def decode_dataset(
     if not paths:
         raise FileNotFoundError(f"no shards under {out_dir}")
     ds = ray.data.read_binary_files(paths)
-    tables_ref = ray.put(tables)
-    if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, min(ncpu - 2, 30))
+    # symbol tables are KBs: ship them in the task closure and decode
+    # with STATELESS tasks on the warm worker pool — no actor-pool
+    # spin-up cost. (The encode side stays an actor pool: it holds the
+    # deserialized encoder state and writes shards.)
+    decoder = DecodeShard(tables=tables, columns=columns)
     return ds.map_batches(
-        DecodeShard,
-        fn_constructor_kwargs={"tables": tables_ref, "columns": columns},
+        decoder.__call__,
         batch_format="pyarrow",
         batch_size=1,  # one shard blob per decode call
         concurrency=concurrency,
-        num_cpus=1,
     )

@@ -101,10 +101,15 @@ def encode_pipeline(
     finished = manifest.finished_ids() if resume else set()
     finished_ref = ray.put(finished) if finished else None
     if concurrency is None:
-        # leave CPUs for the read (and shuffle) stages — a pool that
-        # reserves every CPU starves upstream stages and deadlocks
+        # fixed pool reserving ~3/4 of the session's CPUs; the rest go
+        # to the read (and shuffle) stages. The read share must SCALE
+        # with the session (a constant 2-CPU remainder makes the read
+        # stage a data-proportional serial term and caps scaling);
+        # a pool that reserves every CPU starves upstream and
+        # deadlocks; an autoscaling (1, n) pool measured ~2x slower
+        # (scales up too late).
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, min(ncpu - 2, 30))
+        concurrency = max(2, ncpu - max(2, ncpu // 4))
 
     ds = ray.data.read_parquet(paths)
     if partition_by_source:
