@@ -38,6 +38,23 @@ from .codecs.fsst import FsstTable, train_fsst
 
 MAGIC = b"FPRS1"
 
+
+# ---------------------------------------------------------------------------
+# outer block compression (reference analog: the cramjam codec registry,
+# /root/reference/fastparquet/compression.py:8-110 — UNCOMPRESSED/GZIP/
+# SNAPPY/.../ZSTD applied per page after the lightweight encoding). Here
+# applied per encoded column buffer; pyarrow provides the codecs.
+
+
+def _outer_compress(buf: bytes, codec: str, level: int | None) -> bytes:
+    c = pa.Codec(codec, compression_level=level)
+    return c.compress(buf, asbytes=True)
+
+
+def _outer_decompress(buf: bytes, codec: str, orig_len: int) -> bytes:
+    c = pa.Codec(codec)
+    return c.decompress(buf, decompressed_size=orig_len, asbytes=True)
+
 # ---------------------------------------------------------------------------
 # type normalization
 
@@ -111,9 +128,15 @@ class ShardEncoder:
     Missing columns/specs use per-shard auto-selection.
     """
 
-    def __init__(self, plan: dict | None = None, tables: dict[str, bytes] | None = None):
+    def __init__(
+        self,
+        plan: dict | None = None,
+        tables: dict[str, bytes] | None = None,
+        outer: tuple[str, int | None] | None = None,
+    ):
         self.plan = plan or {}
         self.tables = tables or {}
+        self.outer = outer  # e.g. ("zstd", 3) — block codec over buffers
         self._fsst_cache: dict[str, FsstTable] = {}
         self._dict_cache: dict[str, list[bytes]] = {}
 
@@ -227,6 +250,16 @@ class ShardEncoder:
             raw += col.nbytes
             spec = self.plan.get(name)
             bufs, info = self._encode_column(arr, spec)
+            if self.outer is not None:
+                codec, level = self.outer
+                orig_sizes = info["sizes"]
+                bodies = [
+                    _outer_compress(b, codec, level) for b in bufs[1:]
+                ]
+                bufs = [bufs[0]] + bodies
+                info["outer"] = [codec, level]
+                info["outer_sizes"] = orig_sizes
+                info["sizes"] = [len(b) for b in bodies]
             info["name"] = name
             info["offset"] = sum(len(b) for b in buffers)
             info["length"] = sum(len(b) for b in bufs)
@@ -284,13 +317,21 @@ def decode_table(
         t = field.type
         if pa.types.is_dictionary(t):
             t = t.value_type
+        bodies: list[bytes] = []
+        p = pos
+        for i, sz in enumerate(info["sizes"]):
+            b = blob[p : p + sz]
+            p += sz
+            if "outer" in info:
+                b = _outer_decompress(
+                    b, info["outer"][0], info["outer_sizes"][i]
+                )
+            bodies.append(b)
         if kind == "str":
-            body = blob[pos : pos + info["sizes"][0]]
-            lengths, data = sc.decode_any_str(body, tables)
+            lengths, data = sc.decode_any_str(bodies[0], tables)
             arr = sc.bufs_to_arrow(lengths, data)
         elif kind == "list":
-            lb = blob[pos : pos + info["sizes"][0]]
-            vb = blob[pos + info["sizes"][0] : pos + info["sizes"][0] + info["sizes"][1]]
+            lb, vb = bodies[0], bodies[1]
             lengths = ic.decode_any_int(lb).astype(np.int64)
             if "float_values" in info:
                 values = np.frombuffer(vb, dtype=info["float_values"], offset=1)
@@ -304,12 +345,10 @@ def decode_table(
                 pa.array(offsets, pa.int32()), varr
             )
         elif kind == "float":
-            body = blob[pos : pos + info["sizes"][0]]
-            values = np.frombuffer(body, dtype=info["float_dtype"])
+            values = np.frombuffer(bodies[0], dtype=info["float_dtype"])
             arr = pa.array(values, type=t)
         else:
-            body = blob[pos : pos + info["sizes"][0]]
-            vals = ic.decode_any_int(body)
+            vals = ic.decode_any_int(bodies[0])
             if pa.types.is_boolean(t):
                 arr = pa.array(vals.astype(bool), type=t)
             else:

@@ -76,6 +76,7 @@ def encode_pipeline(
     concurrency: Any = None,
     partition_by_source: bool = False,
     key_column: str = "doc_id",
+    outer: str | None = None,
 ) -> dict:
     """Run the encode job; returns summary metrics (rows, bytes, ratio,
     partitions encoded vs skipped)."""
@@ -94,9 +95,12 @@ def encode_pipeline(
             plan = manifest.load_plan()
         else:
             plan = make_plan(paths)
-            manifest.write_plan(plan)
-    else:
-        manifest.write_plan(plan)
+    if outer is not None:
+        # "zstd" or "zstd:5" — outer block codec over encoded buffers
+        # (reference analog: compression.py codec registry, E18)
+        name, _, lvl = outer.partition(":")
+        plan.outer = (name, int(lvl) if lvl else None)
+    manifest.write_plan(plan)
 
     finished = manifest.finished_ids() if resume else set()
     finished_ref = ray.put(finished) if finished else None
@@ -109,9 +113,15 @@ def encode_pipeline(
         # deadlocks; an autoscaling (1, n) pool measured ~2x slower
         # (scales up too late).
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, ncpu - max(2, ncpu // 4))
+        concurrency = max(2, ncpu - max(1, ncpu // 4))
 
-    ds = ray.data.read_parquet(paths)
+    # cap read parallelism: parquet decode is memory-bandwidth-bound and
+    # measured to ANTI-scale past ~8 concurrent readers on one node
+    # (0.38 GB/s @8 tasks -> 0.19 @32); on a multi-node cluster the cap
+    # is per-node ~8 readers, which this mirrors
+    ncpu_total = int(ray.cluster_resources().get("CPU", 4))
+    read_conc = max(2, min(8, ncpu_total // 4))
+    ds = ray.data.read_parquet(paths, concurrency=read_conc)
     if partition_by_source:
         ds = salted_shuffle(ds, plan)
 

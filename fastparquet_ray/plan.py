@@ -40,6 +40,7 @@ class CodecPlan:
     specs: dict = field(default_factory=dict)  # column -> spec dict
     tables: dict = field(default_factory=dict)  # hash -> serialized bytes
     stats: dict = field(default_factory=dict)  # column -> sampled stats
+    outer: tuple | None = None  # ("zstd", level) block codec, or None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -49,18 +50,21 @@ class CodecPlan:
                     k: base64.b64encode(v).decode() for k, v in self.tables.items()
                 },
                 "stats": self.stats,
+                "outer": list(self.outer) if self.outer else None,
             }
         )
 
     @classmethod
     def from_json(cls, s: str) -> "CodecPlan":
         d = json.loads(s)
+        outer = d.get("outer")
         return cls(
             specs=d["specs"],
             tables={
                 k: base64.b64decode(v) for k, v in d["tables"].items()
             },
             stats=d.get("stats", {}),
+            outer=tuple(outer) if outer else None,
         )
 
 

@@ -49,7 +49,7 @@ class EncodeShard:
         import ray
 
         plan = CodecPlan.from_json(plan_json)
-        self.encoder = ShardEncoder(plan.specs, plan.tables)
+        self.encoder = ShardEncoder(plan.specs, plan.tables, outer=plan.outer)
         self.out_dir = out_dir
         self.key_column = key_column
         self.split_by = split_by
