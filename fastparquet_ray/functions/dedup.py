@@ -176,30 +176,34 @@ def minhash_lsh_pairs(
 
 
 class SimHasher:
-    """64-bit SimHash over word-unigram hashes (deterministic)."""
+    """64-bit SimHash over word-unigram hashes, vectorized across the
+    whole batch: one hash_array over all words, per-doc bit votes via
+    np.add.reduceat (no per-word Python loop)."""
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].tolist()
+        word_lists = [t.split() for t in texts]
+        counts = np.array([len(w) for w in word_lists], dtype=np.int64)
+        all_words = [w for ws in word_lists for w in ws]
         out = np.zeros(len(df), dtype=np.uint64)
-        for i, text in enumerate(df["text"].tolist()):
-            words = text.split()
-            if not words:
-                continue
-            hs = np.empty(len(words), dtype=np.uint64)
-            for j, w in enumerate(words):
-                h = np.uint64(14695981039346656037)
-                for bch in w.encode():
-                    h = (h ^ np.uint64(bch)) * _PRIME
-                hs[j] = h
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = bits.sum(axis=0) * 2 - len(words)
-            sim = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    sim |= np.uint64(1) << np.uint64(b)
-            out[i] = sim
-        return pd.DataFrame({"doc_id": df["doc_id"], "simhash": out.astype("uint64")})
+        if all_words:
+            hs = pd.util.hash_array(
+                np.array(all_words, dtype=object)
+            ).astype(np.uint64)
+            # (n_words, 64) bit matrix -> per-doc sums via reduceat
+            bits = (
+                (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.int64)
+            nz = counts > 0
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            sums = np.add.reduceat(bits, starts[nz], axis=0)
+            votes = sums * 2 - counts[nz][:, None]
+            simbits = (votes > 0).astype(np.uint64)
+            weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            out[nz] = (simbits * weights).sum(axis=1, dtype=np.uint64)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "simhash": out.astype("uint64")}
+        )
 
 
 def simhash(sf_dir: str):

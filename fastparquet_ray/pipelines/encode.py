@@ -77,6 +77,7 @@ def encode_pipeline(
     partition_by_source: bool = False,
     key_column: str = "doc_id",
     outer: str | None = None,
+    column_codecs: dict | None = None,
 ) -> dict:
     """Run the encode job; returns summary metrics (rows, bytes, ratio,
     partitions encoded vs skipped)."""
@@ -100,6 +101,10 @@ def encode_pipeline(
         # (reference analog: compression.py codec registry, E18)
         name, _, lvl = outer.partition(":")
         plan.outer = (name, int(lvl) if lvl else None)
+    if column_codecs:
+        # per-column user override, reference analog: the per-column
+        # compression dict incl. '_default' (writer.py:829-860)
+        plan.specs.update(column_codecs)
     manifest.write_plan(plan)
 
     finished = manifest.finished_ids() if resume else set()

@@ -1,0 +1,100 @@
+"""Interop sink + dataset maintenance:
+
+- export_parquet: decoded shards -> Parquet dataset via
+  ds.write_parquet, optionally hive-partitioned by columns (reference
+  S5: write(..., partition_on=[...]), writer.py:1066-1105). Output is
+  readable by pyarrow/DuckDB — the cross-engine conformance surface
+  (SURVEY.md §5 layer 3).
+- shard_statistics: per-column min/max/null stats from shard headers,
+  no data read (reference A2: statistics(pf), api.py:822-902 reads
+  thrift Statistics; ours live in the shard header JSON).
+- merge_manifests: consolidate several encoded dirs into one manifest
+  view (reference S8: merge()/metadata_from_many, writer.py:1156-1193,
+  util.py:115-213).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pandas as pd
+
+from ..container import read_header
+from ..state.manifest import Manifest
+from .decode import decode_dataset, shard_files
+
+
+def export_parquet(
+    enc_dir: str,
+    out_dir: str,
+    columns: list[str] | None = None,
+    partition_cols: list[str] | None = None,
+) -> str:
+    """Write the decoded dataset as a Parquet directory (streaming;
+    one file per block, hive dirs when partition_cols given)."""
+    ds = decode_dataset(enc_dir, columns=columns)
+    if partition_cols:
+        ds.write_parquet(out_dir, partition_cols=partition_cols)
+    else:
+        ds.write_parquet(out_dir)
+    return out_dir
+
+
+def shard_statistics(enc_dir: str) -> pd.DataFrame:
+    """Per-shard, per-column stats from headers only (cheap metadata
+    scan — the reference reads footer Statistics the same way)."""
+    rows = []
+    for path in shard_files(enc_dir):
+        with open(path, "rb") as f:
+            hdr = read_header(f.read(256 * 1024))
+        for c in hdr["columns"]:
+            rows.append(
+                {
+                    "shard": os.path.basename(path),
+                    "column": c["name"],
+                    "kind": c["kind"],
+                    "null_count": c.get("null_count", 0),
+                    "min": c.get("min"),
+                    "max": c.get("max"),
+                    "enc_bytes": c["length"],
+                    "rows": hdr["num_rows"],
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def sorted_partitioned_columns(enc_dir: str) -> pd.DataFrame:
+    """Columns whose per-shard [min, max] ranges do not overlap across
+    shards — i.e. globally range-partitioned (reference A4:
+    sorted_partitioned_columns, api.py:905-945)."""
+    stats = shard_statistics(enc_dir)
+    out = []
+    for col, g in stats.dropna(subset=["min", "max"]).groupby("column"):
+        g = g.sort_values("min")
+        ok = bool(
+            (g["max"].to_numpy()[:-1] <= g["min"].to_numpy()[1:]).all()
+        )
+        out.append({"column": col, "range_partitioned": ok})
+    return pd.DataFrame(out)
+
+
+def merge_manifests(enc_dirs: list[str], out_path: str) -> dict:
+    """Concatenate the manifests of several encoded dirs into one
+    consolidated JSONL (shard paths rewritten relative to their dir),
+    returning summary totals."""
+    total = {"partitions": 0, "rows": 0, "raw_bytes": 0, "enc_bytes": 0}
+    with open(out_path + ".tmp", "w") as f:
+        for d in enc_dirs:
+            m = Manifest(d)
+            for pid, rec in sorted(m.load_records().items()):
+                rec = dict(rec)
+                rec["shard"] = os.path.join(d, rec["shard"])
+                f.write(json.dumps(rec, separators=(",", ":")) + "\n")
+                total["partitions"] += 1
+                total["rows"] += rec.get("rows", 0)
+                total["raw_bytes"] += rec.get("raw_bytes", 0)
+                total["enc_bytes"] += rec.get("enc_bytes", 0)
+    os.replace(out_path + ".tmp", out_path)
+    return total

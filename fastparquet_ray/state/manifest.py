@@ -59,14 +59,46 @@ class Manifest:
         return out
 
     def finished_ids(self) -> set[str]:
-        """Partitions whose shard file actually exists on disk."""
+        """Partitions proven complete: manifest record with the shard
+        on disk, PLUS any valid orphan shard (written atomically by a
+        run that was killed before the driver appended its manifest
+        line — shards are content-addressed and self-certifying, so
+        mid-run kills lose no finished work)."""
         done = set()
         for pid, rec in self.load_records().items():
             if rec.get("status") in ("encoded", "skipped") and os.path.exists(
                 os.path.join(self.out_dir, rec["shard"])
             ):
                 done.add(pid)
+        done |= self.valid_shard_ids()
         return done
+
+    def valid_shard_ids(self) -> set[str]:
+        """Scan shard files and validate completeness (magic + header
+        parse + exact file length). Atomic rename means a present,
+        length-consistent shard is complete."""
+        import glob
+
+        from ..container import MAGIC, read_header
+
+        out = set()
+        for path in glob.glob(os.path.join(self.out_dir, "shard-*.fprs")):
+            try:
+                with open(path, "rb") as f:
+                    head = f.read(256 * 1024)
+                if head[:5] != MAGIC:
+                    continue
+                hlen = int.from_bytes(head[5:9], "little")
+                if hlen > len(head) - 9:
+                    with open(path, "rb") as f:
+                        head = f.read(9 + hlen)
+                hdr = read_header(head)
+                expect = 9 + hlen + hdr["enc_bytes"]
+                if os.path.getsize(path) == expect and hdr.get("partition_id"):
+                    out.add(hdr["partition_id"])
+            except Exception:
+                continue
+        return out
 
     def append(self, records: list[dict]) -> None:
         with open(self.path, "a") as f:
