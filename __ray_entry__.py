@@ -56,7 +56,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_groupby_source": flagship.tokens_groupby_source,
         "tokens_checksum": flagship.tokens_checksum,
         "tokens_roundtrip": flagship.tokens_roundtrip_summary,
+        "tokens_export_parquet": flagship.tokens_export_roundtrip,
         "codec_plan": flagship.codec_plan_report,
+        "shard_stats": flagship.shard_stats_report,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
@@ -144,6 +146,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(sum(tok) AS BIGINT) AS token_sum, "
             "count(tok) AS token_cnt FROM (SELECT unnest(tokens) AS tok "
             f"FROM read_parquet('{_TOKENS_GLOB}'))"
+        ),
+        "tokens_export_parquet": (
+            "SELECT source, count(*) AS n, "
+            "CAST(sum(n_tok) AS BIGINT) AS sum_tok "
+            f"FROM read_parquet('{_TOKENS_GLOB}') GROUP BY source"
         ),
         "dedup_exact": (
             "SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id, "

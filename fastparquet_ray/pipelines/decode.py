@@ -37,15 +37,13 @@ def decode_dataset(
     paths = shard_files(out_dir)
     if not paths:
         raise FileNotFoundError(f"no shards under {out_dir}")
-    ds = ray.data.read_binary_files(paths)
-    # symbol tables are KBs: ship them in the task closure and decode
-    # with STATELESS tasks on the warm worker pool — no actor-pool
-    # spin-up cost. (The encode side stays an actor pool: it holds the
-    # deserialized encoder state and writes shards.)
-    decoder = DecodeShard(tables=tables, columns=columns)
-    return ds.map_batches(
-        decoder.__call__,
-        batch_format="pyarrow",
-        batch_size=1,  # one shard blob per decode call
-        concurrency=concurrency,
+    # native datasource: decode happens inside stateless read tasks on
+    # the warm worker pool (symbol tables are KBs, shipped once with
+    # the serialized datasource) — no actor-pool spin-up cost. (The
+    # encode side stays an actor pool: it holds encoder state and
+    # writes shards.)
+    from ..sources.fprs import read_fprs
+
+    return read_fprs(
+        paths, tables=tables, columns=columns, concurrency=concurrency
     )

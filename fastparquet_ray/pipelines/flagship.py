@@ -109,6 +109,48 @@ def tokens_roundtrip_summary(sf_dir: str):
     )
 
 
+def tokens_export_roundtrip(sf_dir: str):
+    """Encoded shards -> decode -> OUR Parquet sink -> read back with
+    Ray -> per-source aggregates. The oracle reads the ORIGINAL
+    parquet, so equality proves encode -> decode -> parquet-export is
+    lossless AND the exported files are standard Parquet."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from .export import export_parquet
+
+    sf = sf_from_dir(sf_dir)
+    _, enc = ensure_encoded(sf_dir)
+    out_dir = os.path.join(TOKENS_BASE, f"sf{sf:g}_export_pq")
+    if not os.path.isdir(out_dir) or not os.listdir(out_dir):
+        export_parquet(enc, out_dir, columns=["doc_id", "n_tok", "source"])
+    ds = ray.data.read_parquet(out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("source", as_index=False).agg(
+            n=("n_tok", "size"), sum_tok=("n_tok", "sum")
+        )
+        g["sum_tok"] = g["sum_tok"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("source").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_tok", alias_name="sum_tok")
+    )
+
+
+def shard_stats_report(sf_dir: str):
+    """Per-shard per-column statistics from shard headers only
+    (reference A2 statistics(); rows-only)."""
+    from .export import shard_statistics
+
+    ensure_encoded(sf_dir)
+    sf = sf_from_dir(sf_dir)
+    df = shard_statistics(encoded_dir_for(sf))
+    return df.sort_values(["shard", "column"]).reset_index(drop=True)
+
+
 def codec_plan_report(sf_dir: str):
     """The auto-selected codec per column (reference analog: per-column
     compression dict, writer.py:829-860) — rows-only."""
