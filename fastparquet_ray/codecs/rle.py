@@ -193,50 +193,48 @@ def rle_decode(buf: bytes, width: int, count: int) -> np.ndarray:
         return np.empty(0, dtype=np.uint32)
     raw = memoryview(buf)
     nbytes = (width + 7) // 8
-    # pass 1: header walk
-    rle_vals: list[int] = []
-    rle_counts: list[int] = []
-    rle_dst: list[int] = []
-    bp_src: list[int] = []  # payload byte offset
-    bp_groups: list[int] = []
-    bp_dst: list[int] = []
+    # pass 1: thin header walk, stream order preserved
+    kinds: list[bool] = []  # True = RLE
+    a_vals: list[int] = []  # RLE value | payload byte offset
+    b_vals: list[int] = []  # RLE count | bp group count
     pos = 0
     filled = 0
     while filled < count:
         header, pos = decode_uvarint(raw, pos)
         if header & 1:
             groups = header >> 1
-            bp_src.append(pos)
-            bp_groups.append(groups)
-            bp_dst.append(filled)
+            kinds.append(False)
+            a_vals.append(pos)
+            b_vals.append(groups)
             pos += groups * width  # groups*8 values * width bits / 8
             filled += groups * 8
         else:
             run = header >> 1
             value = int.from_bytes(raw[pos : pos + nbytes], "little")
             pos += nbytes
-            rle_vals.append(value)
-            rle_counts.append(run)
-            rle_dst.append(filled)
+            kinds.append(True)
+            a_vals.append(value)
+            b_vals.append(run)
             filled += run
-    out = np.empty(max(filled, count), dtype=np.uint32)
-    # pass 2a: all RLE runs at once
-    if rle_vals:
-        vals = np.array(rle_vals, dtype=np.uint32)
-        cnts = np.array(rle_counts, dtype=np.int64)
-        dsts = np.array(rle_dst, dtype=np.int64)
-        total = int(cnts.sum())
-        expanded = np.repeat(vals, cnts)
-        uid = np.repeat(np.arange(cnts.size), cnts)
-        within = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(cnts)[:-1]]), cnts
-        )
-        out[dsts[uid] + within] = expanded
-    # pass 2b: all bit-packed runs in one unpack
-    if bp_src:
-        srcs = np.array(bp_src, dtype=np.int64)
-        grps = np.array(bp_groups, dtype=np.int64)
-        dsts = np.array(bp_dst, dtype=np.int64)
+    # pass 2: build ONE stream-ordered (value, count) sequence and
+    # expand with a single np.repeat — each RLE run is one seq slot
+    # with its count; each bp value is one slot with count 1.
+    kind_arr = np.array(kinds, dtype=bool)
+    a_arr = np.array(a_vals, dtype=np.int64)
+    b_arr = np.array(b_vals, dtype=np.int64)
+    slots = np.where(kind_arr, 1, b_arr * 8)  # seq slots per piece
+    seq_start = np.concatenate([[0], np.cumsum(slots)[:-1]])
+    seq_len = int(slots.sum())
+    seq_vals = np.empty(seq_len, dtype=np.uint32)
+    seq_counts = np.ones(seq_len, dtype=np.int64)
+    rle_m = kind_arr
+    if rle_m.any():
+        seq_vals[seq_start[rle_m]] = a_arr[rle_m].astype(np.uint32)
+        seq_counts[seq_start[rle_m]] = b_arr[rle_m]
+    bp_m = ~kind_arr
+    if bp_m.any():
+        srcs = a_arr[bp_m]
+        grps = b_arr[bp_m]
         blens = grps * width
         payload = np.empty(int(blens.sum()), dtype=np.uint8)
         rawnp = np.frombuffer(buf, dtype=np.uint8)
@@ -248,10 +246,13 @@ def rle_decode(buf: bytes, width: int, count: int) -> np.ndarray:
             blens,
         )
         vals = unpack_bits(payload, width, int(grps.sum()) * 8)
-        vcnt = grps * 8
-        uid = np.repeat(np.arange(vcnt.size), vcnt)
-        within = np.arange(int(vcnt.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(vcnt)[:-1]]), vcnt
+        # bp values land in contiguous seq blocks, in stream order
+        _scatter_ragged(
+            seq_vals,
+            seq_start[bp_m],
+            vals,
+            np.concatenate([[0], np.cumsum(grps * 8)[:-1]]),
+            grps * 8,
         )
-        out[dsts[uid] + within] = vals
+    out = np.repeat(seq_vals, seq_counts)
     return out[:count]
