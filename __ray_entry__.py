@@ -32,7 +32,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from fastparquet_ray.functions import dedup, multimodal, relational, similarity, textops
+    from fastparquet_ray.functions import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        textops,
+        windows,
+    )
     from fastparquet_ray.pipelines import flagship
 
     return {
@@ -52,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dtype_convert_time": relational.dtype_convert_time,
         "join_broadcast": relational.join_broadcast,
         "sorted_detect": relational.sorted_detect,
+        "windowed_agg": windows.windowed_agg,
+        "asof_join": windows.asof_join,
+        "range_join": windows.range_join,
         # --- flagship encode engine (tokens table) ---
         "tokens_groupby_source": flagship.tokens_groupby_source,
         "tokens_checksum": flagship.tokens_checksum,
@@ -134,6 +144,26 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(o_totalprice), 3) AS total "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        "windowed_agg": (
+            "SELECT event_type, date_trunc('hour', ts) AS win, "
+            "count(*) AS n, ROUND(sum(value), 3) AS total "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts)"
+        ),
+        "asof_join": (
+            "SELECT a.event_id, a.user_id, b.event_id AS view_event_id, "
+            "ROUND(epoch(a.ts - b.ts), 6) AS gap_seconds "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') a "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') b "
+            "ON a.user_id = b.user_id AND a.ts > b.ts"
+        ),
+        "range_join": (
+            "SELECT a.event_id, a.user_id, "
+            "CAST(count(b.event_id) AS BIGINT) AS preceding_5min "
+            "FROM (SELECT * FROM events WHERE event_type = 'error') a "
+            "LEFT JOIN events b ON a.user_id = b.user_id "
+            "AND b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts < a.ts "
+            "GROUP BY a.event_id, a.user_id"
         ),
         # flagship: oracle reads the ORIGINAL parquet; the Ray side
         # answers from decoded shards -> equality proves the roundtrip

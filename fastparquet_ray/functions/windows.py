@@ -1,0 +1,143 @@
+"""Stream-shaped operators over the events table: tumbling-window
+aggregation and as-of join — custom operators Ray Data lacks natively,
+built per the documented composition rules (ray_guide 'streaming-shaped
+workloads'): windows = truncate-timestamp + partial aggregate +
+groupby; as-of join = per-key sort + pandas merge_asof inside
+map_groups.
+
+Partitioning assumptions (documented per the build brief):
+- windowed_agg: none — window key is computed per row, aggregation is
+  a partial-then-final groupby on (event_type, window).
+- asof_join: co-location by user_id via groupby(user_id); within a
+  group, events are sorted by ts before merge_asof. At 100 TB the
+  groupby is the one all-to-all exchange; skewed users would be salted
+  by coarse time range (each salt bucket overlaps one window of the
+  build side).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=columns
+    )
+
+
+def windowed_agg(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + value sum.
+    Pre-aggregated per batch before the (event_type, window) groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        win = df["ts"].dt.floor("h")
+        g = (
+            pd.DataFrame(
+                {"event_type": df["event_type"], "win": win, "value": df["value"]}
+            )
+            .groupby(["event_type", "win"], as_index=False)
+            .agg(n=("value", "size"), total=("value", "sum"))
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    out = parts.groupby(["event_type", "win"]).aggregate(
+        Sum("n", alias_name="n"), Sum("total", alias_name="total_raw")
+    )
+    df = out.to_pandas()
+    df["total"] = df["total_raw"].round(3)
+    return df[["event_type", "win", "n", "total"]]
+
+
+def asof_join(sf_dir: str):
+    """As-of join: for every 'click' event, the most recent strictly
+    earlier 'view' event of the same user. groupby(user_id) co-locates
+    each user's events; merge_asof runs per group on ts-sorted frames.
+    Returns (event_id, user_id, view_event_id, gap_seconds)."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        views = g[g["event_type"] == "view"].sort_values("ts")
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "view_event_id": pd.Series([], dtype="int64"),
+                "gap_seconds": pd.Series([], dtype="float64"),
+            }
+        )
+        if clicks.empty or views.empty:
+            return empty
+        m = pd.merge_asof(
+            clicks,
+            views[["event_id", "ts"]].rename(
+                columns={"event_id": "view_event_id", "ts": "view_ts"}
+            ),
+            left_on="ts",
+            right_on="view_ts",
+            allow_exact_matches=False,  # strictly earlier
+            direction="backward",
+        )
+        m = m.dropna(subset=["view_event_id"])
+        if m.empty:
+            return empty
+        gap = (m["ts"] - m["view_ts"]).dt.total_seconds()
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "view_event_id": m["view_event_id"].astype("int64"),
+                "gap_seconds": gap.round(6),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    df = out.to_pandas()
+    if df.empty:
+        return per_user(pd.DataFrame({"event_type": [], "event_id": [],
+                                      "user_id": [], "ts": []}))
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def range_join(sf_dir: str):
+    """Range (band) join: pair each 'error' event with the count of
+    events of the same user within the preceding 5 minutes. Composition:
+    groupby(user_id) -> per-group sorted searchsorted (vectorized) —
+    no pairwise blowup."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").reset_index(drop=True)
+        errors = g[g["event_type"] == "error"]
+        if errors.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "preceding_5min": pd.Series([], dtype="int64"),
+                }
+            )
+        ts = g["ts"].to_numpy()
+        lo = np.searchsorted(ts, errors["ts"].to_numpy() - np.timedelta64(300, "s"), side="left")
+        hi = np.searchsorted(ts, errors["ts"].to_numpy(), side="left")
+        return pd.DataFrame(
+            {
+                "event_id": errors["event_id"].astype("int64").to_numpy(),
+                "user_id": errors["user_id"].astype("int64").to_numpy(),
+                "preceding_5min": (hi - lo).astype("int64"),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return out
