@@ -62,9 +62,9 @@ def salted_shuffle(ds, plan: CodecPlan, total_buckets: int = 32):
     def regroup(group: pa.Table) -> pa.Table:
         return group
 
-    return ds.groupby(["source", "__salt__"]).map_groups(
-        regroup, batch_format="pyarrow"
-    )
+    # single int key (encodes source + salt) keeps the sort-based
+    # shuffle comparison cheap
+    return ds.groupby("__salt__").map_groups(regroup, batch_format="pyarrow")
 
 
 def encode_pipeline(
@@ -137,7 +137,7 @@ def encode_pipeline(
             "out_dir": out_dir,
             "finished": finished_ref,
             "key_column": key_column,
-            "split_by": ["source", "__salt__"] if partition_by_source else None,
+            "split_by": ["__salt__"] if partition_by_source else None,
         },
         batch_format="pyarrow",
         batch_size=batch_rows,

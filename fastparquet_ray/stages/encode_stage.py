@@ -172,17 +172,24 @@ def row_fingerprints(batch: pa.Table, key: str = "doc_id", list_col: str = "toke
 def add_salt_column(
     batch: pa.Table, buckets_by_source: dict[str, int], key: str = "doc_id"
 ) -> pa.Table:
-    """Add ``__salt__`` = hash(doc_id) % K(source), where K grows with
-    the source's sampled frequency — bounds the hottest source's
-    partition size (SURVEY.md §4.2 skew row)."""
+    """Add ``__salt__`` = source_index * 4096 + (hash(doc_id) %
+    K(source)), where K grows with the source's sampled frequency —
+    bounds the hottest source's partition size (SURVEY.md §4.2 skew
+    row). One int key keeps the downstream groupby shuffle cheap and
+    still encodes the source (shards stay source-pure)."""
     import pandas as pd
 
     kh = pd.util.hash_array(
         batch.column(key).to_pandas().to_numpy(dtype=object)
     ).astype(np.uint64)
     src = batch.column("source").to_pandas().to_numpy(dtype=object)
+    names = sorted(buckets_by_source)
+    sidx = np.array(
+        [names.index(s) if s in names else len(names) for s in src],
+        dtype=np.uint64,
+    )
     k = np.array(
         [buckets_by_source.get(s, 1) for s in src], dtype=np.uint64
     )
-    salt = (kh % np.maximum(k, 1)).astype(np.int32)
+    salt = (sidx * 4096 + kh % np.maximum(k, 1)).astype(np.int32)
     return batch.append_column("__salt__", pa.array(salt, pa.int32()))
