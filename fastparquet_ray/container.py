@@ -55,6 +55,11 @@ def _outer_decompress(buf: bytes, codec: str, orig_len: int) -> bytes:
     c = pa.Codec(codec)
     return c.decompress(buf, decompressed_size=orig_len, asbytes=True)
 
+
+# codec-id byte -> name (for lineage records; ids from intcodec/strcodec)
+_INT_CODEC_NAMES = {0: "plain", 1: "for_bp", 2: "rle", 3: "dict"}
+_STR_CODEC_NAMES = {16: "plain", 17: "dict", 18: "fsst"}
+
 # ---------------------------------------------------------------------------
 # type normalization
 
@@ -203,6 +208,9 @@ class ShardEncoder:
             body = self._encode_str(arr, spec)
             bufs = [validity, body]
             info["sizes"] = [len(body)]
+            info["codec"] = _STR_CODEC_NAMES.get(body[0], "?") if body else "?"
+            if spec and spec.get("table_hash"):
+                info["table_hash"] = spec["table_hash"]
         elif kind == "list":
             arr = arr.cast(pa.list_(t.value_type)) if pa.types.is_large_list(t) else arr
             offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
@@ -223,17 +231,23 @@ class ShardEncoder:
                 vb = _encode_int_auto(_to_int_np(values), vspec.get("codec"))
             bufs = [validity, lb, vb]
             info["sizes"] = [len(lb), len(vb)]
+            info["codec"] = (
+                f"list<lengths={_INT_CODEC_NAMES.get(lb[0], '?')},"
+                f"values={'plain_float' if vb[:1] == b'F' else _INT_CODEC_NAMES.get(vb[0], '?')}>"
+            )
         elif kind == "float":
             vnp = arr.to_numpy(zero_copy_only=False)
             body = np.ascontiguousarray(vnp).tobytes()
             info["float_dtype"] = str(vnp.dtype)
             bufs = [validity, body]
             info["sizes"] = [len(body)]
+            info["codec"] = "plain_float"
         else:  # int-ish
             vnp = _to_int_np(arr)
             body = _encode_int_auto(vnp, (spec or {}).get("codec"))
             bufs = [validity, body]
             info["sizes"] = [len(body)]
+            info["codec"] = _INT_CODEC_NAMES.get(body[0], "?") if body else "?"
             if vnp.size and null_count == 0:
                 info["min"] = int(vnp.min())
                 info["max"] = int(vnp.max())

@@ -58,21 +58,31 @@ class EncodeShard:
         self.finished: set[str] = finished or set()
 
     def _encode_one(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         if "__salt__" in batch.column_names:
             batch = batch.drop_columns(["__salt__"])
         pid = partition_id_for(batch, self.key_column)
+        key_range = None
+        if self.key_column in batch.column_names and batch.num_rows:
+            mm = pc.min_max(batch.column(self.key_column))
+            key_range = (str(mm["min"].as_py()), str(mm["max"].as_py()))
         shard = f"shard-{pid}.fprs"
         path = os.path.join(self.out_dir, shard)
         if pid in self.finished and os.path.exists(path):
-            hdr = read_header(open(path, "rb").read(64 * 1024))
-            return _manifest_batch(pid, shard, batch.num_rows, hdr, "skipped")
+            hdr = read_header(open(path, "rb").read(256 * 1024))
+            return _manifest_batch(
+                pid, shard, batch.num_rows, hdr, "skipped", key_range
+            )
         blob = self.encoder.encode_table(batch, pid)
         tmp = path + f".tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, path)
         hdr = read_header(blob)
-        return _manifest_batch(pid, shard, batch.num_rows, hdr, "encoded")
+        return _manifest_batch(
+            pid, shard, batch.num_rows, hdr, "encoded", key_range
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.split_by or not all(
@@ -97,11 +107,20 @@ class EncodeShard:
 
 
 def _manifest_batch(
-    pid: str, shard: str, rows: int, hdr: dict, status: str
+    pid: str, shard: str, rows: int, hdr: dict, status: str,
+    key_range: tuple[str, str] | None = None,
 ) -> pa.Table:
+    """One lineage record per partition (north rule: input fragment /
+    key range, codec choice per column, symbol-table hashes, byte
+    counts). JSON-encoded detail columns keep the record schema flat."""
+    import json
+
     codecs = {}
+    thashes = {}
     for c in hdr.get("columns", []):
-        codecs[c["name"]] = c.get("kind", "")
+        codecs[c["name"]] = c.get("codec", c.get("kind", ""))
+        if c.get("table_hash"):
+            thashes[c["name"]] = c["table_hash"]
     return pa.table(
         {
             "partition_id": [pid],
@@ -110,6 +129,10 @@ def _manifest_batch(
             "raw_bytes": [hdr.get("raw_bytes", 0)],
             "enc_bytes": [hdr.get("enc_bytes", 0)],
             "status": [status],
+            "codecs": [json.dumps(codecs, sort_keys=True)],
+            "table_hashes": [json.dumps(thashes, sort_keys=True)],
+            "key_min": [key_range[0] if key_range else ""],
+            "key_max": [key_range[1] if key_range else ""],
         }
     )
 
