@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_agg": windows.windowed_agg,
         "asof_join": windows.asof_join,
         "range_join": windows.range_join,
+        "session_windows": windows.session_windows,
         # --- flagship encode engine (tokens table) ---
         "tokens_groupby_source": flagship.tokens_groupby_source,
         "tokens_checksum": flagship.tokens_checksum,
@@ -164,6 +165,16 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN events b ON a.user_id = b.user_id "
             "AND b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts < a.ts "
             "GROUP BY a.event_id, a.user_id"
+        ),
+        "session_windows": (
+            "WITH d AS (SELECT user_id, ts, "
+            "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "    > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id "
+            "    ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id "
+            "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
+            "SELECT user_id, min(ts) AS session_start, count(*) AS n_events "
+            "FROM s GROUP BY user_id, sid"
         ),
         # flagship: oracle reads the ORIGINAL parquet; the Ray side
         # answers from decoded shards -> equality proves the roundtrip

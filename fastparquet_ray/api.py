@@ -1,0 +1,143 @@
+"""User-facing API mirroring the reference's surface so a fastparquet
+user can switch pipelines with minimal changes:
+
+    reference                           this engine
+    ---------                           -----------
+    write(fn, df, compression=...)      write(out_dir, df, outer=...,
+      (writer.py:810-1049)                column_codecs=..., partition_on=...)
+    ParquetFile(fn)                     EncodedDataset(out_dir)
+      .to_pandas(columns=...)             .to_pandas(columns=...)
+      (api.py:387-475)
+      .iter_row_groups()                  .iter_batches()
+      (api.py:321-337)
+      .head(n) (api.py:231-250)           .head(n)
+      .count() (api.py:512-525)           .count()
+      .statistics (api.py:822-902)        .statistics()
+      .info / .columns                    .info / .columns
+
+Everything is backed by the Ray Data pipelines (streaming, distributed)
+— Ray must already be initialised by the caller (or Ray Data will
+auto-init a local session on first use).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+from typing import Any, Iterator
+
+import pandas as pd
+import pyarrow as pa
+
+from .container import read_header
+from .pipelines.decode import decode_dataset, shard_files
+from .pipelines.encode import encode_pipeline
+from .pipelines.export import shard_statistics
+from .pipelines.verify import verify_roundtrip
+from .state.manifest import Manifest
+
+
+def write(
+    out_dir: str,
+    data: "pd.DataFrame | pa.Table | str | list[str]",
+    outer: str | None = None,
+    column_codecs: dict | None = None,
+    partition_on_source: bool = False,
+    resume: bool = True,
+) -> dict:
+    """Encode a table (or existing parquet path(s)) into an encoded
+    shard dataset with manifest. Returns the job summary."""
+    if isinstance(data, (str, list)):
+        paths = data
+    else:
+        table = (
+            pa.Table.from_pandas(data, preserve_index=False)
+            if isinstance(data, pd.DataFrame)
+            else data
+        )
+        tmp = tempfile.mkdtemp(prefix="fpray_write_")
+        import pyarrow.parquet as pq
+
+        src = os.path.join(tmp, "input-00000.parquet")
+        pq.write_table(table, src, compression="none")
+        paths = [src]
+    return encode_pipeline(
+        paths,
+        out_dir,
+        resume=resume,
+        outer=outer,
+        column_codecs=column_codecs,
+        partition_by_source=partition_on_source,
+    )
+
+
+class EncodedDataset:
+    """Reader over an encoded dataset directory (shards + manifest),
+    the `ParquetFile` analog."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.manifest = Manifest(out_dir)
+        self._paths = shard_files(out_dir)
+        if not self._paths:
+            raise FileNotFoundError(f"no shards under {out_dir}")
+
+    # ----- metadata (no data read) -----
+
+    @property
+    def columns(self) -> list[str]:
+        hdr = self._first_header()
+        return [c["name"] for c in hdr["columns"]]
+
+    @property
+    def info(self) -> dict:
+        recs = self.manifest.load_records()
+        return {
+            "partitions": len(self._paths),
+            "rows": sum(r.get("rows", 0) for r in recs.values()),
+            "raw_bytes": sum(r.get("raw_bytes", 0) for r in recs.values()),
+            "enc_bytes": sum(r.get("enc_bytes", 0) for r in recs.values()),
+            "columns": self.columns,
+        }
+
+    def _first_header(self) -> dict:
+        with open(self._paths[0], "rb") as f:
+            return read_header(f.read(256 * 1024))
+
+    def count(self) -> int:
+        recs = self.manifest.load_records()
+        if recs:
+            return sum(r.get("rows", 0) for r in recs.values())
+        total = 0
+        for p in self._paths:
+            with open(p, "rb") as f:
+                total += read_header(f.read(256 * 1024))["num_rows"]
+        return total
+
+    def statistics(self) -> pd.DataFrame:
+        return shard_statistics(self.out_dir)
+
+    # ----- data reads (streaming Ray pipelines) -----
+
+    def dataset(self, columns: list[str] | None = None):
+        """The underlying ray.data.Dataset (lazy, streaming)."""
+        return decode_dataset(self.out_dir, columns=columns)
+
+    def to_pandas(self, columns: list[str] | None = None) -> pd.DataFrame:
+        """Full materializing read — small datasets / tests only (the
+        reference's to_pandas is the same contract)."""
+        return self.dataset(columns).to_pandas()
+
+    def iter_batches(
+        self, columns: list[str] | None = None, batch_size: int | None = None
+    ) -> Iterator[pa.Table]:
+        yield from self.dataset(columns).iter_batches(
+            batch_size=batch_size, batch_format="pyarrow"
+        )
+
+    def head(self, n: int = 5, columns: list[str] | None = None) -> pd.DataFrame:
+        return self.dataset(columns).limit(n).to_pandas()
+
+    def verify_against(self, src_paths: list[str] | str) -> dict:
+        return verify_roundtrip(src_paths, self.out_dir)

@@ -110,6 +110,31 @@ def asof_join(sf_dir: str):
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def session_windows(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user (gap > ``gap_minutes`` starts a new
+    session): per-session start time and event count. Composition:
+    groupby(user_id) co-locates, per-group sort + diff + cumsum builds
+    session ids — the standard sessionization without event-time
+    watermarks (Ray Data is batch; ordering within a user is explicit).
+    """
+    ds = _events(sf_dir, ["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").reset_index(drop=True)
+        brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        sid = brk.cumsum()
+        out = (
+            pd.DataFrame({"user_id": g["user_id"], "ts": g["ts"], "sid": sid})
+            .groupby(["user_id", "sid"], as_index=False)
+            .agg(session_start=("ts", "min"), n_events=("ts", "size"))
+        )
+        return out[["user_id", "session_start", "n_events"]]
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return out
+
+
 def range_join(sf_dir: str):
     """Range (band) join: pair each 'error' event with the count of
     events of the same user within the preceding 5 minutes. Composition:

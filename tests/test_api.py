@@ -1,0 +1,83 @@
+"""User-facing API surface (mirrors the reference's
+test_api.py usage patterns: open/statistics/head/iter/count)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fastparquet_ray.api import EncodedDataset, write
+from fastparquet_ray.data import generate_fragment, write_tokens_dataset
+
+
+@pytest.fixture(scope="module")
+def encoded(tmp_path_factory, ray_session):
+    src = str(tmp_path_factory.mktemp("api_src"))
+    paths = write_tokens_dataset(src, 3000, n_fragments=3)
+    out = str(tmp_path_factory.mktemp("api_enc"))
+    summary = write(out, paths)
+    return paths, out, summary
+
+
+def test_write_and_info(encoded):
+    paths, out, summary = encoded
+    ds = EncodedDataset(out)
+    assert ds.count() == 3000
+    assert set(ds.columns) == {"doc_id", "tokens", "n_tok", "source"}
+    info = ds.info
+    assert info["rows"] == 3000
+    assert info["enc_bytes"] < info["raw_bytes"]
+
+
+def test_to_pandas_roundtrip(encoded, ray_session):
+    paths, out, _ = encoded
+    import pyarrow.parquet as pq
+
+    df = EncodedDataset(out).to_pandas().sort_values("doc_id")
+    orig = (
+        pa.concat_tables([pq.read_table(p) for p in paths])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (df["doc_id"].to_numpy() == orig["doc_id"].to_numpy()).all()
+    assert (df["n_tok"].to_numpy() == orig["n_tok"].to_numpy()).all()
+
+
+def test_head_iter_stats(encoded, ray_session):
+    _, out, _ = encoded
+    ds = EncodedDataset(out)
+    h = ds.head(7, columns=["doc_id", "n_tok"])
+    assert len(h) == 7 and list(h.columns) == ["doc_id", "n_tok"]
+    total = sum(b.num_rows for b in ds.iter_batches(columns=["n_tok"]))
+    assert total == 3000
+    stats = ds.statistics()
+    assert (stats[stats["column"] == "n_tok"]["min"] >= 1).all()
+
+
+def test_write_dataframe_and_verify(ray_session, tmp_path):
+    t = generate_fragment(500, 7)
+    out = str(tmp_path / "enc")
+    summary = write(out, t.to_pandas(), outer="zstd:3")
+    assert summary["rows"] == 500
+    ds = EncodedDataset(out)
+    back = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    orig = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (back["doc_id"] == orig["doc_id"]).all()
+    assert all(
+        list(a) == list(b)
+        for a, b in zip(back["tokens"], orig["tokens"])
+    )
+
+
+def test_column_codec_override(ray_session, tmp_path):
+    src = str(tmp_path / "src")
+    paths = write_tokens_dataset(src, 500, n_fragments=1)
+    out = str(tmp_path / "enc")
+    write(out, paths, column_codecs={"n_tok": {"codec": "plain"}})
+    import json
+
+    from fastparquet_ray.state.manifest import Manifest
+
+    recs = Manifest(out).load_records()
+    codecs = json.loads(next(iter(recs.values()))["codecs"])
+    assert codecs["n_tok"] == "plain"
