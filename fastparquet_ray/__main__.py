@@ -1,0 +1,119 @@
+"""CLI entry points: the `ray job submit`-able surface.
+
+    python -m fastparquet_ray encode  SRC_DIR OUT_DIR [--outer zstd:3]
+                                      [--partition-by-source] [--no-resume]
+    python -m fastparquet_ray decode  ENC_DIR OUT_PARQUET_DIR [--columns a,b]
+    python -m fastparquet_ray verify  SRC_DIR ENC_DIR [--exact]
+    python -m fastparquet_ray stats   ENC_DIR
+    python -m fastparquet_ray gen     OUT_DIR --rows N [--fragments K] [--skewed]
+
+Owns the Ray session (guarded init), per the driver contract: library
+code never calls ray.init; CLI scripts and bench.py do.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="fastparquet_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode")
+    enc.add_argument("src")
+    enc.add_argument("out")
+    enc.add_argument("--outer", default=None)
+    enc.add_argument("--partition-by-source", action="store_true")
+    enc.add_argument("--no-resume", action="store_true")
+
+    dec = sub.add_parser("decode")
+    dec.add_argument("enc")
+    dec.add_argument("out")
+    dec.add_argument("--columns", default=None)
+
+    ver = sub.add_parser("verify")
+    ver.add_argument("src")
+    ver.add_argument("enc")
+    ver.add_argument("--exact", action="store_true")
+
+    st = sub.add_parser("stats")
+    st.add_argument("enc")
+
+    gen = sub.add_parser("gen")
+    gen.add_argument("out")
+    gen.add_argument("--rows", type=int, required=True)
+    gen.add_argument("--fragments", type=int, default=8)
+    gen.add_argument("--skewed", action="store_true")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from .data import DEFAULT_WEIGHTS, SKEWED_WEIGHTS, write_tokens_dataset
+
+        paths = write_tokens_dataset(
+            args.out,
+            args.rows,
+            n_fragments=args.fragments,
+            weights=SKEWED_WEIGHTS if args.skewed else DEFAULT_WEIGHTS,
+        )
+        print(json.dumps({"files": len(paths), "rows": args.rows}))
+        return 0
+
+    _init_ray()
+    import ray
+
+    try:
+        if args.cmd == "encode":
+            from .pipelines.encode import encode_pipeline
+
+            summary = encode_pipeline(
+                args.src,
+                args.out,
+                resume=not args.no_resume,
+                outer=args.outer,
+                partition_by_source=args.partition_by_source,
+            )
+            print(json.dumps(summary))
+        elif args.cmd == "decode":
+            from .pipelines.export import export_parquet
+
+            cols = args.columns.split(",") if args.columns else None
+            export_parquet(args.enc, args.out, columns=cols)
+            print(json.dumps({"out": args.out}))
+        elif args.cmd == "verify":
+            from .pipelines.verify import verify_roundtrip
+
+            res = verify_roundtrip(
+                args.src, args.enc, mode="exact" if args.exact else "moments"
+            )
+            print(json.dumps(res))
+            return 0 if res["ok"] else 1
+        elif args.cmd == "stats":
+            from .pipelines.export import shard_statistics
+
+            print(shard_statistics(args.enc).to_string())
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
