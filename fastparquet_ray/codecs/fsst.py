@@ -248,18 +248,101 @@ class FsstTable:
         return lengths, out
 
 
+def _parse_units(
+    enc_lengths: np.ndarray, enc: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Parse an encoded stream into its unit positions and escape mask
+    (same escape-run-parity logic as FsstTable.decode)."""
+    total = int(enc.size)
+    enc_offsets = np.concatenate([[0], np.cumsum(enc_lengths)])
+    is255 = enc == ESCAPE
+    prev255 = np.concatenate([[False], is255[:-1]])
+    str_start = np.zeros(total, dtype=bool)
+    str_start[enc_offsets[:-1][enc_lengths > 0]] = True
+    runstart = is255 & (~prev255 | str_start)
+    all255 = np.flatnonzero(is255)
+    if all255.size:
+        rs = runstart[all255]
+        run_idx = np.cumsum(rs) - 1
+        run_start_pos = all255[np.flatnonzero(rs)][run_idx]
+        esc_pos = all255[(all255 - run_start_pos) % 2 == 0]
+    else:
+        esc_pos = all255
+    consumed = np.zeros(total, dtype=bool)
+    if esc_pos.size:
+        consumed[esc_pos + 1] = True
+    unit_pos = np.flatnonzero(~consumed)
+    is_esc_unit = np.zeros(total, dtype=bool)
+    is_esc_unit[esc_pos] = True
+    return unit_pos, is_esc_unit[unit_pos]
+
+
+def _refine_table(
+    table: FsstTable,
+    lengths: np.ndarray,
+    data: np.ndarray,
+    max_symbols: int,
+) -> FsstTable:
+    """One FSST-paper-style refinement round: encode the sample with
+    the current table, count actual symbol usage / escaped bytes /
+    adjacent-symbol concatenations, rebuild the table from measured
+    gains (gain = count * covered_len)."""
+    el, ed = table.encode(lengths, data)
+    if ed.size == 0:
+        return table
+    unit_pos, esc_u = _parse_units(el, ed)
+    codes = ed[unit_pos]
+    cands: dict[bytes, int] = {}
+
+    def add(sym: bytes, gain: int):
+        if 1 <= len(sym) <= MAX_SYM_LEN:
+            cands[sym] = cands.get(sym, 0) + gain
+
+    # existing symbols by measured usage
+    sym_codes = codes[~esc_u]
+    if sym_codes.size:
+        uniq, cnt = np.unique(sym_codes, return_counts=True)
+        for c, n in zip(uniq.tolist(), cnt.tolist()):
+            add(table.symbols[c], n * len(table.symbols[c]))
+    # escaped literals -> single-byte candidates (each escape wastes a byte)
+    esc_lits = ed[unit_pos[esc_u] + 1] if esc_u.any() else np.empty(0, np.uint8)
+    if esc_lits.size:
+        uniq, cnt = np.unique(esc_lits, return_counts=True)
+        for b, n in zip(uniq.tolist(), cnt.tolist()):
+            add(bytes([b]), n * 2)
+    # adjacent symbol pairs within a string -> concatenated candidates
+    enc_offsets = np.concatenate([[0], np.cumsum(el)])
+    sid = np.searchsorted(enc_offsets[1:], unit_pos, side="right")
+    ok = (~esc_u[:-1]) & (~esc_u[1:]) & (sid[:-1] == sid[1:])
+    if ok.any():
+        pair_keys = codes[:-1][ok].astype(np.int64) * 256 + codes[1:][ok]
+        uniq, cnt = np.unique(pair_keys, return_counts=True)
+        order = np.argsort(-cnt)[:1024]  # cap pair candidates
+        for k, n in zip(uniq[order].tolist(), cnt[order].tolist()):
+            sym = table.symbols[k // 256] + table.symbols[k % 256]
+            if len(sym) <= MAX_SYM_LEN and n >= 2:
+                add(sym, n * len(sym))
+    top = sorted(
+        cands.items(), key=lambda kv: (-kv[1], len(kv[0]), kv[0])
+    )[:max_symbols]
+    return FsstTable([s for s, _ in top])
+
+
 def train_fsst(
     lengths: np.ndarray,
     data: np.ndarray,
     max_sample_bytes: int = 1 << 17,
     max_symbols: int = MAX_SYMBOLS,
     per_len_candidates: int = 1024,
+    iterations: int = 2,
 ) -> FsstTable:
     """Train a symbol table on (a deterministic sample of) the strings.
 
-    Single greedy pass: count substring frequencies for lengths 1..8
-    (windows never crossing string boundaries), gain = count * len,
-    take the top ``max_symbols``.
+    Greedy pass (count substring frequencies for lengths 1..8, windows
+    never crossing string boundaries, gain = count * len, top
+    ``max_symbols``) followed by ``iterations - 1`` measured refinement
+    rounds per the FSST paper (re-encode the sample, count actual
+    usage + escapes + adjacent-symbol merges).
     """
     total = int(data.size)
     if total == 0:
@@ -304,4 +387,17 @@ def train_fsst(
             sym = int(key).to_bytes(8, "little")[:L]
             cands.append((cnt * L, -L, sym))
     cands.sort(reverse=True)
-    return FsstTable([sym for _, _, sym in cands[:max_symbols]])
+    table = FsstTable([sym for _, _, sym in cands[:max_symbols]])
+    for _ in range(max(iterations - 1, 0)):
+        refined = _refine_table(table, s_lengths, s_data, max_symbols)
+        # keep the refinement only if it actually helps on the sample
+        if refined.symbols:
+            _, old_e = table.encode(s_lengths, s_data)
+            _, new_e = refined.encode(s_lengths, s_data)
+            if new_e.size < old_e.size:
+                table = refined
+            else:
+                break
+        else:
+            break
+    return table
