@@ -58,6 +58,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_counts": relational.null_counts,
         "dtype_convert_time": relational.dtype_convert_time,
         "join_broadcast": relational.join_broadcast,
+        "groupby_having": relational.groupby_having,
+        "multi_join": relational.multi_join,
+        "union_all": relational.union_all,
+        "case_expr": relational.case_expr,
         "sorted_detect": relational.sorted_detect,
         "windowed_agg": windows.windowed_agg,
         "asof_join": windows.asof_join,
@@ -145,6 +149,27 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(o_totalprice), 3) AS total "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        "groupby_having": (
+            "SELECT o_custkey, count(*) AS n, "
+            "ROUND(sum(o_totalprice), 3) AS total "
+            "FROM orders GROUP BY o_custkey HAVING count(*) > 12"
+        ),
+        "multi_join": (
+            "SELECT r_name, count(*) AS n, "
+            "ROUND(sum(c_acctbal), 3) AS sum_bal "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "union_all": (
+            "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45 "
+            "UNION ALL "
+            "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 5"
+        ),
+        "case_expr": (
+            "SELECT CASE WHEN o_totalprice > 200000 THEN 'large' "
+            "WHEN o_totalprice > 100000 THEN 'medium' ELSE 'small' END "
+            "AS bucket, count(*) AS n FROM orders GROUP BY 1"
         ),
         "windowed_agg": (
             "SELECT event_type, date_trunc('hour', ts) AS win, "

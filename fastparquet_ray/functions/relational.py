@@ -279,6 +279,108 @@ def join_broadcast(sf_dir: str):
     )
 
 
+def groupby_having(sf_dir: str):
+    """Aggregate then filter on the aggregate (HAVING): customers with
+    more than 12 orders."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = ds.groupby("o_custkey").aggregate(
+        Count(alias_name="n"), Sum("o_totalprice", alias_name="total_raw")
+    )
+
+    def flt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n"], 12))
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "n": t["n"],
+                "total": pc.round(t["total_raw"], 3),
+            }
+        )
+
+    return agg.map_batches(flt, batch_format="pyarrow")
+
+
+def multi_join(sf_dir: str):
+    """Three-dimension broadcast chain: customer -> nation -> region,
+    counting customers per region (small sides broadcast once via
+    ray.put, no shuffle — SURVEY §2.5)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put((n2r, r2name))
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    class RegionJoin:
+        def __init__(self, ref):
+            self.n2r, self.r2name = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rname = df["c_nationkey"].map(self.n2r).map(self.r2name)
+            g = (
+                pd.DataFrame({"r_name": rname, "bal": df["c_acctbal"]})
+                .groupby("r_name", as_index=False)
+                .agg(n=("bal", "size"), sum_bal=("bal", "sum"))
+            )
+            return g
+
+    parts = ds.map_batches(
+        RegionJoin,
+        fn_constructor_kwargs={"ref": lookup_ref},
+        batch_format="pandas",
+        concurrency=2,
+    )
+    out = parts.groupby("r_name").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_bal", alias_name="sum_bal_raw")
+    )
+    df = out.to_pandas()
+    df["sum_bal"] = df["sum_bal_raw"].round(3)
+    return df[["r_name", "n", "sum_bal"]]
+
+
+def union_all(sf_dir: str):
+    """Union of two filtered streams (ds.union — SURVEY §2.8 set ops
+    are absent in the reference; this is the Ray-native union)."""
+    hi = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).filter(
+        expr="l_quantity > 45"
+    )
+    lo = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).filter(
+        expr="l_quantity < 5"
+    )
+    return hi.union(lo)
+
+
+def case_expr(sf_dir: str):
+    """Computed CASE column + aggregate (scalar-function surface,
+    SURVEY §2.9): order-size buckets."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"]
+        bucket = pc.if_else(
+            pc.greater(p, 200000.0),
+            pa.scalar("large"),
+            pc.if_else(
+                pc.greater(p, 100000.0), pa.scalar("medium"), pa.scalar("small")
+            ),
+        )
+        return pa.table({"bucket": bucket})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def sorted_detect(sf_dir: str):
     """Detect globally-sorted columns from per-block min/max (reference
     A4: sorted_partitioned_columns, api.py:905-945). rows-only check
