@@ -130,21 +130,34 @@ def encode_pipeline(
     if partition_by_source:
         ds = salted_shuffle(ds, plan)
 
-    mani_ds = ds.map_batches(
-        EncodeShard,
-        fn_constructor_kwargs={
-            "plan_json": plan.to_json(),
-            "out_dir": out_dir,
-            "finished": finished_ref,
-            "key_column": key_column,
-            "split_by": ["__salt__"] if partition_by_source else None,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_rows,
-        zero_copy_batch=True,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    kwargs = {
+        "plan_json": plan.to_json(),
+        "out_dir": out_dir,
+        "finished": finished_ref,
+        "key_column": key_column,
+        "split_by": ["__salt__"] if partition_by_source else None,
+    }
+    if ncpu_total <= 2:
+        # tiny session: an actor pool would reserve every CPU and
+        # starve the read stage — run the encoder as stateless tasks
+        # (state is rebuilt per task; fine at this scale)
+        encoder = EncodeShard(**kwargs)
+        mani_ds = ds.map_batches(
+            encoder.__call__,
+            batch_format="pyarrow",
+            batch_size=batch_rows,
+            zero_copy_batch=True,
+        )
+    else:
+        mani_ds = ds.map_batches(
+            EncodeShard,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_rows,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     records = mani_ds.take_all()  # tiny: one row per partition
     manifest.append(records)
     encoded = [r for r in records if r["status"] == "encoded"]
