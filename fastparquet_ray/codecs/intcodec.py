@@ -42,7 +42,9 @@ __all__ = [
 
 MINIBLOCK = 1024  # values per FOR miniblock; 1024*w bits is byte-aligned
 
-_C_PLAIN, _C_FOR, _C_RLE, _C_DICT, _C_DELTA = 0, 1, 2, 3, 4
+_C_PLAIN, _C_FOR, _C_RLE, _C_DICT, _C_DELTA, _C_PFOR, _C_DICT2 = (
+    0, 1, 2, 3, 4, 5, 6,
+)
 
 _DTYPES = {
     1: np.dtype("<i4"),
@@ -169,6 +171,82 @@ def encode_dict_int(values: np.ndarray) -> bytes:
     return head + encode_uvarint(table.size) + bytes([w]) + tbytes + body
 
 
+def encode_pfor(values: np.ndarray) -> bytes:
+    """Patched frame-of-reference (PFOR, Zukowski et al. 2006 public
+    design): per 1024-value miniblock, pick the bit width minimizing
+    packed-bits + exception cost; values wider than the chosen width
+    are stored as (position u16, value u32) patches. Wins on skewed
+    distributions (zipf dict indices) where a naive FOR width is set
+    by a handful of outliers per block.
+
+    Layout: header [min i64][w u8][n_exc u16] per block, then per block
+    payload [packed 1024*w bits][n_exc * (u16 pos + u32 value)].
+    """
+    v = np.ascontiguousarray(values)
+    if v.dtype.itemsize == 8 and v.dtype.kind == "u":
+        raise ValueError("PFOR: uint64 unsupported")
+    head = _header(_C_PFOR, v)
+    n = v.size
+    if n == 0:
+        return head
+    nb = -(-n // MINIBLOCK)
+    pad = nb * MINIBLOCK - n
+    if pad:
+        v = np.concatenate([v, np.full(pad, v[-1], dtype=v.dtype)])
+    m = v.reshape(nb, MINIBLOCK)
+    mins = m.min(axis=1)
+    if v.dtype.itemsize <= 4:
+        d32 = (m.astype(np.int32, copy=False) - mins.astype(np.int32)[:, None]).view(
+            np.uint32
+        )
+    else:
+        d = (m - mins[:, None]).astype(np.uint64)
+        if (d >> np.uint64(32)).any():
+            raise ValueError("PFOR: miniblock range exceeds 32 bits")
+        d32 = d.astype(np.uint32)
+    vwidths = _vec_bit_widths(d32)  # (nb, MINIBLOCK) width per value
+    # per-block width histogram -> suffix counts -> cost per candidate w
+    hist = np.zeros((nb, 34), dtype=np.int32)
+    rows = np.repeat(np.arange(nb), MINIBLOCK)
+    np.add.at(hist, (rows, vwidths.reshape(-1)), 1)
+    n_above = np.cumsum(hist[:, ::-1], axis=1)[:, ::-1]  # >= w
+    # exceptions for width w are values with vwidth > w: n_above[:, w+1]
+    exc_counts = np.concatenate(
+        [n_above[:, 1:], np.zeros((nb, 1), np.int32)], axis=1
+    )  # index w -> count(width > w)
+    ws = np.arange(34)
+    cost = MINIBLOCK * ws // 8 + exc_counts * 6
+    wstar = cost[:, :33].argmin(axis=1).astype(np.uint8)
+    nexc = exc_counts[np.arange(nb), wstar].astype(np.uint16)
+    # header
+    hdr = np.zeros(nb, dtype=[("min", "<i8"), ("w", "u1"), ("ne", "<u2")])
+    hdr["min"] = mins
+    hdr["w"] = wstar
+    hdr["ne"] = nexc
+    # main stream: exception values replaced by 0 (patched at decode)
+    exc_mask = vwidths > wstar[:, None]
+    d_main = np.where(exc_mask, 0, d32)
+    # exceptions in block order (np.nonzero is row-major)
+    _, exc_cols = np.nonzero(exc_mask)
+    exc_all = np.zeros(exc_cols.size, dtype=[("p", "<u2"), ("v", "<u4")])
+    exc_all["p"] = exc_cols
+    exc_all["v"] = d32[exc_mask]
+    exc_off = np.concatenate([[0], np.cumsum(nexc.astype(np.int64))])
+    # pack per width group (one vectorized pack per distinct width)
+    pieces: list[bytes] = [b""] * nb
+    for w in np.unique(wstar):
+        rows = np.flatnonzero(wstar == w)
+        if w:
+            bs = int(w) * (MINIBLOCK // 8)
+            pk = np.frombuffer(
+                pack_bits(d_main[rows].ravel(), int(w)), np.uint8
+            ).reshape(rows.size, bs)
+        for i, r in enumerate(rows):
+            body = pk[i].tobytes() if w else b""
+            pieces[r] = body + exc_all[exc_off[r] : exc_off[r + 1]].tobytes()
+    return head + hdr.tobytes() + b"".join(pieces)
+
+
 def encode_delta(values: np.ndarray) -> bytes:
     """Delta coding for (near-)sorted / smooth sequences: zigzag of
     consecutive differences, then FOR+bit-pack over the (small) zigzag
@@ -194,6 +272,50 @@ def encode_delta(values: np.ndarray) -> bytes:
         raise ValueError("DELTA: delta range exceeds 32 bits")
     body = encode_for_bp(zz.astype(np.int64))
     return head + first.to_bytes(8, "little", signed=True) + body
+
+
+def encode_dict2_int(values: np.ndarray) -> bytes:
+    """Frequency-ranked dictionary: the most frequent value gets index
+    0, so the index stream is small-skewed and the best of
+    PFOR / RLE / FOR is chosen for it (self-describing recursive
+    blob). Beats plain DICT on zipf-like token streams where rare
+    values otherwise force wide indices."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    v = np.ascontiguousarray(values)
+    head = _header(_C_DICT2, v)
+    if v.size == 0:
+        return head
+    denc = pc.dictionary_encode(pa.array(v))
+    table = denc.dictionary.to_numpy(zero_copy_only=False).astype(
+        v.dtype, copy=False
+    )
+    idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.bincount(idx, minlength=table.size)
+    order = np.argsort(-counts, kind="stable")
+    rank = np.empty(table.size, dtype=np.int64)
+    rank[order] = np.arange(table.size)
+    new_idx = rank[idx].astype(np.int32)
+    new_table = table[order]
+    body = encode_rle_int(new_idx)
+    for enc in (encode_pfor, encode_for_bp):
+        try:
+            b = enc(new_idx)
+        except ValueError:
+            continue
+        if len(b) < len(body):
+            body = b
+    tbytes = np.ascontiguousarray(
+        new_table.astype(new_table.dtype.newbyteorder("<"), copy=False)
+    ).tobytes()
+    return (
+        head
+        + encode_uvarint(new_table.size)
+        + tbytes
+        + encode_uvarint(len(body))
+        + body
+    )
 
 
 def decode_any_int(buf: bytes) -> np.ndarray:
@@ -247,6 +369,53 @@ def decode_any_int(buf: bytes) -> np.ndarray:
         pos += table.nbytes
         idx = rle_decode(buf[pos:], w, n)
         return table[idx]
+    if codec == _C_DICT2:
+        tsize, pos = decode_uvarint(buf, pos)
+        table = np.frombuffer(buf, dtype=dt, count=tsize, offset=pos)
+        pos += table.nbytes
+        blen, pos = decode_uvarint(buf, pos)
+        idx = decode_any_int(bytes(buf[pos : pos + blen]))
+        return table[idx]
+    if codec == _C_PFOR:
+        nb = -(-n // MINIBLOCK)
+        hdr = np.frombuffer(
+            buf,
+            dtype=[("min", "<i8"), ("w", "u1"), ("ne", "<u2")],
+            count=nb,
+            offset=pos,
+        )
+        pos += hdr.nbytes
+        widths = hdr["w"].astype(np.int64)
+        nexc = hdr["ne"].astype(np.int64)
+        sizes = widths * (MINIBLOCK // 8) + nexc * 6
+        offsets = np.concatenate([[0], np.cumsum(sizes)]) + pos
+        payload = np.frombuffer(buf, dtype=np.uint8)
+        out = np.empty((nb, MINIBLOCK), dtype=np.int64)
+        out[:] = hdr["min"][:, None]
+        vals32 = np.zeros((nb, MINIBLOCK), dtype=np.uint32)
+        for w in np.unique(widths):
+            if w == 0:
+                continue
+            rows = np.flatnonzero(widths == w)
+            bs = int(w) * (MINIBLOCK // 8)
+            chunk = np.concatenate(
+                [payload[offsets[r] : offsets[r] + bs] for r in rows]
+            )
+            vv = unpack_bits(chunk, int(w), rows.size * MINIBLOCK)
+            vals32[rows] = vv.reshape(rows.size, MINIBLOCK)
+        # patch exceptions
+        if nexc.sum():
+            for r in np.flatnonzero(nexc):
+                start = offsets[r] + widths[r] * (MINIBLOCK // 8)
+                exc = np.frombuffer(
+                    buf,
+                    dtype=[("p", "<u2"), ("v", "<u4")],
+                    count=int(nexc[r]),
+                    offset=int(start),
+                )
+                vals32[r, exc["p"].astype(np.int64)] = exc["v"]
+        out += vals32
+        return out.ravel()[:n].astype(dt)
     if codec == _C_DELTA:
         from .varint import zigzag_decode
 
@@ -267,4 +436,6 @@ INT_ENCODERS = {
     "rle": encode_rle_int,
     "dict": encode_dict_int,
     "delta": encode_delta,
+    "pfor": encode_pfor,
+    "dict2": encode_dict2_int,
 }
