@@ -161,7 +161,7 @@ def run_scaling() -> dict:
     # node brings its own bandwidth.
     lo_cpus = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi_cpus = lo_cpus * 4
-    scaling_sf = float(os.environ.get("GRAFT_SCALING_SF", "0.8"))
+    scaling_sf = float(os.environ.get("GRAFT_SCALING_SF", "1.6"))
     scaling_outer = os.environ.get("GRAFT_SCALING_OUTER", "zstd:19")
 
     def run(ncpu: int) -> dict:
