@@ -205,10 +205,13 @@ def encode_pfor(values: np.ndarray) -> bytes:
             raise ValueError("PFOR: miniblock range exceeds 32 bits")
         d32 = d.astype(np.uint32)
     vwidths = _vec_bit_widths(d32)  # (nb, MINIBLOCK) width per value
-    # per-block width histogram -> suffix counts -> cost per candidate w
-    hist = np.zeros((nb, 34), dtype=np.int32)
-    rows = np.repeat(np.arange(nb), MINIBLOCK)
-    np.add.at(hist, (rows, vwidths.reshape(-1)), 1)
+    # per-block width histogram via bincount on a combined index
+    # (np.add.at is ~10x slower for this shape)
+    comb = vwidths.reshape(-1).astype(np.int64)
+    comb += np.repeat(np.arange(nb, dtype=np.int64) * 34, MINIBLOCK)
+    hist = np.bincount(comb, minlength=nb * 34).reshape(nb, 34).astype(
+        np.int32
+    )
     n_above = np.cumsum(hist[:, ::-1], axis=1)[:, ::-1]  # >= w
     # exceptions for width w are values with vwidth > w: n_above[:, w+1]
     exc_counts = np.concatenate(
