@@ -110,20 +110,32 @@ class FsstTable:
         self, w64: np.ndarray, edist: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
         """Longest symbol match at each given window; returns (len, code)
-        with len=1/code=ESCAPE where nothing matches."""
+        with len=1/code=ESCAPE where nothing matches. After each length
+        tier the active set is compacted to the still-unmatched
+        positions, so later tiers probe ever-smaller arrays."""
         k = w64.size
         best_len = np.zeros(k, dtype=np.int64)
         best_code = np.full(k, ESCAPE, dtype=np.uint8)
+        active: np.ndarray | None = None  # None = everything
         for L in range(MAX_SYM_LEN, 0, -1):
             if L not in self._by_len:
                 continue
             keys, codes = self._by_len[L]
-            kk = w64 & _MASKS[L]
+            w = w64 if active is None else w64[active]
+            e = edist if active is None else edist[active]
+            kk = w & _MASKS[L]
             idx = np.searchsorted(keys, kk)
             idx_c = np.minimum(idx, keys.size - 1)
-            ok = (keys[idx_c] == kk) & (edist >= L) & (best_len == 0)
-            best_len[ok] = L
-            best_code[ok] = codes[idx_c[ok]]
+            ok = (keys[idx_c] == kk) & (e >= L)
+            tgt = np.flatnonzero(ok) if active is None else active[ok]
+            best_len[tgt] = L
+            best_code[tgt] = codes[idx_c[ok]]
+            rem = ~ok
+            active = (
+                np.flatnonzero(rem) if active is None else active[rem]
+            )
+            if active.size == 0:
+                break
         best_len[best_len == 0] = 1  # escapes advance one byte
         return best_len, best_code
 
