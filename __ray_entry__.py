@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "null_counts": relational.null_counts,
         "dtype_convert_time": relational.dtype_convert_time,
         "join_broadcast": relational.join_broadcast,
+        "semi_join": relational.semi_join,
+        "anti_join": relational.anti_join,
         "groupby_having": relational.groupby_having,
         "multi_join": relational.multi_join,
         "union_all": relational.union_all,
@@ -149,6 +151,14 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(o_totalprice), 3) AS total "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_mktsegment"
+        ),
+        "semi_join": (
+            "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+        ),
+        "anti_join": (
+            "SELECT o_orderkey FROM orders WHERE o_custkey NOT IN "
+            "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
         ),
         "groupby_having": (
             "SELECT o_custkey, count(*) AS n, "

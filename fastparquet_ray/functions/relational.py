@@ -279,6 +279,66 @@ def join_broadcast(sf_dir: str):
     )
 
 
+def _building_custkeys(sf_dir: str):
+    import numpy as np
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    return np.sort(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy()
+    )
+
+
+def semi_join(sf_dir: str):
+    """Semi join via broadcast key set: orders whose customer is in
+    the BUILDING segment (the key set is ray.put once and used as a
+    vectorized is_in filter inside map_batches — no shuffle;
+    ray_guide 'semi/anti join' pattern)."""
+    import ray
+
+    keys_ref = ray.put(_building_custkeys(sf_dir))
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    class Semi:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.keys = _r.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t["o_custkey"], value_set=pa.array(self.keys))
+            return t.select(["o_orderkey"]).filter(mask)
+
+    return ds.map_batches(
+        Semi, fn_constructor_kwargs={"ref": keys_ref},
+        batch_format="pyarrow", concurrency=2,
+    )
+
+
+def anti_join(sf_dir: str):
+    """Anti join (NOT IN) via the same broadcast key set."""
+    import ray
+
+    keys_ref = ray.put(_building_custkeys(sf_dir))
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    class Anti:
+        def __init__(self, ref):
+            import ray as _r
+
+            self.keys = _r.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.invert(
+                pc.is_in(t["o_custkey"], value_set=pa.array(self.keys))
+            )
+            return t.select(["o_orderkey"]).filter(mask)
+
+    return ds.map_batches(
+        Anti, fn_constructor_kwargs={"ref": keys_ref},
+        batch_format="pyarrow", concurrency=2,
+    )
+
+
 def groupby_having(sf_dir: str):
     """Aggregate then filter on the aggregate (HAVING): customers with
     more than 12 orders."""
