@@ -74,13 +74,24 @@ def encode_pipeline(
     resume: bool = True,
     batch_rows: int | None = DEFAULT_BATCH_ROWS,
     concurrency: Any = None,
-    partition_by_source: bool = False,
+    partition_by_source: bool | str = False,
     key_column: str = "doc_id",
     outer: str | None = None,
     column_codecs: dict | None = None,
 ) -> dict:
     """Run the encode job; returns summary metrics (rows, bytes, ratio,
-    partitions encoded vs skipped)."""
+    partitions encoded vs skipped).
+
+    partition_by_source:
+      False     - no source partitioning (zero exchanges)
+      True      - salted groupby shuffle: each (source, salt) bucket
+                  lands in ONE shard (fewest shards; one all-to-all)
+      "local"   - write-side partitioning: every input block splits by
+                  bucket locally and writes one shard per non-empty
+                  (block, bucket) — shards are still source-pure but
+                  there are more of them; ZERO network exchange (the
+                  scale pattern when co-location isn't required)
+    """
     import ray
     import ray.data
 
@@ -127,8 +138,25 @@ def encode_pipeline(
     ncpu_total = int(ray.cluster_resources().get("CPU", 4))
     read_conc = max(2, min(8, ncpu_total // 4))
     ds = ray.data.read_parquet(paths, concurrency=read_conc)
-    if partition_by_source:
+    if partition_by_source is True:
         ds = salted_shuffle(ds, plan)
+    elif partition_by_source == "local":
+        # add the salt column only — EncodeShard's split_by does the
+        # local bucket split; no exchange
+        import pyarrow as pa  # noqa: F401
+
+        from ..data import SOURCES
+
+        hist = plan.stats.get("__source_hist__") or {}
+        total = sum(hist.values()) or 1
+        buckets = {
+            s: max(1, round(32 * c / total)) for s, c in hist.items()
+        }
+        for s in SOURCES:
+            buckets.setdefault(str(s), 1)
+        ds = ds.map_batches(
+            lambda b: add_salt_column(b, buckets), batch_format="pyarrow"
+        )
 
     kwargs = {
         "plan_json": plan.to_json(),

@@ -98,6 +98,23 @@ def test_salted_shuffle_bounds_skew(ray_session, tmp_path):
     assert verify_roundtrip(paths, out)["ok"]
 
 
+def test_local_partition_mode(ray_session, tmp_path):
+    """partition_by_source='local': source-pure shards with ZERO
+    shuffle (write-side bucket split)."""
+    src = str(tmp_path / "src")
+    paths = write_tokens_dataset(src, 2000, n_fragments=2)
+    out = str(tmp_path / "enc")
+    s = encode_pipeline(paths, out, partition_by_source="local")
+    assert s["rows"] == 2000
+    from fastparquet_ray.container import decode_table
+
+    tables = Manifest(out).load_plan().tables
+    for shard in sorted(glob.glob(os.path.join(out, "shard-*.fprs")))[:20]:
+        t = decode_table(open(shard, "rb").read(), tables, columns=["source"])
+        assert len(set(t.column("source").to_pylist())) <= 1
+    assert verify_roundtrip(paths, out)["ok"]
+
+
 def test_decode_projection_streaming(ray_session, dataset, tmp_path):
     src, paths = dataset
     out = str(tmp_path / "enc")
