@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": dedup.embedding_neardup,
         # --- text analysis ---
         "token_count": textops.token_count,
+        "token_count_bpe": textops.token_count_bpe,
         "quality_score": textops.quality_score,
         "fingerprint": textops.fingerprint,
         "adjacent_similarity": textops.adjacent_similarity,
@@ -235,6 +236,11 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(length(text) - "
             "length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words "
+            "FROM documents"
+        ),
+        "token_count_bpe": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')) AS BIGINT) AS n_bpe "
             "FROM documents"
         ),
         "quality_score": (

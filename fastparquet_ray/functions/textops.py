@@ -35,6 +35,33 @@ def token_count(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+class BpeishCounter:
+    """BPE-ish regex token counting — the regex is compiled ONCE per
+    actor (the stateful-stage pattern, SURVEY ST1 / ray_guide). The
+    pattern is RE2-compatible so the DuckDB oracle can run the exact
+    same one."""
+
+    PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+
+    def __init__(self):
+        import re
+
+        self.pat = re.compile(self.PATTERN)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = [len(self.pat.findall(t)) for t in df["text"].tolist()]
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_bpe": pd.Series(n, dtype="int64")}
+        )
+
+
+def token_count_bpe(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        BpeishCounter, batch_format="pandas", concurrency=2, batch_size=4096
+    )
+
+
 def quality_score(sf_dir: str):
     """Per-source quality aggregates: doc length, word count, average
     word length (reference has no analog; core training-data op).
