@@ -120,14 +120,19 @@ class EncodedDataset:
 
     # ----- data reads (streaming Ray pipelines) -----
 
-    def dataset(self, columns: list[str] | None = None):
-        """The underlying ray.data.Dataset (lazy, streaming)."""
-        return decode_dataset(self.out_dir, columns=columns)
+    def dataset(self, columns: list[str] | None = None, filters=None):
+        """The underlying ray.data.Dataset (lazy, streaming).
+        ``filters``: [(col, op, val)] conjunctions with shard-stats
+        pruning (the reference's to_pandas(filters=...) analog,
+        api.py:948-999)."""
+        return decode_dataset(self.out_dir, columns=columns, filters=filters)
 
-    def to_pandas(self, columns: list[str] | None = None) -> pd.DataFrame:
+    def to_pandas(
+        self, columns: list[str] | None = None, filters=None
+    ) -> pd.DataFrame:
         """Full materializing read — small datasets / tests only (the
         reference's to_pandas is the same contract)."""
-        return self.dataset(columns).to_pandas()
+        return self.dataset(columns, filters=filters).to_pandas()
 
     def iter_batches(
         self, columns: list[str] | None = None, batch_size: int | None = None

@@ -2,10 +2,14 @@
 
 Mirrors the reference read path (ParquetFile.to_pandas,
 /root/reference/fastparquet/api.py:387-475) as a Ray Data source:
-shard blobs are read as binary files and decoded by an actor pool that
-holds the shared symbol tables (read once from the plan sidecar).
+shard blobs are read as binary files and decoded by stateless tasks
+holding the shared symbol tables (read once from the plan sidecar).
 Column projection is honored at decode (reference analog M1,
-api.py:433-439): unneeded buffers are never touched.
+api.py:433-439): unneeded buffers are never touched. Filters prune
+whole shards from their header min/max stats before any data is read
+(reference analog M2 filter_row_groups/filter_out_stats,
+api.py:948-999/761-819) and apply the residual row filter vectorized
+per batch (M3/M4).
 """
 
 from __future__ import annotations
@@ -16,17 +20,102 @@ import os
 from ..stages.encode_stage import DecodeShard
 from ..state.manifest import Manifest
 
+# filters are [(col, op, value)] conjunctions, ops as in the reference
+# (util.py:411-419): == != > >= < <= in not-in
+_OPS = {"==", "!=", ">", ">=", "<", "<=", "in", "not in"}
+
 
 def shard_files(out_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(out_dir, "shard-*.fprs")))
+
+
+def _stats_may_match(stats: dict, col: str, op: str, val) -> bool:
+    """Can a shard whose `col` spans [min, max] contain matches?
+    Unknown stats -> conservatively True."""
+    s = stats.get(col)
+    if not s or s.get("min") is None or s.get("max") is None:
+        return True
+    lo, hi = s["min"], s["max"]
+    if op == ">":
+        return hi > val
+    if op == ">=":
+        return hi >= val
+    if op == "<":
+        return lo < val
+    if op == "<=":
+        return lo <= val
+    if op == "==":
+        return lo <= val <= hi
+    if op == "!=":
+        return not (lo == hi == val)
+    if op == "in":
+        return any(lo <= v <= hi for v in val)
+    if op == "not in":
+        return not (lo == hi and lo in val)
+    return True
+
+
+def prune_shards(paths: list[str], filters) -> list[str]:
+    """Drop shards whose header stats preclude any match."""
+    from ..container import read_header
+
+    kept = []
+    for p in paths:
+        with open(p, "rb") as f:
+            hdr = read_header(f.read(256 * 1024))
+        stats = {
+            c["name"]: {"min": c.get("min"), "max": c.get("max")}
+            for c in hdr["columns"]
+        }
+        if all(_stats_may_match(stats, c, op, v) for c, op, v in filters):
+            kept.append(p)
+    return kept
+
+
+def _residual_filter(filters):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = None
+        for col, op, val in filters:
+            c = t[col]
+            if op == "==":
+                m = pc.equal(c, val)
+            elif op == "!=":
+                m = pc.not_equal(c, val)
+            elif op == ">":
+                m = pc.greater(c, val)
+            elif op == ">=":
+                m = pc.greater_equal(c, val)
+            elif op == "<":
+                m = pc.less(c, val)
+            elif op == "<=":
+                m = pc.less_equal(c, val)
+            elif op == "in":
+                m = pc.is_in(c, value_set=pa.array(list(val)))
+            elif op == "not in":
+                m = pc.invert(pc.is_in(c, value_set=pa.array(list(val))))
+            else:
+                raise ValueError(f"unsupported op {op}")
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask) if mask is not None else t
+
+    return fn
 
 
 def decode_dataset(
     out_dir: str,
     columns: list[str] | None = None,
     concurrency=None,
+    filters=None,
 ):
-    """ray.data.Dataset over the decoded rows of an encoded dataset."""
+    """ray.data.Dataset over the decoded rows of an encoded dataset.
+
+    ``filters``: conjunction of (col, op, value) tuples; shards whose
+    header stats preclude matches are skipped entirely, the residual
+    predicate is applied vectorized per batch."""
     import ray
     import ray.data
 
@@ -37,6 +126,21 @@ def decode_dataset(
     paths = shard_files(out_dir)
     if not paths:
         raise FileNotFoundError(f"no shards under {out_dir}")
+    if filters:
+        for f in filters:
+            if len(f) != 3 or f[1] not in _OPS:
+                raise ValueError(f"bad filter {f}")
+        paths = prune_shards(paths, filters)
+        if not paths:
+            import pyarrow as pa
+
+            return ray.data.from_arrow(pa.table({}))
+        filter_cols = [f[0] for f in filters]
+        decode_cols = (
+            None if columns is None else sorted(set(columns) | set(filter_cols))
+        )
+    else:
+        decode_cols = columns
     # native datasource: decode happens inside stateless read tasks on
     # the warm worker pool (symbol tables are KBs, shipped once with
     # the serialized datasource) — no actor-pool spin-up cost. (The
@@ -44,6 +148,11 @@ def decode_dataset(
     # writes shards.)
     from ..sources.fprs import read_fprs
 
-    return read_fprs(
-        paths, tables=tables, columns=columns, concurrency=concurrency
+    ds = read_fprs(
+        paths, tables=tables, columns=decode_cols, concurrency=concurrency
     )
+    if filters:
+        ds = ds.map_batches(_residual_filter(filters), batch_format="pyarrow")
+        if columns is not None:
+            ds = ds.select_columns(columns)
+    return ds
