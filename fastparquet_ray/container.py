@@ -214,6 +214,10 @@ class ShardEncoder:
             info["codec"] = _STR_CODEC_NAMES.get(body[0], "?") if body else "?"
             if spec and spec.get("table_hash"):
                 info["table_hash"] = spec["table_hash"]
+            if len(arr) and null_count == 0:
+                mm = pa.compute.min_max(arr)
+                info["min"] = mm["min"].as_py()
+                info["max"] = mm["max"].as_py()
         elif kind == "list":
             arr = arr.cast(pa.list_(t.value_type)) if pa.types.is_large_list(t) else arr
             offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
