@@ -98,6 +98,21 @@ def test_salted_shuffle_bounds_skew(ray_session, tmp_path):
     assert verify_roundtrip(paths, out)["ok"]
 
 
+def test_append_new_fragments(ray_session, tmp_path):
+    """Reference append-mode analog (writer.py:973-1032): encoding a
+    superset of inputs into the same dir only encodes the NEW
+    partitions; old shards are reused byte-for-byte."""
+    src = str(tmp_path / "src")
+    paths = write_tokens_dataset(src, 3000, n_fragments=3)
+    out = str(tmp_path / "enc")
+    s1 = encode_pipeline(paths[:2], out)
+    s2 = encode_pipeline(paths, out)  # superset: appends fragment 3
+    assert s2["skipped"] == s1["partitions"]
+    assert s2["encoded"] == s2["partitions"] - s1["partitions"] > 0
+    assert s2["rows"] == 3000
+    assert verify_roundtrip(paths, out)["ok"]
+
+
 def test_local_partition_mode(ray_session, tmp_path):
     """partition_by_source='local': source-pure shards with ZERO
     shuffle (write-side bucket split)."""
