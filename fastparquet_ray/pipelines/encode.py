@@ -134,10 +134,18 @@ def encode_pipeline(
     # cap read parallelism: parquet decode is memory-bandwidth-bound and
     # measured to ANTI-scale past ~8 concurrent readers on one node
     # (0.38 GB/s @8 tasks -> 0.19 @32); on a multi-node cluster the cap
-    # is per-node ~8 readers, which this mirrors
+    # is per-node ~8 readers, which this mirrors.
+    # override_num_blocks = one block per input file: block formation
+    # then depends ONLY on each file (not the whole input set), so
+    # content-addressed partition ids stay stable under APPENDS of new
+    # files (reference append mode, writer.py:973-1032). Trade-off:
+    # upstream files should be written at roughly block size (norm for
+    # training-data lakes; our generator and any 128-512 MB layout).
     ncpu_total = int(ray.cluster_resources().get("CPU", 4))
     read_conc = max(2, min(8, ncpu_total // 4))
-    ds = ray.data.read_parquet(paths, concurrency=read_conc)
+    ds = ray.data.read_parquet(
+        paths, concurrency=read_conc, override_num_blocks=len(paths)
+    )
     if partition_by_source is True:
         ds = salted_shuffle(ds, plan)
     elif partition_by_source == "local":
