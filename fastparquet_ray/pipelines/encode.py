@@ -195,7 +195,14 @@ def encode_pipeline(
             num_cpus=1,
         )
     records = mani_ds.take_all()  # tiny: one row per partition
-    manifest.append(records)
+    # overwrite semantics: the manifest holds EXACTLY this run's
+    # partition set, and shards from older runs over a different input
+    # set / block configuration are deleted — otherwise decode would
+    # silently return duplicated rows
+    manifest.write_records(records)
+    orphans = manifest.remove_orphan_shards(
+        {r["partition_id"] for r in records}
+    )
     encoded = [r for r in records if r["status"] == "encoded"]
     skipped = [r for r in records if r["status"] == "skipped"]
     raw = sum(r["raw_bytes"] for r in records)
@@ -204,6 +211,7 @@ def encode_pipeline(
         "partitions": len(records),
         "encoded": len(encoded),
         "skipped": len(skipped),
+        "orphans_removed": orphans,
         "rows": int(sum(r["rows"] for r in records)),
         "raw_bytes": int(raw),
         "enc_bytes": int(enc),

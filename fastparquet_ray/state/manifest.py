@@ -105,6 +105,36 @@ class Manifest:
             for rec in records:
                 f.write(json.dumps(rec, separators=(",", ":")) + "\n")
 
+    def write_records(self, records: list[dict]) -> None:
+        """Atomically rewrite the manifest to EXACTLY this partition
+        set (overwrite semantics, reference append='overwrite'
+        writer.py:1014-1032) — stale entries from older runs with a
+        different input set/configuration disappear."""
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            for rec in records:
+                f.write(json.dumps(rec, separators=(",", ":")) + "\n")
+        os.replace(tmp, self.path)
+
+    def remove_orphan_shards(self, keep_ids: set[str]) -> int:
+        """Delete shard files whose partition id is not in keep_ids
+        (left behind by runs over a different input set). Returns the
+        number removed."""
+        import glob
+
+        from ..container import read_header
+
+        removed = 0
+        for path in glob.glob(os.path.join(self.out_dir, "shard-*.fprs")):
+            pid = os.path.basename(path)[len("shard-") : -len(".fprs")]
+            if pid not in keep_ids:
+                try:
+                    os.remove(path)
+                    removed += 1
+                except OSError:
+                    pass
+        return removed
+
     def shard_paths(self) -> list[str]:
         recs = self.load_records()
         return sorted(
