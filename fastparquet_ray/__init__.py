@@ -15,3 +15,13 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy re-export of the user API (api.py pulls in the Ray pipelines;
+    # keep `import fastparquet_ray` cheap for codec-only users)
+    if name in ("write", "EncodedDataset"):
+        from . import api
+
+        return getattr(api, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -29,6 +29,33 @@ def shard_files(out_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(out_dir, "shard-*.fprs")))
 
 
+def _coerce_stat_value(ltype: str | None, val):
+    """Header min/max for temporal columns are raw int64 in the
+    column's unit (container._to_int_np); convert a user filter value
+    (Timestamp / datetime / date / np.datetime64) to that unit so the
+    comparison is int-vs-int (ADVICE r01: comparing a raw int against
+    a pd.Timestamp raised TypeError). Returns None when the value
+    can't be converted -> caller keeps the shard conservatively."""
+    import numpy as np
+    import pandas as pd
+
+    if ltype is None or isinstance(val, (int, np.integer)):
+        return val
+    try:
+        if ltype.startswith("timestamp"):
+            unit = ltype.split("[", 1)[1].split("]")[0].split(",")[0]
+            return int(np.datetime64(pd.Timestamp(val).asm8, unit).astype(np.int64))
+        if ltype.startswith("date"):
+            unit = "D" if ltype == "date32[day]" else "ms"
+            return int(np.datetime64(pd.Timestamp(val).asm8, unit).astype(np.int64))
+        if ltype.startswith("time"):
+            unit = ltype.split("[", 1)[1].split("]")[0]
+            return int(pd.Timedelta(val).as_unit(unit).value)
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
 def _stats_may_match(stats: dict, col: str, op: str, val) -> bool:
     """Can a shard whose `col` spans [min, max] contain matches?
     Unknown stats -> conservatively True."""
@@ -36,6 +63,17 @@ def _stats_may_match(stats: dict, col: str, op: str, val) -> bool:
     if not s or s.get("min") is None or s.get("max") is None:
         return True
     lo, hi = s["min"], s["max"]
+    ltype = s.get("ltype")
+    if ltype is not None:
+        if op in ("in", "not in"):
+            vals = [_coerce_stat_value(ltype, v) for v in val]
+            if any(v is None for v in vals):
+                return True
+            val = vals
+        else:
+            val = _coerce_stat_value(ltype, val)
+            if val is None:
+                return True
     if op == ">":
         return hi > val
     if op == ">=":
@@ -64,7 +102,11 @@ def prune_shards(paths: list[str], filters) -> list[str]:
         with open(p, "rb") as f:
             hdr = read_header(f.read(256 * 1024))
         stats = {
-            c["name"]: {"min": c.get("min"), "max": c.get("max")}
+            c["name"]: {
+                "min": c.get("min"),
+                "max": c.get("max"),
+                "ltype": c.get("ltype"),
+            }
             for c in hdr["columns"]
         }
         if all(_stats_may_match(stats, c, op, v) for c, op, v in filters):

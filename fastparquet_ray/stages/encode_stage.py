@@ -10,6 +10,7 @@ once and reused across ALL batches an actor sees).
 
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import Any
 
@@ -34,8 +35,10 @@ class EncodeShard:
     """Encode one Arrow batch -> one shard file + one manifest row.
 
     Idempotent + resumable: the partition id is a content hash of the
-    key column, the shard write is tmp+rename (atomic), and ids in
-    ``finished`` short-circuit to a 'skipped' record.
+    FULL block (every column — so changed non-key values re-encode
+    rather than silently keeping a stale shard), the shard write is
+    tmp+rename (atomic), and ids in ``finished`` short-circuit to a
+    'skipped' record.
     """
 
     def __init__(
@@ -207,8 +210,20 @@ def add_salt_column(
     ).astype(np.uint64)
     src = batch.column("source").to_pandas().to_numpy(dtype=object)
     names = sorted(buckets_by_source)
+    name_idx = {s: i for i, s in enumerate(names)}
+    # sources absent from the sampled histogram get a bucket index
+    # derived from a stable hash of the source string — distinct unseen
+    # sources therefore land in distinct buckets and shards stay
+    # source-pure (ADVICE r01: a single shared overflow index mixed
+    # unseen sources into one shard)
     sidx = np.array(
-        [names.index(s) if s in names else len(names) for s in src],
+        [
+            name_idx[s]
+            if s in name_idx
+            else len(names)
+            + (int(hashlib.md5(str(s).encode()).hexdigest()[:8], 16) % 100_003)
+            for s in src
+        ],
         dtype=np.uint64,
     )
     k = np.array(
