@@ -102,17 +102,21 @@ class EncodedDataset:
         }
 
     def _first_header(self) -> dict:
-        with open(self._paths[0], "rb") as f:
-            return read_header(f.read(256 * 1024))
+        from .state import fs as fsmod
+
+        fs, rp = fsmod.get_fs(self._paths[0])
+        return read_header(fsmod.read_bytes(fs, rp, 256 * 1024))
 
     def count(self) -> int:
         recs = self.manifest.load_records()
         if recs:
             return sum(r.get("rows", 0) for r in recs.values())
+        from .state import fs as fsmod
+
         total = 0
         for p in self._paths:
-            with open(p, "rb") as f:
-                total += read_header(f.read(256 * 1024))["num_rows"]
+            fs, rp = fsmod.get_fs(p)
+            total += read_header(fsmod.read_bytes(fs, rp, 256 * 1024))["num_rows"]
         return total
 
     def statistics(self) -> pd.DataFrame:

@@ -14,10 +14,7 @@ per batch (M3/M4).
 
 from __future__ import annotations
 
-import glob
-import os
-
-from ..stages.encode_stage import DecodeShard
+from ..state import fs as fsmod
 from ..state.manifest import Manifest
 
 # filters are [(col, op, value)] conjunctions, ops as in the reference
@@ -26,7 +23,13 @@ _OPS = {"==", "!=", ">", ">=", "<", "<=", "in", "not in"}
 
 
 def shard_files(out_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(out_dir, "shard-*.fprs")))
+    """Shard paths under an encoded dataset dir (plain path or URI;
+    URIs keep their protocol prefix so downstream opens re-resolve)."""
+    fs, root = fsmod.get_fs(out_dir)
+    proto = "" if fsmod.is_local(fs) else out_dir.split("://", 1)[0] + "://"
+    return sorted(
+        proto + p for p in fs.glob(fsmod.join(fs, root, "shard-*.fprs"))
+    )
 
 
 def _coerce_stat_value(ltype: str | None, val):
@@ -99,8 +102,8 @@ def prune_shards(paths: list[str], filters) -> list[str]:
 
     kept = []
     for p in paths:
-        with open(p, "rb") as f:
-            hdr = read_header(f.read(256 * 1024))
+        fs, rp = fsmod.get_fs(p)
+        hdr = read_header(fsmod.read_bytes(fs, rp, 256 * 1024))
         stats = {
             c["name"]: {
                 "min": c.get("min"),
@@ -190,8 +193,13 @@ def decode_dataset(
     # writes shards.)
     from ..sources.fprs import read_fprs
 
+    fs, _ = fsmod.get_fs(out_dir)
     ds = read_fprs(
-        paths, tables=tables, columns=decode_cols, concurrency=concurrency
+        [fsmod.get_fs(p)[1] for p in paths] if not fsmod.is_local(fs) else paths,
+        tables=tables,
+        columns=decode_cols,
+        concurrency=concurrency,
+        filesystem=None if fsmod.is_local(fs) else fs,
     )
     if filters:
         ds = ds.map_batches(_residual_filter(filters), batch_format="pyarrow")

@@ -95,11 +95,18 @@ def encode_pipeline(
     import ray
     import ray.data
 
-    if isinstance(paths, str):
-        import glob as _glob
+    from ..state import fs as fsmod
 
-        paths = sorted(_glob.glob(os.path.join(paths, "*.parquet")))
-    os.makedirs(out_dir, exist_ok=True)
+    if isinstance(paths, str):
+        # a directory (possibly a URI): enumerate its parquet fragments
+        in_fs, in_root = fsmod.get_fs(paths)
+        proto = "" if fsmod.is_local(in_fs) else paths.split("://", 1)[0] + "://"
+        paths = sorted(
+            proto + p
+            for p in in_fs.glob(fsmod.join(in_fs, in_root, "*.parquet"))
+        )
+    out_fs, out_root = fsmod.get_fs(out_dir)
+    out_fs.makedirs(out_root, exist_ok=True)
     manifest = Manifest(out_dir)
 
     if plan is None:

@@ -45,10 +45,12 @@ def export_parquet(
 def shard_statistics(enc_dir: str) -> pd.DataFrame:
     """Per-shard, per-column stats from headers only (cheap metadata
     scan — the reference reads footer Statistics the same way)."""
+    from ..state import fs as fsmod
+
     rows = []
     for path in shard_files(enc_dir):
-        with open(path, "rb") as f:
-            hdr = read_header(f.read(256 * 1024))
+        fs, rp = fsmod.get_fs(path)
+        hdr = read_header(fsmod.read_bytes(fs, rp, 256 * 1024))
         for c in hdr["columns"]:
             rows.append(
                 {

@@ -154,20 +154,23 @@ def sample_fragments(paths: list[str], rows_per_fragment: int | None = None) -> 
             SAMPLE_ROWS_PER_FRAGMENT,
             max(200, SAMPLE_ROWS_TOTAL // max(len(paths), 1)),
         )
+    from .state import fs as fsmod  # lazy: avoids plan<->state cycle
+
     parts = []
     for p in paths:
-        f = pq.ParquetFile(p)
-        got = 0
-        batches = []
-        for batch in f.iter_batches(batch_size=rows_per_fragment):
-            batches.append(batch)
-            got += batch.num_rows
-            if got >= rows_per_fragment:
-                break
-        if batches:
-            t = pa.Table.from_batches(batches)
-            parts.append(t.slice(0, rows_per_fragment))
-        f.close()
+        fs, rp = fsmod.get_fs(p)
+        with fs.open(rp, "rb") as fh:
+            f = pq.ParquetFile(fh)
+            got = 0
+            batches = []
+            for batch in f.iter_batches(batch_size=rows_per_fragment):
+                batches.append(batch)
+                got += batch.num_rows
+                if got >= rows_per_fragment:
+                    break
+            if batches:
+                t = pa.Table.from_batches(batches)
+                parts.append(t.slice(0, rows_per_fragment))
     return pa.concat_tables(parts) if parts else pa.table({})
 
 

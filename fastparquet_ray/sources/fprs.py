@@ -44,11 +44,21 @@ def read_fprs(
     tables: dict[str, bytes] | None = None,
     columns: list[str] | None = None,
     concurrency=None,
+    filesystem=None,
 ):
-    """ray.data Dataset over shard files (one read task per shard)."""
+    """ray.data Dataset over shard files (one read task per shard).
+    ``filesystem`` may be an fsspec filesystem (wrapped for pyarrow) or
+    a pyarrow FileSystem — reference S10 remote-FS analog."""
     import ray.data
 
+    if filesystem is not None and not hasattr(filesystem, "type_name"):
+        # fsspec -> pyarrow wrapper (Ray Data wants pyarrow.fs)
+        from ..state.fs import to_pyarrow_fs
+
+        filesystem = to_pyarrow_fs(filesystem)
     return ray.data.read_datasource(
-        FprsDatasource(paths, tables=tables, columns=columns),
+        FprsDatasource(
+            paths, tables=tables, columns=columns, filesystem=filesystem
+        ),
         concurrency=concurrency,
     )

@@ -51,9 +51,15 @@ class EncodeShard:
     ):
         import ray
 
+        from ..state import fs as fsmod
+
         plan = CodecPlan.from_json(plan_json)
         self.encoder = ShardEncoder(plan.specs, plan.tables, outer=plan.outer)
         self.out_dir = out_dir
+        # out_dir may be a URI (s3://...); resolve once per actor —
+        # reference S10 analog: open_with threaded through every write
+        # (writer.py:864-869)
+        self.fs, self.root = fsmod.get_fs(out_dir)
         self.key_column = key_column
         self.split_by = split_by
         if finished is not None and isinstance(finished, ray.ObjectRef):
@@ -70,18 +76,17 @@ class EncodeShard:
         if self.key_column in batch.column_names and batch.num_rows:
             mm = pc.min_max(batch.column(self.key_column))
             key_range = (str(mm["min"].as_py()), str(mm["max"].as_py()))
+        from ..state import fs as fsmod
+
         shard = f"shard-{pid}.fprs"
-        path = os.path.join(self.out_dir, shard)
-        if pid in self.finished and os.path.exists(path):
-            hdr = read_header(open(path, "rb").read(256 * 1024))
+        path = fsmod.join(self.fs, self.root, shard)
+        if pid in self.finished and self.fs.exists(path):
+            hdr = read_header(fsmod.read_bytes(self.fs, path, 256 * 1024))
             return _manifest_batch(
                 pid, shard, batch.num_rows, hdr, "skipped", key_range
             )
         blob = self.encoder.encode_table(batch, pid)
-        tmp = path + f".tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)
+        fsmod.atomic_write(self.fs, path, blob, suffix=f".{os.getpid()}")
         hdr = read_header(blob)
         return _manifest_batch(
             pid, shard, batch.num_rows, hdr, "encoded", key_range
