@@ -142,6 +142,8 @@ def minhash_lsh_pairs(
         pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
         return pd.DataFrame(pairs, columns=["id_a", "id_b"])
 
+    # candidate pairs are OUTPUT-bounded (LSH buckets, not the corpus),
+    # so the driver may hold them — it may NOT hold the corpus
     cand = (
         buckets.groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
@@ -154,24 +156,75 @@ def minhash_lsh_pairs(
              "id_b": pd.Series([], dtype="int64"),
              "jaccard": pd.Series([], dtype="float64")}
         )
-    # exact-verify candidates (broadcast texts; candidate set is small)
-    texts = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    tmap = dict(zip(texts["doc_id"], texts["text"]))
-    sh_cache: dict[int, np.ndarray] = {}
+    # exact-verify, distributed (the r01 version shipped ALL document
+    # texts to the driver): (1) semi-join the corpus to candidate ids
+    # via a broadcast id set, computing shingle hashes inside
+    # map_batches; (2) broadcast the candidate-bounded shingle map and
+    # verify pairs vectorized in map_batches over the pair dataset.
+    cand_ids = set(
+        np.unique(np.concatenate([cand["id_a"].to_numpy(), cand["id_b"].to_numpy()]))
+        .astype(np.int64)
+        .tolist()
+    )
+    ids_ref = ray.put(cand_ids)
+    k = 3  # same word-shingle size as the MinHasher
 
-    def sh(did: int) -> np.ndarray:
-        if did not in sh_cache:
-            sh_cache[did] = _word_shingles([tmap[did]])[0]
-        return sh_cache[did]
+    class CandidateShingles:
+        def __init__(self, ref):
+            self.ids = ray.get(ref)
 
-    jac = []
-    for a, b in zip(cand["id_a"], cand["id_b"]):
-        sa, sb = sh(int(a)), sh(int(b))
-        inter = np.intersect1d(sa, sb).size
-        union = sa.size + sb.size - inter
-        jac.append(inter / union if union else 1.0)
-    cand = cand.assign(jaccard=jac)
-    out = cand[cand["jaccard"] >= jaccard_threshold].reset_index(drop=True)
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["doc_id"].isin(self.ids)]
+            if df.empty:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "sh": pd.Series([], dtype=object)}
+                )
+            shingles = _word_shingles(df["text"].tolist(), k)
+            return pd.DataFrame(
+                {"doc_id": df["doc_id"].to_numpy(),
+                 "sh": [s.tobytes() for s in shingles]}
+            )
+
+    sh_df = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            CandidateShingles,
+            fn_constructor_kwargs={"ref": ids_ref},
+            batch_format="pandas",
+            concurrency=2,
+        )
+        .to_pandas()  # candidate-bounded, not corpus-bounded
+    )
+    smap_ref = ray.put(dict(zip(sh_df["doc_id"], sh_df["sh"])))
+
+    class VerifyJaccard:
+        def __init__(self, ref):
+            self.smap = {
+                d: np.frombuffer(b, dtype=np.uint64)
+                for d, b in ray.get(ref).items()
+            }
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            jac = []
+            for a, b in zip(df["id_a"], df["id_b"]):
+                sa, sb = self.smap[int(a)], self.smap[int(b)]
+                inter = np.intersect1d(sa, sb).size
+                union = sa.size + sb.size - inter
+                jac.append(inter / union if union else 1.0)
+            return df.assign(jaccard=jac)
+
+    verified = (
+        ray.data.from_pandas(cand.reset_index(drop=True))
+        .map_batches(
+            VerifyJaccard,
+            fn_constructor_kwargs={"ref": smap_ref},
+            batch_format="pandas",
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    out = verified[verified["jaccard"] >= jaccard_threshold].reset_index(drop=True)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 

@@ -66,18 +66,42 @@ class FeatureExtractor:
         hist = np.bincount(b % self.dim, minlength=self.dim).astype(np.float64)
         return hist / b.size
 
+    def _decode_batch(self, col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized stub decode over the whole batch: the Arrow binary
+        buffers (offsets + data) are sliced directly — no per-row
+        .as_py() materialization (r01 scale defect). Returns
+        (per-row normalized byte histograms, per-row byte lengths)."""
+        if self.strict:
+            raise NotImplementedError(
+                "media decode requires image/audio libs not present in "
+                "this environment; deterministic stub used instead"
+            )
+        n = len(col)
+        if n == 0:
+            return np.zeros((0, self.dim)), np.zeros(0, dtype=np.int64)
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset : col.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        lengths = np.diff(offs)
+        row = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        vals = data[offs[0] : offs[-1]].astype(np.int64) % self.dim
+        h = np.bincount(row * self.dim + vals, minlength=n * self.dim).reshape(
+            n, self.dim
+        )
+        hist = h / np.maximum(lengths, 1)[:, None]
+        return hist, lengths
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats = [self._decode(p.as_py()) for p in t.column("payload")]
-        m = np.stack(feats) if feats else np.zeros((0, self.dim))
+        col = t.column("payload").combine_chunks()
+        m, lengths = self._decode_batch(col)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "source": t.column("source"),
                 "feat_mean": pa.array(m.mean(axis=1)),
                 "feat_max": pa.array(m.max(axis=1) if len(m) else []),
-                "payload_bytes": pa.array(
-                    [len(p.as_py()) for p in t.column("payload")], pa.int64()
-                ),
+                "payload_bytes": pa.array(lengths, pa.int64()),
             }
         )
 

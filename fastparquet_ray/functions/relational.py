@@ -140,30 +140,24 @@ def groupby_agg(sf_dir: str):
 
 def distinct_count(sf_dir: str):
     """Distinct cardinality (reference A7 — only ever read from stats,
-    api.py:869-870; here computed: per-batch unique -> union -> count,
-    avoiding a full-row shuffle)."""
-    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    api.py:869-870). Fully distributed: per-batch ``pc.unique``
+    pre-shrinks the shuffle input, then a hash groupby whose GROUP
+    COUNT is the answer (``Dataset.count`` on the grouped dataset is a
+    metadata reduce — no values ever reach the driver; the r01 version
+    shipped every unique value into a driver DataFrame)."""
 
-    def uniq(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "col": ["l_partkey"] * len(pc.unique(t["l_partkey"]))
-                + ["l_suppkey"] * len(pc.unique(t["l_suppkey"])),
-                "val": pa.concat_arrays(
-                    [
-                        pc.unique(t["l_partkey"]),
-                        pc.unique(t["l_suppkey"]),
-                    ]
-                ),
-            }
+    def n_distinct(col: str) -> int:
+        ds = _read(sf_dir, "lineitem", [col])
+        uniq = ds.map_batches(
+            lambda t, c=col: pa.table({c: pc.unique(t[c])}),
+            batch_format="pyarrow",
         )
+        return uniq.groupby(col).count().count()
 
-    pairs = ds.map_batches(uniq, batch_format="pyarrow").to_pandas()
-    dd = pairs.drop_duplicates()
     return pd.DataFrame(
         {
-            "n_part": [int((dd["col"] == "l_partkey").sum())],
-            "n_supp": [int((dd["col"] == "l_suppkey").sum())],
+            "n_part": [int(n_distinct("l_partkey"))],
+            "n_supp": [int(n_distinct("l_suppkey"))],
         }
     )
 
@@ -302,10 +296,11 @@ def semi_join(sf_dir: str):
         def __init__(self, ref):
             import ray as _r
 
-            self.keys = _r.get(ref)
+            # value set built ONCE per actor (was rebuilt per batch)
+            self.keys = pa.array(_r.get(ref))
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pc.is_in(t["o_custkey"], value_set=pa.array(self.keys))
+            mask = pc.is_in(t["o_custkey"], value_set=self.keys)
             return t.select(["o_orderkey"]).filter(mask)
 
     return ds.map_batches(
@@ -325,11 +320,11 @@ def anti_join(sf_dir: str):
         def __init__(self, ref):
             import ray as _r
 
-            self.keys = _r.get(ref)
+            self.keys = pa.array(_r.get(ref))
 
         def __call__(self, t: pa.Table) -> pa.Table:
             mask = pc.invert(
-                pc.is_in(t["o_custkey"], value_set=pa.array(self.keys))
+                pc.is_in(t["o_custkey"], value_set=self.keys)
             )
             return t.select(["o_orderkey"]).filter(mask)
 

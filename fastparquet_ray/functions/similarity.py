@@ -26,15 +26,21 @@ def _emb(sf_dir: str):
 
 
 def _query_vector(sf_dir: str) -> tuple[int, np.ndarray]:
-    """Deterministic query: the embedding of the smallest vec_id."""
-    import pyarrow.parquet as pq
+    """Deterministic query: the embedding of the smallest vec_id.
 
+    The min is a distributed single-column reduce (Dataset.min over the
+    pruned vec_id column) and the one matching row is fetched with a
+    predicate-pushdown read (row-group pruning) — the r01 version
+    materialized the whole embeddings file on the driver."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qid = int(ray.data.read_parquet(path, columns=["vec_id"]).min("vec_id"))
     t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "==", qid)]
     )
-    i = int(np.argmin(t.column("vec_id").to_numpy()))
-    qid = int(t.column("vec_id")[i].as_py())
-    q = np.array(t.column("embedding")[i].as_py(), dtype=np.float64)
+    q = np.array(t.column("embedding")[0].as_py(), dtype=np.float64)
     return qid, q
 
 
@@ -90,10 +96,15 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8, n_probe: int = 
     qid, q = _query_vector(sf_dir)
     qn = q / (np.linalg.norm(q) or 1.0)
 
-    # deterministic centroid init: first n_centroids * 16 vectors, then
+    # deterministic centroid init: first n_centroids * 16 vectors from
+    # a HEAD-of-fragment read (first record batch only — never the full
+    # file; at 100TB the training sample is a bounded head slice), then
     # 5 Lloyd iterations on the sample
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
-    sample = np.stack(t.column("embedding").to_numpy()[: n_centroids * 16]).astype(
+    n_sample = n_centroids * 16
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    head = next(pf.iter_batches(batch_size=n_sample, columns=["embedding"]))
+    pf.close()
+    sample = np.stack(head.column("embedding").to_numpy(zero_copy_only=False)).astype(
         np.float64
     )
     cent = sample[:n_centroids].copy()

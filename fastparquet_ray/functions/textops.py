@@ -112,53 +112,93 @@ def fingerprint(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def _pair_sims(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+    """Character-set Jaccard for row-aligned frames (matches DuckDB's
+    jaccard(s1, s2)); the per-row set work IS the similarity kernel."""
+    sim = []
+    for x_t, y_t in zip(a["text"], b["text"]):
+        x, y = set(x_t), set(y_t)
+        sim.append(len(x & y) / len(x | y) if (x | y) else 1.0)
+    return pd.DataFrame(
+        {
+            "id_a": a["doc_id"].to_numpy(),
+            "id_b": b["doc_id"].to_numpy(),
+            "sim": sim,
+        }
+    )
+
+
+_EMPTY_PAIRS = {
+    "id_a": pd.Series([], dtype="int64"),
+    "id_b": pd.Series([], dtype="int64"),
+    "sim": pd.Series([], dtype="float64"),
+}
+
+
 def adjacent_similarity(sf_dir: str):
     """Character-set Jaccard similarity between consecutive documents
     (definition matches DuckDB's jaccard(s1, s2) so the oracle can
     verify a similarity computation end-to-end).
 
-    Scale note: pairs are formed per-batch after a sort on doc_id; the
-    one cross-batch pair per boundary is recovered from boundary rows
-    on the driver (O(#blocks) work)."""
+    Distributed: after the range-partitioning sort on doc_id, every
+    block computes its intra-block consecutive pairs in parallel; the
+    one missing pair per block boundary is reconstructed from each
+    block's (first, last) rows — an O(#blocks) driver fix-up, never a
+    scan of the data (the r01 version streamed the entire sorted
+    dataset through the driver)."""
     import ray.data
 
-    ds = _docs(sf_dir, ["doc_id", "text"]).sort("doc_id")
+    # materialize() pins ONE sorted block layout in the object store
+    # (distributed, spillable — never the driver): the intra-pair pass
+    # and the boundary-row pass below must see identical block slicing,
+    # and two executions of a lazy sort may not slice identically
+    ds = _docs(sf_dir, ["doc_id", "text"]).sort("doc_id").materialize()
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def intra(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype="int64"),
-                 "id_b": pd.Series([], dtype="int64"),
-                 "sim": pd.Series([], dtype="float64")}
-            )
-        a = df.iloc[:-1].reset_index(drop=True)
-        b = df.iloc[1:].reset_index(drop=True)
-        sets_a = [set(t) for t in a["text"]]
-        sets_b = [set(t) for t in b["text"]]
-        sim = [
-            len(x & y) / len(x | y) if (x | y) else 1.0
-            for x, y in zip(sets_a, sets_b)
-        ]
-        return pd.DataFrame(
-            {"id_a": a["doc_id"], "id_b": b["doc_id"], "sim": sim}
+            return pd.DataFrame(_EMPTY_PAIRS)
+        return _pair_sims(
+            df.iloc[:-1].reset_index(drop=True),
+            df.iloc[1:].reset_index(drop=True),
         )
 
-    # consecutive pairs within and across batch boundaries: iterate the
-    # sorted stream once on the driver with a 1-row carry — per-pair
-    # work stays vectorized in pandas
-    outs = []
-    carry = None
-    for batch in ds.iter_batches(batch_size=8192, batch_format="pandas"):
-        if carry is not None:
-            batch = pd.concat([carry, batch], ignore_index=True)
-        outs.append(pairs(batch))
-        carry = batch.iloc[[-1]]
-    out = (
-        pd.concat(outs, ignore_index=True)
-        if outs
-        else pairs(pd.DataFrame({"doc_id": [], "text": []}))
+    pairs_ds = ds.map_batches(intra, batch_format="pandas")
+
+    # block boundary rows: one record per block with its first/last row
+    def bounds(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=df[c].dtype if c in df else object)
+                 for c in ["first_id", "first_text", "last_id", "last_text"]}
+            )
+        return pd.DataFrame(
+            {
+                "first_id": [df["doc_id"].iloc[0]],
+                "first_text": [df["text"].iloc[0]],
+                "last_id": [df["doc_id"].iloc[-1]],
+                "last_text": [df["text"].iloc[-1]],
+            }
+        )
+
+    b = (
+        ds.map_batches(bounds, batch_format="pandas")
+        .to_pandas()  # O(#blocks) rows only
+        .sort_values("first_id")
+        .reset_index(drop=True)
     )
-    return out
+    if len(b) > 1:
+        prev = pd.DataFrame(
+            {"doc_id": b["last_id"].iloc[:-1], "text": b["last_text"].iloc[:-1]}
+        ).reset_index(drop=True)
+        nxt = pd.DataFrame(
+            {"doc_id": b["first_id"].iloc[1:], "text": b["first_text"].iloc[1:]}
+        ).reset_index(drop=True)
+        boundary = _pair_sims(prev, nxt)
+    else:
+        boundary = pd.DataFrame(_EMPTY_PAIRS)
+    if len(boundary):
+        return pairs_ds.union(ray.data.from_pandas(boundary))
+    return pairs_ds
 
 
 class LangId:
