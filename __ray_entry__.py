@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_checksum": flagship.tokens_checksum,
         "tokens_roundtrip": flagship.tokens_roundtrip_summary,
         "tokens_export_parquet": flagship.tokens_export_roundtrip,
+        "nested_roundtrip": flagship.nested_roundtrip,
         "codec_plan": flagship.codec_plan_report,
         "shard_stats": flagship.shard_stats_report,
         # --- dedup family ---
@@ -228,6 +229,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n, "
             "CAST(sum(n_tok) AS BIGINT) AS sum_tok "
             f"FROM read_parquet('{_TOKENS_GLOB}') GROUP BY source"
+        ),
+        "nested_roundtrip": (
+            "SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+            "string_split(text, ' ')[1] AS first_word, "
+            "string_split(text, ' ')[-1] AS last_word FROM documents"
         ),
         "dedup_exact": (
             "SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id, "

@@ -46,9 +46,12 @@ _S_PLAIN, _S_DICT, _S_FSST = 16, 17, 18
 
 
 def str_to_bufs(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Arrow string array -> (lengths int64, data uint8), zero-copy-ish."""
+    """Arrow string/binary array -> (lengths int64, data uint8),
+    zero-copy-ish (binary shares the identical offsets+data layout)."""
     if pa.types.is_large_string(arr.type):
         arr = arr.cast(pa.string())
+    elif pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.binary())
     if arr.null_count:
         raise ValueError("string codecs require non-null input")
     off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
@@ -58,10 +61,22 @@ def str_to_bufs(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return np.diff(off), data
 
 
-def bufs_to_arrow(lengths: np.ndarray, data: np.ndarray) -> pa.Array:
-    """(lengths, data) -> Arrow string array."""
+def bufs_to_arrow(
+    lengths: np.ndarray, data: np.ndarray, binary: bool = False
+) -> pa.Array:
+    """(lengths, data) -> Arrow string (or binary) array."""
     offsets = np.zeros(lengths.size + 1, dtype=np.int32)
     np.cumsum(lengths, out=offsets[1:])
+    if binary:
+        return pa.Array.from_buffers(
+            pa.binary(),
+            lengths.size,
+            [
+                None,
+                pa.py_buffer(offsets.tobytes()),
+                pa.py_buffer(np.ascontiguousarray(data).tobytes()),
+            ],
+        )
     return pa.StringArray.from_buffers(
         lengths.size,
         pa.py_buffer(offsets.tobytes()),

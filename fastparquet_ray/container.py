@@ -35,6 +35,7 @@ import pyarrow as pa
 from .codecs import intcodec as ic
 from .codecs import strcodec as sc
 from .codecs.fsst import FsstTable, train_fsst
+from .codecs.varint import decode_uvarint, encode_uvarint
 
 MAGIC = b"FPRS1"
 
@@ -67,21 +68,35 @@ _STR_CODEC_NAMES = {16: "plain", 17: "dict", 18: "fsst"}
 # type normalization
 
 
-def _storage_kind(t: pa.DataType) -> str:
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return "str"
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        vt = t.value_type
-        if _storage_kind(vt) in ("int", "float"):
-            return "list"
-        raise TypeError(f"unsupported list value type {vt}")
-    if (
+def _is_intish(t: pa.DataType) -> bool:
+    return (
         pa.types.is_integer(t)
         or pa.types.is_boolean(t)
         or pa.types.is_timestamp(t)
         or pa.types.is_date(t)
         or pa.types.is_time(t)
-    ):
+    )
+
+
+def _storage_kind(t: pa.DataType) -> str:
+    """Top-level column dispatch. "list" is the fast plan-driven path
+    for non-null list<int/float> (the flagship tokens layout); every
+    other nested shape — list<string>, nullable lists, struct, map —
+    goes through the recursive "nested" path (reference analog: Dremel
+    assembly of one-level LIST/MAP + struct flattening,
+    cencoding.pyx:376-439, schema.py:154-198, core.py:584-595)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        vt = t.value_type
+        if _is_intish(vt) or pa.types.is_floating(vt):
+            return "list"
+        return "nested"
+    if pa.types.is_struct(t) or pa.types.is_map(t):
+        return "nested"
+    if _is_intish(t):
         return "int"
     if pa.types.is_floating(t):
         return "float"
@@ -183,6 +198,17 @@ class ShardEncoder:
         ]
         return min(cands, key=len)
 
+    def _encode_bytes(self, arr: pa.Array) -> bytes:
+        """Binary column body: smallest of plain / fsst (the dict codec
+        path round-trips through utf8 strings, so it is skipped for
+        arbitrary bytes)."""
+        lengths, data = sc.str_to_bufs(arr)
+        cands = [
+            sc.encode_plain_str(lengths, data),
+            sc.encode_fsst_str(lengths, data, train_fsst(lengths, data)),
+        ]
+        return min(cands, key=len)
+
     def _encode_column(self, arr: pa.Array, spec: dict | None) -> tuple[list[bytes], dict]:
         """Returns (buffers, column header info)."""
         t = arr.type
@@ -192,22 +218,37 @@ class ShardEncoder:
         info: dict[str, Any] = {}
         null_count = arr.null_count
         info["null_count"] = null_count
+        kind = _storage_kind(t)
+        if kind == "list" and (null_count or arr.flatten().null_count):
+            # nullable lists / null elements take the recursive path
+            kind = "nested"
+        if kind == "nested":
+            body = self._encode_nested(arr)
+            info.update(
+                {"validity_len": 0, "kind": "nested", "sizes": [len(body)],
+                 "codec": "nested"}
+            )
+            return [b"", body], info
         validity = b""
         if null_count:
             mask = arr.is_valid().to_numpy(zero_copy_only=False)
             validity = np.packbits(mask, bitorder="little").tobytes()
             if pa.types.is_string(t) or pa.types.is_large_string(t):
                 arr = arr.fill_null("")
+            elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+                arr = arr.fill_null(b"")
             elif pa.types.is_floating(t):
                 arr = arr.fill_null(0.0)
-            elif pa.types.is_list(t) or pa.types.is_large_list(t):
-                raise TypeError("null list values unsupported")
             else:
                 arr = arr.fill_null(0)
         info["validity_len"] = len(validity)
-        kind = _storage_kind(t)
         info["kind"] = kind
-        if kind == "str":
+        if kind == "bytes":
+            body = self._encode_bytes(arr)
+            bufs = [validity, body]
+            info["sizes"] = [len(body)]
+            info["codec"] = _STR_CODEC_NAMES.get(body[0], "?") if body else "?"
+        elif kind == "str":
             body = self._encode_str(arr, spec)
             bufs = [validity, body]
             info["sizes"] = [len(body)]
@@ -269,6 +310,87 @@ class ShardEncoder:
                 info["max"] = int(vnp.max())
         return bufs, info
 
+    # ---- recursive nested encoding (list<any>, nullable lists, struct,
+    # map) — reference analog: Dremel def/rep-level assembly
+    # (cencoding.pyx:376-439) and MAP key/value zipping (core.py:584-595);
+    # here Arrow offsets/validity replace the level streams entirely.
+    # Node wire format:
+    #   u8 kind | uvarint n | uvarint validity_len | validity | body
+    #   kind 1 str / 2 bytes: uvarint blen + strcodec blob
+    #   kind 3 int:           uvarint blen + intcodec blob
+    #   kind 4 float:         uvarint dlen + dtype ascii + raw LE
+    #   kind 5 list / 7 map:  uvarint llen + intcodec lengths + child node
+    #   kind 6 struct:        uvarint nfields + child nodes
+
+    def _encode_nested(self, arr: pa.Array) -> bytes:
+        import pyarrow.compute as pc
+
+        t = arr.type
+        if pa.types.is_dictionary(t):
+            arr = arr.cast(t.value_type)
+            t = arr.type
+        n = len(arr)
+        null_count = arr.null_count
+        validity = b""
+        if null_count:
+            mask = arr.is_valid().to_numpy(zero_copy_only=False)
+            validity = np.packbits(mask, bitorder="little").tobytes()
+        head = (
+            encode_uvarint(n)
+            + encode_uvarint(null_count)
+            + encode_uvarint(len(validity))
+            + validity
+        )
+        if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_map(t):
+            if pa.types.is_map(t):
+                # a map IS a list<struct<key, value>> physically; the
+                # list-compute kernels only accept the list form
+                kind = 7
+                arr = arr.cast(pa.list_(pa.struct([t.key_field, t.item_field])))
+            else:
+                kind = 5
+            lengths = (
+                pc.list_value_length(arr).cast(pa.int32()).fill_null(0).to_numpy(
+                    zero_copy_only=False
+                )
+            ).astype(np.int32)
+            values = pc.list_flatten(arr)  # valid slots' values only
+            child = self._encode_nested(values)
+            lb = _encode_int_auto(lengths, None)
+            body = encode_uvarint(len(lb)) + lb + child
+        elif pa.types.is_struct(t):
+            kind = 6
+            # children stay full-length; parent validity masks null
+            # structs (child values under a null parent are preserved
+            # bytes, masked out on decode)
+            body = encode_uvarint(t.num_fields)
+            for i in range(t.num_fields):
+                body += self._encode_nested(arr.field(i))
+            body = bytes(body)
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            kind = 1
+            blob = self._encode_str(arr.fill_null("") if null_count else arr, None)
+            body = encode_uvarint(len(blob)) + blob
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            kind = 2
+            blob = self._encode_bytes(arr.fill_null(b"") if null_count else arr)
+            body = encode_uvarint(len(blob)) + blob
+        elif pa.types.is_floating(t):
+            kind = 4
+            vnp = (arr.fill_null(0.0) if null_count else arr).to_numpy(
+                zero_copy_only=False
+            )
+            ds = str(vnp.dtype).encode()
+            body = encode_uvarint(len(ds)) + ds + np.ascontiguousarray(vnp).tobytes()
+        elif _is_intish(t):
+            kind = 3
+            vnp = _to_int_np(arr.fill_null(0) if null_count else arr)
+            blob = _encode_int_auto(vnp, None)
+            body = encode_uvarint(len(blob)) + blob
+        else:
+            raise TypeError(f"unsupported nested component type {t}")
+        return bytes([kind]) + head + body
+
     def encode_table(self, table: pa.Table, partition_id: str | None = None) -> bytes:
         table = table.combine_chunks()
         cols = []
@@ -315,6 +437,97 @@ class ShardEncoder:
 # decode
 
 
+def _attach_validity(arr: pa.Array, vbuf, null_count: int) -> pa.Array:
+    """Attach a validity bitmap to a FLAT (primitive / var-binary)
+    array via from_buffers (values at null slots are the encode-side
+    fill values)."""
+    if not null_count:
+        return arr
+    return pa.Array.from_buffers(
+        arr.type, len(arr), [vbuf] + arr.buffers()[1:], null_count=null_count
+    )
+
+
+def decode_nested(
+    buf: bytes, pos: int, t: pa.DataType, tables: dict[str, bytes] | None = None
+) -> tuple[pa.Array, int]:
+    """Decode one nested node (see ShardEncoder._encode_nested wire
+    format) into an Arrow array of type ``t``."""
+    want = t
+    if pa.types.is_dictionary(t):
+        t = t.value_type
+    kind = buf[pos]
+    pos += 1
+    n, pos = decode_uvarint(buf, pos)
+    null_count, pos = decode_uvarint(buf, pos)
+    vlen, pos = decode_uvarint(buf, pos)
+    vbuf = pa.py_buffer(bytes(buf[pos : pos + vlen])) if null_count else None
+    pos += vlen
+    if kind in (5, 7):  # list / map
+        llen, pos = decode_uvarint(buf, pos)
+        lengths = ic.decode_any_int(bytes(buf[pos : pos + llen])).astype(np.int64)
+        pos += llen
+        if kind == 7:
+            entry_t = pa.struct([t.key_field, t.item_field])
+            child, pos = decode_nested(buf, pos, entry_t, tables)
+            plain_t = t
+        else:
+            child, pos = decode_nested(buf, pos, t.value_type, tables)
+            plain_t = pa.list_(t.value_type)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offsets[1:])
+        arr = pa.Array.from_buffers(
+            plain_t,
+            n,
+            [vbuf, pa.py_buffer(offsets.tobytes())],
+            null_count=null_count,
+            children=[child],
+        )
+    elif kind == 6:  # struct
+        nf, pos = decode_uvarint(buf, pos)
+        children = []
+        for i in range(nf):
+            c, pos = decode_nested(buf, pos, t.field(i).type, tables)
+            children.append(c)
+        arr = pa.Array.from_buffers(
+            pa.struct([t.field(i) for i in range(nf)]),
+            n,
+            [vbuf],
+            null_count=null_count,
+            children=children,
+        )
+    elif kind in (1, 2):  # str / bytes
+        blen, pos = decode_uvarint(buf, pos)
+        lengths, data = sc.decode_any_str(bytes(buf[pos : pos + blen]), tables)
+        pos += blen
+        arr = _attach_validity(
+            sc.bufs_to_arrow(lengths, data, binary=(kind == 2)), vbuf, null_count
+        )
+    elif kind == 4:  # float
+        dlen, pos = decode_uvarint(buf, pos)
+        dt = np.dtype(bytes(buf[pos : pos + dlen]).decode())
+        pos += dlen
+        vnp = np.frombuffer(buf, dtype=dt, offset=pos, count=n)
+        pos += n * dt.itemsize
+        arr = _attach_validity(pa.array(vnp), vbuf, null_count)
+    elif kind == 3:  # int-ish
+        blen, pos = decode_uvarint(buf, pos)
+        vals = ic.decode_any_int(bytes(buf[pos : pos + blen]))
+        pos += blen
+        if pa.types.is_boolean(t):
+            arr = pa.array(vals.astype(bool))
+        else:
+            arr = pa.array(vals).cast(t)
+        arr = _attach_validity(arr, vbuf, null_count)
+    else:
+        raise ValueError(f"unknown nested node kind {kind}")
+    if not arr.type.equals(t):
+        arr = arr.cast(t)
+    if pa.types.is_dictionary(want):
+        arr = arr.dictionary_encode()
+    return arr, pos
+
+
 def read_header(blob: bytes) -> dict:
     if blob[:5] != MAGIC:
         raise ValueError("bad shard magic")
@@ -357,7 +570,14 @@ def decode_table(
                     b, info["outer"][0], info["outer_sizes"][i]
                 )
             bodies.append(b)
-        if kind == "str":
+        if kind == "nested":
+            arr, _ = decode_nested(bodies[0], 0, field.type, tables)
+        elif kind == "bytes":
+            lengths, data = sc.decode_any_str(bodies[0], tables)
+            arr = sc.bufs_to_arrow(lengths, data, binary=True)
+            if not arr.type.equals(t):
+                arr = arr.cast(t)
+        elif kind == "str":
             lengths, data = sc.decode_any_str(bodies[0], tables)
             arr = sc.bufs_to_arrow(lengths, data)
         elif kind == "list":
@@ -383,12 +603,12 @@ def decode_table(
                 arr = pa.array(vals.astype(bool), type=t)
             else:
                 arr = pa.array(vals).cast(t)
-        if info["null_count"]:
+        if info["null_count"] and kind != "nested":
             mask = np.unpackbits(
                 np.frombuffer(validity, dtype=np.uint8), bitorder="little"
             )[:n].astype(bool)
             arr = pa.compute.if_else(pa.array(mask), arr, pa.scalar(None, arr.type))
-        if pa.types.is_dictionary(field.type):
+        if pa.types.is_dictionary(field.type) and kind != "nested":
             arr = arr.dictionary_encode()
         out_cols.append(arr)
         out_fields.append(field)

@@ -189,8 +189,25 @@ def train_plan(sample: pa.Table) -> CodecPlan:
             plan.specs[name] = spec
             plan.tables.update(tables)
             plan.stats[name] = stats
+        elif pa.types.is_struct(t) or pa.types.is_map(t):
+            # recursive container path; codecs chosen per shard (auto)
+            plan.specs[name] = {}
+            plan.stats[name] = {"nested": True}
         elif pa.types.is_list(t) or pa.types.is_large_list(t):
             values = arr.flatten()
+            if (
+                arr.null_count
+                or values.null_count
+                or not (
+                    pa.types.is_integer(t.value_type)
+                    or pa.types.is_floating(t.value_type)
+                )
+            ):
+                # nullable / non-numeric lists go through the recursive
+                # container path; codecs chosen per shard (auto)
+                plan.specs[name] = {}
+                plan.stats[name] = {"nested": True}
+                continue
             lengths = pc.list_value_length(arr).cast(pa.int32()).to_numpy()
             lcodec, lstats = _pick_int_codec(np.asarray(lengths))
             if pa.types.is_floating(t.value_type):
