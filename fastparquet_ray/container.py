@@ -230,9 +230,10 @@ class ShardEncoder:
             )
             return [b"", body], info
         validity = b""
+        valid_mask = None
         if null_count:
-            mask = arr.is_valid().to_numpy(zero_copy_only=False)
-            validity = np.packbits(mask, bitorder="little").tobytes()
+            valid_mask = arr.is_valid().to_numpy(zero_copy_only=False)
+            validity = np.packbits(valid_mask, bitorder="little").tobytes()
             if pa.types.is_string(t) or pa.types.is_large_string(t):
                 arr = arr.fill_null("")
             elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -243,6 +244,7 @@ class ShardEncoder:
                 arr = arr.fill_null(0)
         info["validity_len"] = len(validity)
         info["kind"] = kind
+        n_valid = len(arr) - null_count
         if kind == "bytes":
             body = self._encode_bytes(arr)
             bufs = [validity, body]
@@ -255,10 +257,15 @@ class ShardEncoder:
             info["codec"] = _STR_CODEC_NAMES.get(body[0], "?") if body else "?"
             if spec and spec.get("table_hash"):
                 info["table_hash"] = spec["table_hash"]
-            if len(arr) and null_count == 0:
-                mm = pa.compute.min_max(arr)
+            if n_valid:
+                # stats over VALID values only (nulls are filled with ""
+                # for encoding but must not pollute min/max — reference
+                # computes stats on null-stripped values, writer.py:502-538)
+                src = arr.filter(pa.array(valid_mask)) if null_count else arr
+                mm = pa.compute.min_max(src)
                 info["min"] = mm["min"].as_py()
                 info["max"] = mm["max"].as_py()
+                info["distinct"] = pa.compute.count_distinct(src).as_py()
         elif kind == "list":
             arr = arr.cast(pa.list_(t.value_type)) if pa.types.is_large_list(t) else arr
             offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
@@ -290,6 +297,13 @@ class ShardEncoder:
             bufs = [validity, body]
             info["sizes"] = [len(body)]
             info["codec"] = "plain_float"
+            if n_valid:
+                vv = vnp[valid_mask] if null_count else vnp
+                lo, hi = np.nanmin(vv), np.nanmax(vv)
+                if np.isfinite(lo) and np.isfinite(hi):
+                    info["min"] = float(lo)
+                    info["max"] = float(hi)
+                info["distinct"] = int(np.unique(vv).size)
         else:  # int-ish
             vnp = _to_int_np(arr)
             body = _encode_int_auto(vnp, (spec or {}).get("codec"))
@@ -305,9 +319,11 @@ class ShardEncoder:
                 # raw ints in this unit, so filter values must be
                 # converted before comparison (ADVICE r01)
                 info["ltype"] = str(t)
-            if vnp.size and null_count == 0:
-                info["min"] = int(vnp.min())
-                info["max"] = int(vnp.max())
+            if n_valid:
+                vv = vnp[valid_mask] if null_count else vnp
+                info["min"] = int(vv.min())
+                info["max"] = int(vv.max())
+                info["distinct"] = int(np.unique(vv).size)
         return bufs, info
 
     # ---- recursive nested encoding (list<any>, nullable lists, struct,

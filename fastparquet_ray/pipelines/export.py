@@ -60,6 +60,7 @@ def shard_statistics(enc_dir: str) -> pd.DataFrame:
                     "null_count": c.get("null_count", 0),
                     "min": c.get("min"),
                     "max": c.get("max"),
+                    "distinct": c.get("distinct"),
                     "enc_bytes": c["length"],
                     "rows": hdr["num_rows"],
                 }

@@ -81,3 +81,40 @@ def test_filters_via_api(ray_session, encoded):
     n_all = len(df)
     ds = decode_dataset(out, columns=["n_tok"], filters=[("n_tok", "!=", int(df["n_tok"].iloc[0]))])
     assert 0 < ds.count() < n_all + 1
+
+
+def test_nullable_column_stats_still_prune(ray_session, tmp_path):
+    """min/max are computed over VALID values, so shards with nulls
+    still participate in stats pruning (r01 skipped stats entirely when
+    any null existed)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from fastparquet_ray.pipelines import encode_pipeline
+    from fastparquet_ray.pipelines.export import shard_statistics
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, lo in enumerate([0, 50]):
+        v = [None if j % 7 == 3 else lo + j for j in range(50)]
+        pq.write_table(
+            pa.table(
+                {"doc_id": [f"d{i}-{j}" for j in range(50)],
+                 "v": pa.array(v, pa.int64())}
+            ),
+            str(src / f"p{i}.parquet"),
+        )
+    out = str(tmp_path / "enc")
+    encode_pipeline(sorted(str(p) for p in src.glob("*.parquet")), out)
+    shards = shard_files(out)
+    assert len(shards) == 2
+    kept = prune_shards(shards, [("v", ">", 75)])
+    assert len(kept) == 1
+    ds = decode_dataset(out, filters=[("v", ">", 75)])
+    got = ds.to_pandas()
+    assert len(got) == sum(1 for j in range(50) if j % 7 != 3 and 50 + j > 75)
+    # distinct hint present in header stats
+    stats = shard_statistics(out)
+    vstats = stats[stats["column"] == "v"]
+    assert (vstats["distinct"].to_numpy() > 0).all()
+    assert vstats["null_count"].sum() > 0
