@@ -41,7 +41,17 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("src")
     enc.add_argument("out")
     enc.add_argument("--outer", default=None)
-    enc.add_argument("--partition-by-source", action="store_true")
+    enc.add_argument(
+        "--partition-by-source",
+        action="store_true",
+        help="source-pure shards via zero-exchange write-side split",
+    )
+    enc.add_argument(
+        "--partition-shuffle",
+        action="store_true",
+        help="salted groupby shuffle: ONE shard per (source, salt) "
+        "bucket (costs an all-to-all exchange)",
+    )
     enc.add_argument("--no-resume", action="store_true")
 
     dec = sub.add_parser("decode")
@@ -84,12 +94,17 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "encode":
             from .pipelines.encode import encode_pipeline
 
+            pbs = (
+                True
+                if args.partition_shuffle
+                else ("local" if args.partition_by_source else False)
+            )
             summary = encode_pipeline(
                 args.src,
                 args.out,
                 resume=not args.no_resume,
                 outer=args.outer,
-                partition_by_source=args.partition_by_source,
+                partition_by_source=pbs,
             )
             print(json.dumps(summary))
         elif args.cmd == "decode":

@@ -43,11 +43,20 @@ def write(
     data: "pd.DataFrame | pa.Table | str | list[str]",
     outer: str | None = None,
     column_codecs: dict | None = None,
-    partition_on_source: bool = False,
+    partition_on_source: "bool | str" = False,
     resume: bool = True,
 ) -> dict:
     """Encode a table (or existing parquet path(s)) into an encoded
-    shard dataset with manifest. Returns the job summary."""
+    shard dataset with manifest. Returns the job summary.
+
+    partition_on_source: True -> write-side "local" bucket split
+    (source-pure shards, ZERO network exchange — the measured scale
+    default; the salted groupby costs ~5x, BENCH r01); pass "shuffle"
+    explicitly for the one-shard-per-bucket salted groupby layout."""
+    if partition_on_source is True:
+        partition_on_source = "local"
+    elif partition_on_source == "shuffle":
+        partition_on_source = True
     if isinstance(data, (str, list)):
         paths = data
     else:
