@@ -117,18 +117,25 @@ def encode_for_bp(values: np.ndarray) -> bytes:
         w = int(uw[0])
         payload = pack_bits(d32.ravel(), w) if w else b""
         return head + hdr.tobytes() + payload
-    pieces: list[bytes] = [b""] * nb
+    from .rle import _scatter_ragged
+
+    piece_lens = widths.astype(np.int64) * (MINIBLOCK // 8)
+    poff = np.concatenate([[0], np.cumsum(piece_lens)])
+    out = np.zeros(int(poff[-1]), dtype=np.uint8)
     for w in uw:
         if w == 0:
             continue
         rows = np.flatnonzero(widths == w)
         bs = int(w) * (MINIBLOCK // 8)
-        pk = np.frombuffer(
-            pack_bits(d32[rows].ravel(), int(w)), np.uint8
-        ).reshape(rows.size, bs)
-        for i, r in enumerate(rows):
-            pieces[r] = pk[i].tobytes()
-    return head + hdr.tobytes() + b"".join(pieces)
+        packed = np.frombuffer(pack_bits(d32[rows].ravel(), int(w)), np.uint8)
+        _scatter_ragged(
+            out,
+            poff[rows],
+            packed,
+            np.arange(rows.size, dtype=np.int64) * bs,
+            np.full(rows.size, bs, dtype=np.int64),
+        )
+    return head + hdr.tobytes() + out.tobytes()
 
 
 def encode_rle_int(values: np.ndarray) -> bytes:
@@ -235,19 +242,36 @@ def encode_pfor(values: np.ndarray) -> bytes:
     exc_all["p"] = exc_cols
     exc_all["v"] = d32[exc_mask]
     exc_off = np.concatenate([[0], np.cumsum(nexc.astype(np.int64))])
-    # pack per width group (one vectorized pack per distinct width)
-    pieces: list[bytes] = [b""] * nb
+    # assemble with ragged scatters (a per-block Python loop with
+    # .tobytes() per piece was the encode hot spot at ~10k miniblocks)
+    from .rle import _scatter_ragged
+
+    piece_lens = wstar.astype(np.int64) * (MINIBLOCK // 8) + nexc.astype(np.int64) * 6
+    poff = np.concatenate([[0], np.cumsum(piece_lens)])
+    out = np.zeros(int(poff[-1]), dtype=np.uint8)
     for w in np.unique(wstar):
+        if w == 0:
+            continue
         rows = np.flatnonzero(wstar == w)
-        if w:
-            bs = int(w) * (MINIBLOCK // 8)
-            pk = np.frombuffer(
-                pack_bits(d_main[rows].ravel(), int(w)), np.uint8
-            ).reshape(rows.size, bs)
-        for i, r in enumerate(rows):
-            body = pk[i].tobytes() if w else b""
-            pieces[r] = body + exc_all[exc_off[r] : exc_off[r + 1]].tobytes()
-    return head + hdr.tobytes() + b"".join(pieces)
+        bs = int(w) * (MINIBLOCK // 8)
+        packed = np.frombuffer(pack_bits(d_main[rows].ravel(), int(w)), np.uint8)
+        _scatter_ragged(
+            out,
+            poff[rows],
+            packed,
+            np.arange(rows.size, dtype=np.int64) * bs,
+            np.full(rows.size, bs, dtype=np.int64),
+        )
+    if exc_cols.size:
+        ebytes = np.frombuffer(exc_all.tobytes(), dtype=np.uint8)
+        _scatter_ragged(
+            out,
+            poff[:-1] + wstar.astype(np.int64) * (MINIBLOCK // 8),
+            ebytes,
+            exc_off[:-1] * 6,
+            nexc.astype(np.int64) * 6,
+        )
+    return head + hdr.tobytes() + out.tobytes()
 
 
 def encode_delta(values: np.ndarray) -> bytes:
@@ -301,14 +325,18 @@ def encode_dict2_int(values: np.ndarray) -> bytes:
     rank[order] = np.arange(table.size)
     new_idx = rank[idx].astype(np.int32)
     new_table = table[order]
-    body = encode_rle_int(new_idx)
-    for enc in (encode_pfor, encode_for_bp):
+    # pick the index-stream codec on a bounded sample, then encode the
+    # full stream ONCE with the winner (full trial-encodes of all three
+    # candidates cost ~3x the winning encode on 10M-value token shards)
+    body = None
+    for name in rank_int_codecs(new_idx, ("rle", "pfor", "for_bp")):
         try:
-            b = enc(new_idx)
+            body = INT_ENCODERS[name](new_idx)
+            break
         except ValueError:
             continue
-        if len(b) < len(body):
-            body = b
+    if body is None:
+        body = encode_plain_int(new_idx)
     tbytes = np.ascontiguousarray(
         new_table.astype(new_table.dtype.newbyteorder("<"), copy=False)
     ).tobytes()
@@ -319,6 +347,25 @@ def encode_dict2_int(values: np.ndarray) -> bytes:
         + encode_uvarint(len(body))
         + body
     )
+
+
+_AUTO_SAMPLE = 1 << 18  # values used for codec ranking trials
+
+
+def rank_int_codecs(values: np.ndarray, names) -> list[str]:
+    """Rank codec names by encoded size of a bounded head sample
+    (deterministic). Callers encode the full array with the first
+    ranked codec that succeeds — O(sample) selection cost instead of
+    O(n * candidates) full trial-encodes."""
+    s = values[:_AUTO_SAMPLE] if values.size > _AUTO_SAMPLE else values
+    sized = []
+    for name in names:
+        try:
+            sized.append((len(INT_ENCODERS[name](s)), name))
+        except ValueError:
+            continue
+    sized.sort()
+    return [n for _, n in sized]
 
 
 def decode_any_int(buf: bytes) -> np.ndarray:
@@ -346,6 +393,8 @@ def decode_any_int(buf: bytes) -> np.ndarray:
                 vals = unpack_bits(payload, w, nb * MINIBLOCK)
                 out += vals.reshape(nb, MINIBLOCK)
         else:
+            from .rle import _scatter_ragged
+
             sizes = widths * (MINIBLOCK // 8)
             offsets = np.concatenate([[0], np.cumsum(sizes)])
             for w in uw:
@@ -353,8 +402,13 @@ def decode_any_int(buf: bytes) -> np.ndarray:
                     continue
                 rows = np.flatnonzero(widths == w)
                 bs = int(w) * (MINIBLOCK // 8)
-                chunk = np.concatenate(
-                    [payload[offsets[r] : offsets[r] + bs] for r in rows]
+                chunk = np.empty(rows.size * bs, dtype=np.uint8)
+                _scatter_ragged(
+                    chunk,
+                    np.arange(rows.size, dtype=np.int64) * bs,
+                    payload,
+                    offsets[rows],
+                    np.full(rows.size, bs, dtype=np.int64),
                 )
                 vals = unpack_bits(chunk, int(w), rows.size * MINIBLOCK)
                 out[rows] += vals.reshape(rows.size, MINIBLOCK)
@@ -396,27 +450,41 @@ def decode_any_int(buf: bytes) -> np.ndarray:
         out = np.empty((nb, MINIBLOCK), dtype=np.int64)
         out[:] = hdr["min"][:, None]
         vals32 = np.zeros((nb, MINIBLOCK), dtype=np.uint32)
+        from .rle import _scatter_ragged
+
         for w in np.unique(widths):
             if w == 0:
                 continue
             rows = np.flatnonzero(widths == w)
             bs = int(w) * (MINIBLOCK // 8)
-            chunk = np.concatenate(
-                [payload[offsets[r] : offsets[r] + bs] for r in rows]
+            chunk = np.empty(rows.size * bs, dtype=np.uint8)
+            _scatter_ragged(
+                chunk,
+                np.arange(rows.size, dtype=np.int64) * bs,
+                payload,
+                offsets[rows],
+                np.full(rows.size, bs, dtype=np.int64),
             )
             vv = unpack_bits(chunk, int(w), rows.size * MINIBLOCK)
             vals32[rows] = vv.reshape(rows.size, MINIBLOCK)
-        # patch exceptions
-        if nexc.sum():
-            for r in np.flatnonzero(nexc):
-                start = offsets[r] + widths[r] * (MINIBLOCK // 8)
-                exc = np.frombuffer(
-                    buf,
-                    dtype=[("p", "<u2"), ("v", "<u4")],
-                    count=int(nexc[r]),
-                    offset=int(start),
-                )
-                vals32[r, exc["p"].astype(np.int64)] = exc["v"]
+        # patch exceptions — one ragged gather of all patch records,
+        # then one flat scatter (a per-block Python loop here cost ~30%
+        # of token-heavy decode at ~10k miniblocks per shard)
+        tot_exc = int(nexc.sum())
+        if tot_exc:
+            exc_starts = offsets[:-1] + widths * (MINIBLOCK // 8)
+            exc_lens = nexc * 6
+            ebuf = np.empty(tot_exc * 6, dtype=np.uint8)
+            _scatter_ragged(
+                ebuf,
+                np.concatenate([[0], np.cumsum(exc_lens)[:-1]]),
+                payload,
+                exc_starts,
+                exc_lens,
+            )
+            exc = ebuf.view([("p", "<u2"), ("v", "<u4")])
+            rows = np.repeat(np.arange(nb, dtype=np.int64), nexc)
+            vals32.reshape(-1)[rows * MINIBLOCK + exc["p"].astype(np.int64)] = exc["v"]
         out += vals32
         return out.ravel()[:n].astype(dt)
     if codec == _C_DELTA:

@@ -118,22 +118,25 @@ def _to_int_np(arr: pa.Array) -> np.ndarray:
 
 
 def _encode_int_auto(values: np.ndarray, codec: str | None) -> bytes:
-    """Encode with requested codec, falling back to the smallest of the
-    applicable ones when unset; PLAIN fallback on range errors."""
+    """Encode with requested codec (PLAIN fallback on range errors).
+    When unset, rank candidates on a bounded head sample and encode the
+    full array once with the winner — full trial-encodes of every
+    candidate cost ~4x the winning encode on large blocks."""
     if codec:
         try:
             return ic.INT_ENCODERS[codec](values)
         except ValueError:
             return ic.encode_plain_int(values)
-    best = ic.encode_plain_int(values)
-    for name in ("for_bp", "delta", "pfor", "rle", "dict"):
+    for name in ic.rank_int_codecs(
+        values, ("plain", "for_bp", "delta", "pfor", "rle", "dict")
+    ):
         try:
             b = ic.INT_ENCODERS[name](values)
         except ValueError:
             continue
-        if len(b) < len(best):
-            best = b
-    return best
+        plain_size = len(ic.encode_plain_int(values[:0])) + values.size * values.dtype.itemsize
+        return b if len(b) <= plain_size else ic.encode_plain_int(values)
+    return ic.encode_plain_int(values)
 
 
 # ---------------------------------------------------------------------------
