@@ -42,8 +42,8 @@ __all__ = [
 
 MINIBLOCK = 1024  # values per FOR miniblock; 1024*w bits is byte-aligned
 
-_C_PLAIN, _C_FOR, _C_RLE, _C_DICT, _C_DELTA, _C_PFOR, _C_DICT2 = (
-    0, 1, 2, 3, 4, 5, 6,
+_C_PLAIN, _C_FOR, _C_RLE, _C_DICT, _C_DELTA, _C_PFOR, _C_DICT2, _C_FOR64 = (
+    0, 1, 2, 3, 4, 5, 6, 7,
 )
 
 _DTYPES = {
@@ -128,6 +128,76 @@ def encode_for_bp(values: np.ndarray) -> bytes:
         rows = np.flatnonzero(widths == w)
         bs = int(w) * (MINIBLOCK // 8)
         packed = np.frombuffer(pack_bits(d32[rows].ravel(), int(w)), np.uint8)
+        _scatter_ragged(
+            out,
+            poff[rows],
+            packed,
+            np.arange(rows.size, dtype=np.int64) * bs,
+            np.full(rows.size, bs, dtype=np.int64),
+        )
+    return head + hdr.tobytes() + out.tobytes()
+
+
+def _bit_widths64(d: np.ndarray) -> np.ndarray:
+    """Exact bit widths for uint64 values (split 32/32 so the float64
+    frexp trick stays exact)."""
+    hi = (d >> np.uint64(32)).astype(np.uint32)
+    lo = d.astype(np.uint32)
+    return np.where(
+        hi != 0,
+        _vec_bit_widths(hi).astype(np.int64) + 32,
+        _vec_bit_widths(lo).astype(np.int64),
+    )
+
+
+def encode_for_bp64(values: np.ndarray) -> bytes:
+    """Frame-of-reference for FULL 64-bit ranges (timestamp columns
+    whose shard range exceeds the 32-bit FOR/PFOR miniblock limit and
+    previously fell back to PLAIN — NEXT r01 item 4). Miniblocks of
+    1024: width <= 32 bit-packs as usual; wider blocks store
+    ceil(w/8)-byte little-endian truncated deltas (byte-aligned "byte
+    packing": <= 7 wasted bits/value, fully vectorized)."""
+    v = np.ascontiguousarray(values)
+    if v.dtype.itemsize == 8 and v.dtype.kind == "u":
+        raise ValueError("FOR64: uint64 unsupported (min may not fit i64)")
+    head = _header(_C_FOR64, v)
+    n = v.size
+    if n == 0:
+        return head
+    nb = -(-n // MINIBLOCK)
+    pad = nb * MINIBLOCK - n
+    if pad:
+        v = np.concatenate([v, np.full(pad, v[-1], dtype=v.dtype)])
+    m = v.reshape(nb, MINIBLOCK).astype(np.int64, copy=False)
+    mins = m.min(axis=1)
+    d = (m - mins[:, None]).view(np.uint64)  # mod-2^64 wraparound delta
+    widths = _bit_widths64(d.max(axis=1)).astype(np.uint8)
+    hdr = np.zeros(nb, dtype=[("min", "<i8"), ("w", "u1")])
+    hdr["min"] = mins
+    hdr["w"] = widths
+    from .rle import _scatter_ragged
+
+    w64 = widths.astype(np.int64)
+    piece_lens = np.where(
+        w64 <= 32, w64 * (MINIBLOCK // 8), ((w64 + 7) // 8) * MINIBLOCK
+    )
+    poff = np.concatenate([[0], np.cumsum(piece_lens)])
+    out = np.zeros(int(poff[-1]), dtype=np.uint8)
+    for w in np.unique(w64):
+        if w == 0:
+            continue
+        rows = np.flatnonzero(w64 == w)
+        if w <= 32:
+            bs = int(w) * (MINIBLOCK // 8)
+            packed = np.frombuffer(
+                pack_bits(d[rows].ravel().astype(np.uint32), int(w)), np.uint8
+            )
+        else:
+            wb = int(w + 7) // 8
+            bs = wb * MINIBLOCK
+            packed = np.ascontiguousarray(
+                d[rows].ravel().astype("<u8").view(np.uint8).reshape(-1, 8)[:, :wb]
+            ).reshape(-1)
         _scatter_ragged(
             out,
             poff[rows],
@@ -295,9 +365,11 @@ def encode_delta(values: np.ndarray) -> bytes:
 
     deltas = np.diff(v64)
     zz = zigzag_encode(deltas)
-    if zz.size and int(zz.max()) >> 32:
-        raise ValueError("DELTA: delta range exceeds 32 bits")
-    body = encode_for_bp(zz.astype(np.int64))
+    try:
+        body = encode_for_bp(zz.astype(np.int64))
+    except ValueError:
+        # wide deltas (e.g. unsorted timestamps): 64-bit miniblock FOR
+        body = encode_for_bp64(zz.astype(np.int64))
     return head + first.to_bytes(8, "little", signed=True) + body
 
 
@@ -487,6 +559,49 @@ def decode_any_int(buf: bytes) -> np.ndarray:
             vals32.reshape(-1)[rows * MINIBLOCK + exc["p"].astype(np.int64)] = exc["v"]
         out += vals32
         return out.ravel()[:n].astype(dt)
+    if codec == _C_FOR64:
+        from .rle import _scatter_ragged
+
+        nb = -(-n // MINIBLOCK)
+        hdr = np.frombuffer(
+            buf, dtype=[("min", "<i8"), ("w", "u1")], count=nb, offset=pos
+        )
+        pos += hdr.nbytes
+        w64 = hdr["w"].astype(np.int64)
+        piece_lens = np.where(
+            w64 <= 32, w64 * (MINIBLOCK // 8), ((w64 + 7) // 8) * MINIBLOCK
+        )
+        offsets = np.concatenate([[0], np.cumsum(piece_lens)])
+        payload = np.frombuffer(buf, dtype=np.uint8, offset=pos)
+        d = np.zeros((nb, MINIBLOCK), dtype=np.uint64)
+        for w in np.unique(w64):
+            if w == 0:
+                continue
+            rows = np.flatnonzero(w64 == w)
+            if w <= 32:
+                bs = int(w) * (MINIBLOCK // 8)
+            else:
+                bs = (int(w) + 7) // 8 * MINIBLOCK
+            chunk = np.empty(rows.size * bs, dtype=np.uint8)
+            _scatter_ragged(
+                chunk,
+                np.arange(rows.size, dtype=np.int64) * bs,
+                payload,
+                offsets[rows],
+                np.full(rows.size, bs, dtype=np.int64),
+            )
+            if w <= 32:
+                vals = unpack_bits(chunk, int(w), rows.size * MINIBLOCK).astype(
+                    np.uint64
+                )
+            else:
+                wb = (int(w) + 7) // 8
+                full = np.zeros((rows.size * MINIBLOCK, 8), dtype=np.uint8)
+                full[:, :wb] = chunk.reshape(-1, wb)
+                vals = full.reshape(-1).view("<u8")
+            d[rows] = vals.reshape(rows.size, MINIBLOCK)
+        out = (d + hdr["min"].astype(np.uint64)[:, None]).view(np.int64)
+        return out.ravel()[:n].astype(dt)
     if codec == _C_DELTA:
         from .varint import zigzag_decode
 
@@ -509,4 +624,5 @@ INT_ENCODERS = {
     "delta": encode_delta,
     "pfor": encode_pfor,
     "dict2": encode_dict2_int,
+    "for64": encode_for_bp64,
 }

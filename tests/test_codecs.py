@@ -134,3 +134,62 @@ class TestIntCodecs:
         v = np.array([0, 2**40], dtype=np.int64)
         with pytest.raises(ValueError):
             ic.encode_for_bp(v)
+
+
+def test_for64_roundtrip_wide_ranges():
+    """64-bit FOR: full-range int64 data (e.g. unsorted microsecond
+    timestamps spanning weeks) that exceeds the 32-bit miniblock limit
+    of for_bp/pfor must still beat PLAIN and roundtrip exactly."""
+    import numpy as np
+
+    from fastparquet_ray.codecs import intcodec as ic
+
+    rng = np.random.default_rng(11)
+    base = 1_700_000_000_000_000  # epoch us
+    span = 30 * 86_400_000_000  # 30 days in us
+    v = base + rng.integers(0, span, 50_000)
+    v = v.astype(np.int64)
+    blob = ic.encode_for_bp64(v)
+    out = ic.decode_any_int(blob)
+    assert out.dtype == v.dtype and (out == v).all()
+    assert len(blob) < v.nbytes  # beats PLAIN (42-ish bits vs 64)
+    # 32-bit codecs refuse this range; auto selection must not fall
+    # back to PLAIN any more
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ic.encode_for_bp(v)
+    from fastparquet_ray.container import _encode_int_auto
+
+    auto = _encode_int_auto(v, None)
+    assert auto[0] != 0, "auto selection picked PLAIN for wide timestamps"
+    out2 = ic.decode_any_int(auto)
+    assert (out2 == v).all()
+
+
+def test_for64_mixed_width_blocks_and_negatives():
+    import numpy as np
+
+    from fastparquet_ray.codecs import intcodec as ic
+
+    rng = np.random.default_rng(12)
+    parts = [
+        rng.integers(-(2**62), 2**62, 3000),   # wide blocks
+        rng.integers(0, 100, 3000),            # narrow blocks
+        np.full(1500, -5),                     # zero-width blocks
+        rng.integers(-(2**40), 2**40, 100),    # tail partial block
+    ]
+    v = np.concatenate(parts).astype(np.int64)
+    out = ic.decode_any_int(ic.encode_for_bp64(v))
+    assert (out == v).all()
+
+
+def test_delta_wide_deltas_falls_back_to_for64():
+    import numpy as np
+
+    from fastparquet_ray.codecs import intcodec as ic
+
+    rng = np.random.default_rng(13)
+    v = np.cumsum(rng.integers(-(2**40), 2**40, 20_000)).astype(np.int64)
+    out = ic.decode_any_int(ic.encode_delta(v))
+    assert (out == v).all()
