@@ -97,6 +97,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lang_id_profile_values() -> str:
+    """The LangId bigram profiles as a SQL VALUES list (single source
+    of truth: built from the same constant the Ray operator uses)."""
+    from fastparquet_ray.functions.textops import LangId
+
+    li = LangId()
+    rows = []
+    for lang in sorted(li.grams):
+        for g in sorted(li.grams[lang]):
+            rows.append("('{}', '{}')".format(lang, g.replace("'", "''")))
+    return ", ".join(rows)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "projection": (
@@ -256,6 +269,49 @@ def oracle_sql() -> dict[str, str]:
             "AS avg_words, count(*) AS n FROM documents GROUP BY source"
         ),
         "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "simhash": (
+            "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS w FROM documents), "
+            "hashes AS (SELECT doc_id, "
+            "('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM words), "
+            "counts AS (SELECT doc_id, count(*) AS n FROM hashes "
+            "GROUP BY doc_id), "
+            "bits AS (SELECT doc_id, b, sum(((h >> b) & 1)::BIGINT) AS ones "
+            "FROM hashes, range(64) t(b) GROUP BY doc_id, b) "
+            "SELECT bits.doc_id, lpad(lower(hex(sum(CASE WHEN 2*ones > n "
+            "THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT)), 16, '0') "
+            "AS simhash FROM bits JOIN counts USING (doc_id) "
+            "GROUP BY bits.doc_id"
+        ),
+        "lang_id": (
+            "WITH profs(lang, gram) AS (VALUES "
+            + _lang_id_profile_values()
+            + "), "
+            "psize AS (SELECT lang, count(*) AS sz FROM profs GROUP BY lang), "
+            "d AS (SELECT doc_id, ' ' || lower(substr(text, 1, 200)) || ' ' "
+            "AS t FROM documents), "
+            "grams AS (SELECT DISTINCT doc_id, substr(t, i, 2) AS gram FROM "
+            "(SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) "
+            "AS i FROM d)), "
+            "m AS (SELECT g.doc_id, p.lang, count(DISTINCT p.gram) AS hit "
+            "FROM grams g JOIN profs p USING (gram) GROUP BY g.doc_id, p.lang), "
+            "langs AS (SELECT DISTINCT lang FROM profs), "
+            "scores AS (SELECT d.doc_id, l.lang, "
+            "coalesce(m.hit, 0)::DOUBLE / ps.sz AS score "
+            "FROM d CROSS JOIN langs l JOIN psize ps ON ps.lang = l.lang "
+            "LEFT JOIN m ON m.doc_id = d.doc_id AND m.lang = l.lang) "
+            "SELECT doc_id, lang AS lang_pred FROM (SELECT doc_id, lang, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, "
+            "lang) AS rn FROM scores) WHERE rn = 1"
+        ),
+        "embedding_neardup": (
+            "SELECT id_a, id_b FROM ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "list_cosine_similarity(a.embedding, b.embedding) AS sim "
+            "FROM embeddings a JOIN embeddings b "
+            "ON a.label = b.label AND a.vec_id < b.vec_id) "
+            "ORDER BY sim DESC, id_a, id_b LIMIT 10"
+        ),
         "adjacent_similarity": (
             "SELECT id_a, id_b, sim FROM ("
             "SELECT doc_id AS id_a, "

@@ -229,21 +229,42 @@ def minhash_lsh_pairs(
 
 
 class SimHasher:
-    """64-bit SimHash over word-unigram hashes, vectorized across the
-    whole batch: one hash_array over all words, per-doc bit votes via
-    np.add.reduceat (no per-word Python loop)."""
+    """64-bit SimHash over single-space word tokens. The word hash is
+    the first 8 bytes of md5 — chosen so the DuckDB oracle can compute
+    the EXACT same function in SQL (hash-verified, not rows-only).
+    Stateful actor: the word->hash cache persists across batches
+    (SURVEY ST1 pattern); bit votes stay vectorized via reduceat."""
+
+    def __init__(self):
+        import hashlib
+
+        self._md5 = hashlib.md5
+        self._cache: dict[str, int] = {}
+
+    def _hash_words(self, words: np.ndarray) -> np.ndarray:
+        uniq, inv = np.unique(words, return_inverse=True)
+        cache = self._cache
+        md5 = self._md5
+        vals = np.empty(uniq.size, dtype=np.uint64)
+        for i, w in enumerate(uniq):
+            h = cache.get(w)
+            if h is None:
+                h = int(md5(w.encode()).hexdigest()[:16], 16)
+                cache[w] = h
+            vals[i] = h
+        return vals[inv]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         texts = df["text"].tolist()
-        word_lists = [t.split() for t in texts]
+        # split(' ') exactly (not split()): matches SQL string_split
+        word_lists = [t.split(" ") for t in texts]
         counts = np.array([len(w) for w in word_lists], dtype=np.int64)
-        all_words = [w for ws in word_lists for w in ws]
+        all_words = np.array(
+            [w for ws in word_lists for w in ws], dtype=object
+        )
         out = np.zeros(len(df), dtype=np.uint64)
-        if all_words:
-            hs = pd.util.hash_array(
-                np.array(all_words, dtype=object)
-            ).astype(np.uint64)
-            # (n_words, 64) bit matrix -> per-doc sums via reduceat
+        if all_words.size:
+            hs = self._hash_words(all_words)
             bits = (
                 (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             ).astype(np.int64)
@@ -255,7 +276,11 @@ class SimHasher:
             weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
             out[nz] = (simbits * weights).sum(axis=1, dtype=np.uint64)
         return pd.DataFrame(
-            {"doc_id": df["doc_id"], "simhash": out.astype("uint64")}
+            {
+                "doc_id": df["doc_id"],
+                # hex string: avoids uint64/int64 comparator wraparound
+                "simhash": [f"{int(v):016x}" for v in out],
+            }
         )
 
 
@@ -266,10 +291,17 @@ def simhash(sf_dir: str):
     )
 
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.95):
-    """Embedding-cosine near-duplicate pairs within each label group
-    (label plays the LSH-bucket role so the pair space stays bounded).
-    Vectorized: per-group normalized matmul."""
+def embedding_neardup(sf_dir: str, threshold: float = 0.0, top_k: int = 10):
+    """Embedding-cosine near-duplicate candidates within each label
+    group (label plays the LSH-bucket role so the pair space stays
+    bounded; a skewed label needs sub-bucketing at scale). Vectorized:
+    per-group normalized matmul, per-group partial top-k, tiny global
+    merge — the driver only ever sees k rows per group.
+
+    Returns the ``top_k`` most similar pairs with sim >= threshold as
+    (id_a, id_b) — deterministic and SQL-expressible, so this query is
+    oracle-verified (r01 was rows-only AND returned 0 rows because the
+    synthetic corpus has no pairs above 0.95)."""
     import ray.data
 
     ds = ray.data.read_parquet(
@@ -277,7 +309,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95):
         columns=["vec_id", "embedding", "label"],
     )
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def group_topk(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy()
         m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
@@ -285,20 +317,26 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.95):
         mn = m / norms
         sim = mn @ mn.T
         iu = np.triu_indices(len(ids), k=1)
-        mask = sim[iu] >= threshold
+        s = sim[iu]
+        mask = s >= threshold
         a, b = ids[iu[0][mask]], ids[iu[1][mask]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
+        s = s[mask]
+        order = np.lexsort((hi, lo, -s))[:top_k]  # sim desc, id tiebreak
         return pd.DataFrame(
-            {"id_a": lo.astype("int64"), "id_b": hi.astype("int64"),
-             "sim": sim[iu][mask]}
+            {"id_a": lo[order].astype("int64"),
+             "id_b": hi[order].astype("int64"),
+             "sim": s[order]}
         )
 
-    out = ds.groupby("label").map_groups(group_pairs, batch_format="pandas")
-    df = out.to_pandas()
+    parts = ds.groupby("label").map_groups(group_topk, batch_format="pandas")
+    df = parts.to_pandas()  # k rows per label group only
     if df.empty:
-        df = pd.DataFrame(
+        return pd.DataFrame(
             {"id_a": pd.Series([], dtype="int64"),
-             "id_b": pd.Series([], dtype="int64"),
-             "sim": pd.Series([], dtype="float64")}
+             "id_b": pd.Series([], dtype="int64")}
         )
-    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    df = df.sort_values(
+        ["sim", "id_a", "id_b"], ascending=[False, True, True]
+    ).head(top_k)
+    return df[["id_a", "id_b"]].reset_index(drop=True)
