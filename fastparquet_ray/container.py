@@ -100,6 +100,8 @@ def _storage_kind(t: pa.DataType) -> str:
         return "int"
     if pa.types.is_floating(t):
         return "float"
+    if pa.types.is_decimal(t):
+        return "dec128"
     if pa.types.is_dictionary(t):
         return _storage_kind(t.value_type)
     raise TypeError(f"unsupported column type {t}")
@@ -115,6 +117,38 @@ def _to_int_np(arr: pa.Array) -> np.ndarray:
     if pa.types.is_date32(t) or pa.types.is_time32(t):
         return arr.cast(pa.int32()).to_numpy()
     return arr.to_numpy()
+
+
+def _float_decimal_ints(vnp: np.ndarray) -> tuple[np.ndarray, int] | None:
+    """Detect fixed-point decimals stored as floats (prices, ratios
+    rounded to k places — ubiquitous in real tables; the reference
+    reads DECIMAL as scaled floats, converted_types.py:175-188).
+    Returns (int64 values, scale k) iff decoding ``ints / 10**k`` back
+    through float64 reproduces the ORIGINAL bits for every value (so
+    -0.0 / subnormal / rounding corner cases can never leak through
+    as approximations); else None."""
+    if vnp.dtype not in (np.float64, np.float32):
+        return None
+    if not np.isfinite(vnp).all():
+        return None
+    v64 = vnp.astype(np.float64)
+    head = v64[:4096]
+    for k in range(0, 5):
+        scale = 10.0**k
+        hi = np.rint(head * scale)
+        if np.abs(hi).max(initial=0.0) >= 2**53:
+            return None
+        if ((hi / scale).astype(vnp.dtype) == head.astype(vnp.dtype)).all():
+            ints = np.rint(v64 * scale)
+            if np.abs(ints).max(initial=0.0) >= 2**53:
+                return None
+            back = (ints / scale).astype(vnp.dtype)
+            # bitwise equality, not ==: catches -0.0 vs 0.0
+            if (back.view(np.uint64 if vnp.dtype == np.float64 else np.uint32)
+                    == vnp.view(np.uint64 if vnp.dtype == np.float64 else np.uint32)).all():
+                return ints.astype(np.int64), k
+            return None
+    return None
 
 
 def _encode_int_auto(values: np.ndarray, codec: str | None) -> bytes:
@@ -295,11 +329,23 @@ class ShardEncoder:
             )
         elif kind == "float":
             vnp = arr.to_numpy(zero_copy_only=False)
-            body = np.ascontiguousarray(vnp).tobytes()
             info["float_dtype"] = str(vnp.dtype)
+            dec = None if (spec or {}).get("codec") == "plain_float_forced" else (
+                _float_decimal_ints(vnp)
+            )
+            if dec is not None:
+                ints, scale = dec
+                body = _encode_int_auto(ints, None)
+                if len(body) < vnp.nbytes:
+                    info["fdec_scale"] = scale
+                    info["codec"] = f"float_dec{scale}+{_INT_CODEC_NAMES.get(body[0], '?')}"
+                else:
+                    dec = None
+            if dec is None:
+                body = np.ascontiguousarray(vnp).tobytes()
+                info["codec"] = "plain_float"
             bufs = [validity, body]
             info["sizes"] = [len(body)]
-            info["codec"] = "plain_float"
             if n_valid:
                 vv = vnp[valid_mask] if null_count else vnp
                 lo, hi = np.nanmin(vv), np.nanmax(vv)
@@ -307,6 +353,21 @@ class ShardEncoder:
                     info["min"] = float(lo)
                     info["max"] = float(hi)
                 info["distinct"] = int(np.unique(vv).size)
+        elif kind == "dec128":
+            # decimal128 (reference M5 decimal, converted_types.py:175-188;
+            # here lossless): raw 16-byte LE values split into lo/hi int64
+            # streams, each through the int codecs (hi is usually pure
+            # sign-extension -> tiny RLE)
+            nrows = len(arr)
+            data = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+                arr.offset * 2 : (arr.offset + nrows) * 2
+            ].reshape(nrows, 2)
+            lob = _encode_int_auto(np.ascontiguousarray(data[:, 0]), None)
+            hib = _encode_int_auto(np.ascontiguousarray(data[:, 1]), None)
+            body = encode_uvarint(len(lob)) + lob + hib
+            bufs = [validity, body]
+            info["sizes"] = [len(body)]
+            info["codec"] = "dec128"
         else:  # int-ish
             vnp = _to_int_np(arr)
             body = _encode_int_auto(vnp, (spec or {}).get("codec"))
@@ -613,8 +674,26 @@ def decode_table(
             arr = pa.ListArray.from_arrays(
                 pa.array(offsets, pa.int32()), varr
             )
+        elif kind == "dec128":
+            lolen, p2 = decode_uvarint(bodies[0], 0)
+            lo = ic.decode_any_int(bytes(bodies[0][p2 : p2 + lolen]))
+            hi = ic.decode_any_int(bytes(bodies[0][p2 + lolen :]))
+            pairs = np.empty((n, 2), dtype=np.int64)
+            pairs[:, 0] = lo
+            pairs[:, 1] = hi
+            vb = pa.py_buffer(validity) if info["null_count"] else None
+            arr = pa.Array.from_buffers(
+                t, n, [vb, pa.py_buffer(pairs.tobytes())],
+                null_count=info["null_count"],
+            )
         elif kind == "float":
-            values = np.frombuffer(bodies[0], dtype=info["float_dtype"])
+            if "fdec_scale" in info:
+                ints = ic.decode_any_int(bodies[0])
+                values = (ints / 10.0 ** info["fdec_scale"]).astype(
+                    np.dtype(info["float_dtype"])
+                )
+            else:
+                values = np.frombuffer(bodies[0], dtype=info["float_dtype"])
             arr = pa.array(values, type=t)
         else:
             vals = ic.decode_any_int(bodies[0])
@@ -622,7 +701,7 @@ def decode_table(
                 arr = pa.array(vals.astype(bool), type=t)
             else:
                 arr = pa.array(vals).cast(t)
-        if info["null_count"] and kind != "nested":
+        if info["null_count"] and kind not in ("nested", "dec128"):
             mask = np.unpackbits(
                 np.frombuffer(validity, dtype=np.uint8), bitorder="little"
             )[:n].astype(bool)

@@ -98,13 +98,17 @@ def encode_pipeline(
     from ..state import fs as fsmod
 
     if isinstance(paths, str):
-        # a directory (possibly a URI): enumerate its parquet fragments
+        # a directory (possibly a URI) -> enumerate its parquet
+        # fragments; a single file -> one-element list
         in_fs, in_root = fsmod.get_fs(paths)
         proto = "" if fsmod.is_local(in_fs) else paths.split("://", 1)[0] + "://"
-        paths = sorted(
-            proto + p
-            for p in in_fs.glob(fsmod.join(in_fs, in_root, "*.parquet"))
-        )
+        if in_fs.isdir(in_root):
+            paths = sorted(
+                proto + p
+                for p in in_fs.glob(fsmod.join(in_fs, in_root, "*.parquet"))
+            )
+        else:
+            paths = [paths]
     out_fs, out_root = fsmod.get_fs(out_dir)
     out_fs.makedirs(out_root, exist_ok=True)
     manifest = Manifest(out_dir)

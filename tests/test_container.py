@@ -138,3 +138,58 @@ def test_header_stats():
     assert ncol["n_tok"]["min"] >= 1
     assert ncol["n_tok"]["max"] <= 2048
     assert hdr["raw_bytes"] > hdr["enc_bytes"]
+
+
+def test_float_decimal_scaled_int_roundtrip():
+    """Fixed-point decimals stored as floats encode as scaled ints
+    (bit-exact roundtrip verified per shard; fallback to plain when
+    any value would not reproduce)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fastparquet_ray.container import ShardEncoder, decode_table, read_header
+
+    rng = np.random.default_rng(21)
+    price = np.round(rng.uniform(0, 1000, 5000), 2)  # 2-decimal prices
+    t = pa.table({"price": price})
+    enc = ShardEncoder()
+    blob = enc.encode_table(t, "p")
+    hdr = read_header(blob)
+    assert hdr["columns"][0]["codec"].startswith("float_dec2")
+    assert hdr["columns"][0]["length"] < price.nbytes / 2
+    got = decode_table(blob)
+    assert got.column("price").to_numpy().view(np.uint64).tolist() == (
+        price.view(np.uint64).tolist()
+    )
+
+    # random full-precision floats must stay plain
+    rand = rng.standard_normal(5000)
+    hdr2 = read_header(enc.encode_table(pa.table({"x": rand}), "p2"))
+    assert hdr2["columns"][0]["codec"] == "plain_float"
+
+    # -0.0, nulls and float32 cases roundtrip exactly
+    vals = pa.array([0.5, -0.0, None, 12.25, 3.75], pa.float64())
+    t3 = pa.table({"v": vals})
+    got3 = decode_table(enc.encode_table(t3, "p3"))
+    assert got3.column("v").to_pylist() == vals.to_pylist()
+    f32 = pa.array(np.round(rng.uniform(0, 10, 1000), 1).astype(np.float32))
+    got4 = decode_table(enc.encode_table(pa.table({"f": f32}), "p4"))
+    assert got4.column("f").combine_chunks().equals(f32)
+
+
+def test_decimal128_roundtrip():
+    """decimal128 columns (reference M5): lossless lo/hi int64 split."""
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from fastparquet_ray.container import ShardEncoder, decode_table
+
+    vals = pa.array(
+        [Decimal("12345.67"), Decimal("-0.01"), None, Decimal("99999999999999.99")],
+        pa.decimal128(18, 2),
+    )
+    t = pa.table({"amount": vals})
+    got = decode_table(ShardEncoder().encode_table(t, "p"))
+    assert got.schema.equals(t.schema)
+    assert got.column("amount").to_pylist() == vals.to_pylist()
