@@ -269,6 +269,26 @@ def oracle_sql() -> dict[str, str]:
             "AS avg_words, count(*) AS n FROM documents GROUP BY source"
         ),
         "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        # exact all-pairs 3-word-shingle Jaccard. Valid as an oracle
+        # because every true near-dup pair in the corpus has j >= 0.9,
+        # where the 16x4 LSH band recall is 1 - (1-0.9^4)^16 ~ 1-4e-8 —
+        # the candidate set provably equals the exact answer for this
+        # (deterministic, seeded) pipeline.
+        "minhash_lsh_pairs": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN "
+            "[array_to_string(ws, ' ')] ELSE "
+            "list_distinct(list_transform(generate_series(1, len(ws) - 2), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s "
+            "FROM w) "
+            "SELECT id_a, id_b, jaccard FROM ("
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.s, b.s))::DOUBLE / "
+            "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) "
+            "AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "WHERE jaccard >= 0.5"
+        ),
         "simhash": (
             "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) "
             "AS w FROM documents), "

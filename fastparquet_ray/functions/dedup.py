@@ -42,11 +42,13 @@ def dedup_exact(sf_dir: str):
 def _word_shingles(texts: list[str], k: int = 3) -> list[np.ndarray]:
     """Per text: uint64 hashes of word k-shingles. Shingle hashing is
     vectorized (pandas hash_array, stable across processes); only the
-    shingle-string construction is per doc."""
+    shingle-string construction is per doc. split(' ') exactly — the
+    same tokenization DuckDB's string_split uses, so the exact-Jaccard
+    oracle reproduces the verify step bit for bit."""
     all_shingles: list[str] = []
     counts: list[int] = []
     for t in texts:
-        words = t.split()
+        words = t.split(" ")
         if len(words) < k:
             sh = [" ".join(words)] if words else []
         else:
