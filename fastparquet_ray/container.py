@@ -713,7 +713,9 @@ def decode_table(
     return pa.Table.from_arrays(out_cols, schema=pa.schema(out_fields))
 
 
-def partition_id_for(table: pa.Table, key_column: str | None = None) -> str:
+def partition_id_for(
+    table: pa.Table, key_column: str | None = None, extra: str = ""
+) -> str:
     """Deterministic content-derived partition id: blake2b over the
     Arrow IPC serialization of the FULL block (schema + every column's
     values and validity). Used for idempotent shard naming + resume
@@ -734,4 +736,9 @@ def partition_id_for(table: pa.Table, key_column: str | None = None) -> str:
     with pa.ipc.new_stream(sink, table.schema) as w:
         w.write_table(table)
     h = hashlib.blake2b(memoryview(sink.getvalue()), digest_size=8)
+    if extra:
+        # provenance salt (input fragment path): two IDENTICAL blocks
+        # from different input files must stay two shards — pure
+        # content addressing silently deduplicated duplicate inputs
+        h.update(extra.encode())
     return h.hexdigest()

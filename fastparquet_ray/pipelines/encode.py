@@ -154,8 +154,19 @@ def encode_pipeline(
     # training-data lakes; our generator and any 128-512 MB layout).
     ncpu_total = int(ray.cluster_resources().get("CPU", 4))
     read_conc = max(2, min(8, ncpu_total // 4))
+    # provenance column salts partition ids so duplicate input files
+    # don't collapse into one shard — skipped iff the user's schema
+    # already owns a "path" column (then ids are content-only again)
+    import pyarrow.parquet as _pq
+
+    first_fs, first_rp = fsmod.get_fs(paths[0])
+    with first_fs.open(first_rp, "rb") as _f:
+        user_has_path = "path" in _pq.ParquetFile(_f).schema_arrow.names
     ds = ray.data.read_parquet(
-        paths, concurrency=read_conc, override_num_blocks=len(paths)
+        paths,
+        concurrency=read_conc,
+        override_num_blocks=len(paths),
+        include_paths=not user_has_path,
     )
     if partition_by_source is True:
         ds = salted_shuffle(ds, plan)

@@ -83,6 +83,21 @@ def sorted_partitioned_columns(enc_dir: str) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def consolidate_categories(enc_dir: str) -> pd.DataFrame:
+    """Per-column maximum distinct-value count across shards
+    (reference A6: consolidate_categories merges num_categories across
+    row groups into the pandas metadata, writer.py:1138-1153; here the
+    distinct hints live in shard headers). Metadata-only scan."""
+    stats = shard_statistics(enc_dir)
+    out = (
+        stats.dropna(subset=["distinct"])
+        .groupby("column", as_index=False)
+        .agg(max_distinct=("distinct", "max"), shards=("shard", "nunique"))
+    )
+    out["max_distinct"] = out["max_distinct"].astype("int64")
+    return out.sort_values("column").reset_index(drop=True)
+
+
 def merge_manifests(enc_dirs: list[str], out_path: str) -> dict:
     """Concatenate the manifests of several encoded dirs into one
     consolidated JSONL (shard paths rewritten relative to their dir),

@@ -71,7 +71,16 @@ class EncodeShard:
 
         if "__salt__" in batch.column_names:
             batch = batch.drop_columns(["__salt__"])
-        pid = partition_id_for(batch, self.key_column)
+        extra = ""
+        if "path" in batch.column_names:
+            # provenance column from read_parquet(include_paths=True):
+            # salts the partition id so duplicate input files don't
+            # collapse into one shard; dropped before encoding
+            extra = "\x00".join(
+                sorted(set(batch.column("path").to_pylist()))
+            )
+            batch = batch.drop_columns(["path"])
+        pid = partition_id_for(batch, self.key_column, extra=extra)
         key_range = None
         if self.key_column in batch.column_names and batch.num_rows:
             mm = pc.min_max(batch.column(self.key_column))
