@@ -180,7 +180,10 @@ def run_scaling() -> dict:
     lo_cpus = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi_cpus = lo_cpus * 4
     scaling_sf = float(os.environ.get("GRAFT_SCALING_SF", "1.6"))
-    scaling_outer = os.environ.get("GRAFT_SCALING_OUTER", "zstd:19")
+    # zstd:22 (was 19): maximally compute-per-byte so the measurement
+    # reflects CPU scaling, not the sandbox's erratically-throttled
+    # memory bandwidth (tools/bandwidth_probe.py + BASELINE.md r2 notes)
+    scaling_outer = os.environ.get("GRAFT_SCALING_OUTER", "zstd:22")
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -216,7 +219,7 @@ def run_scaling() -> dict:
         "gbps_lo": round(thr_lo / 1e9, 4),
         "gbps_hi": round(thr_hi / 1e9, 4),
         "scaling_efficiency": round(eff, 3),
-        "outer": os.environ.get("GRAFT_SCALING_OUTER", "zstd:19"),
+        "outer": os.environ.get("GRAFT_SCALING_OUTER", "zstd:22"),
         "sf": lo["sf"],
     }
 

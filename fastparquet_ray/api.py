@@ -148,14 +148,21 @@ class EncodedDataset:
         return self.dataset(columns, filters=filters).to_pandas()
 
     def iter_batches(
-        self, columns: list[str] | None = None, batch_size: int | None = None
+        self,
+        columns: list[str] | None = None,
+        batch_size: int | None = None,
+        filters=None,
     ) -> Iterator[pa.Table]:
-        yield from self.dataset(columns).iter_batches(
+        """Streaming batches (reference S3 iter_row_groups,
+        api.py:321-337, including its filters= support)."""
+        yield from self.dataset(columns, filters=filters).iter_batches(
             batch_size=batch_size, batch_format="pyarrow"
         )
 
-    def head(self, n: int = 5, columns: list[str] | None = None) -> pd.DataFrame:
-        return self.dataset(columns).limit(n).to_pandas()
+    def head(
+        self, n: int = 5, columns: list[str] | None = None, filters=None
+    ) -> pd.DataFrame:
+        return self.dataset(columns, filters=filters).limit(n).to_pandas()
 
     def verify_against(self, src_paths: list[str] | str) -> dict:
         return verify_roundtrip(src_paths, self.out_dir)

@@ -731,14 +731,96 @@ def partition_id_for(
     the encode itself and the unavoidable price of content-verified
     resume."""
     del key_column  # content hash covers every column
-    table = table.combine_chunks()  # chunking-invariant serialization
-    sink = pa.BufferOutputStream()
-    with pa.ipc.new_stream(sink, table.schema) as w:
-        w.write_table(table)
-    h = hashlib.blake2b(memoryview(sink.getvalue()), digest_size=8)
+    table = table.combine_chunks()  # chunking-invariant layout
+    h = hashlib.blake2b(digest_size=8)
+    h.update(table.num_rows.to_bytes(8, "little"))
+    for name in table.column_names:
+        col = table.column(name)
+        arr = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+        h.update(name.encode())
+        try:
+            _hash_update_array(h, arr)
+        except (TypeError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            # rare/odd layouts: fall back to IPC serialization (a full
+            # copy, but only for this column)
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(
+                sink, pa.schema([pa.field(name, arr.type)])
+            ) as w:
+                w.write_table(pa.table({name: arr}))
+            h.update(memoryview(sink.getvalue()))
     if extra:
         # provenance salt (input fragment path): two IDENTICAL blocks
         # from different input files must stay two shards — pure
         # content addressing silently deduplicated duplicate inputs
         h.update(extra.encode())
     return h.hexdigest()
+
+
+def _hash_update_array(h, arr: pa.Array) -> None:
+    """Feed an array's logical content into a hash via zero-copy buffer
+    views (the r01 IPC-serialize approach cost a full extra memcpy pass
+    per block, which measurably eats encode bandwidth at high
+    parallelism). Values under null slots are excluded via fill, so the
+    hash is a function of logical content only."""
+    import pyarrow.compute as pc
+
+    t = arr.type
+    h.update(str(t).encode())
+    h.update(len(arr).to_bytes(8, "little"))
+    null_count = arr.null_count
+    if null_count:
+        mask = arr.is_valid().to_numpy(zero_copy_only=False)
+        h.update(np.packbits(mask, bitorder="little"))
+    if pa.types.is_dictionary(t):
+        _hash_update_array(h, arr.cast(t.value_type))
+        return
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        if null_count:
+            arr = arr.fill_null("" if pa.types.is_string(t) or pa.types.is_large_string(t) else b"")
+        lengths, data = sc.str_to_bufs(arr)
+        h.update(lengths)  # ndarray: buffer protocol, no copy
+        h.update(np.ascontiguousarray(data))
+        return
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_map(t):
+        if pa.types.is_map(t):
+            arr = arr.cast(pa.list_(pa.struct([t.key_field, t.item_field])))
+        lengths = (
+            pc.list_value_length(arr).cast(pa.int32()).fill_null(0)
+            .to_numpy(zero_copy_only=False)
+        )
+        h.update(np.ascontiguousarray(lengths))
+        _hash_update_array(h, pc.list_flatten(arr))
+        return
+    if pa.types.is_struct(t):
+        for i in range(t.num_fields):
+            _hash_update_array(h, arr.field(i))
+        return
+    if pa.types.is_boolean(t):
+        v = (arr.fill_null(False) if null_count else arr).to_numpy(
+            zero_copy_only=False
+        )
+        h.update(np.packbits(v, bitorder="little"))
+        return
+    if _is_intish(t):
+        h.update(np.ascontiguousarray(_to_int_np(arr.fill_null(0) if null_count else arr)))
+        return
+    if pa.types.is_floating(t):
+        v = (arr.fill_null(0.0) if null_count else arr).to_numpy(
+            zero_copy_only=False
+        )
+        h.update(np.ascontiguousarray(v))
+        return
+    if pa.types.is_decimal(t):
+        n = len(arr)
+        data = np.frombuffer(arr.buffers()[1], dtype=np.uint8)[
+            arr.offset * 16 : (arr.offset + n) * 16
+        ]
+        h.update(data)
+        return
+    raise TypeError(f"unhashable column type {t}")

@@ -65,9 +65,19 @@ def verify_roundtrip(
         import glob
         import os
 
-        src_paths = sorted(glob.glob(os.path.join(src_paths, "*.parquet")))
-    src = ray.data.read_parquet(src_paths, columns=[key, list_col])
-    dec = decode_dataset(out_dir, columns=[key, list_col])
+        if os.path.isdir(src_paths):
+            src_paths = sorted(glob.glob(os.path.join(src_paths, "*.parquet")))
+        else:
+            src_paths = [src_paths]
+    import pyarrow.parquet as pq
+
+    schema_names = pq.read_schema(src_paths[0]).names
+    if key in schema_names and list_col in schema_names:
+        cols = [key, list_col]  # tokens contract: key + token arrays
+    else:
+        cols = list(schema_names)  # generic table: fingerprint ALL columns
+    src = ray.data.read_parquet(src_paths, columns=cols)
+    dec = decode_dataset(out_dir, columns=cols)
 
     if mode == "moments":
         a = _moments(src, key, list_col)

@@ -77,7 +77,11 @@ class EncodeShard:
             # salts the partition id so duplicate input files don't
             # collapse into one shard; dropped before encoding
             extra = "\x00".join(
-                sorted(set(batch.column("path").to_pylist()))
+                sorted(
+                    pc.unique(
+                        batch.column("path").combine_chunks()
+                    ).to_pylist()
+                )
             )
             batch = batch.drop_columns(["path"])
         pid = partition_id_for(batch, self.key_column, extra=extra)
@@ -174,26 +178,34 @@ class DecodeShard:
         return pa.concat_tables(outs) if outs else pa.table({})
 
 
-def row_fingerprints(batch: pa.Table, key: str = "doc_id", list_col: str = "tokens") -> pa.Table:
-    """Vectorized 64-bit per-row fingerprint over (key, token array) for
-    distributed roundtrip verification (per-row token equality joined on
-    doc_id — BASELINE.md correctness gate)."""
+def _column_row_hashes(col) -> np.ndarray:
+    """Per-row uint64 hash of one column (any supported type).
+    Vectorized per kind; the generic tail (struct/map/...) stringifies
+    — slow but only reached for exotic columns."""
     import pandas as pd
+    import pyarrow.compute as pc
 
-    n = batch.num_rows
-    h = np.zeros(n, dtype=np.uint64)
-    if key in batch.column_names:
-        kh = pd.util.hash_array(
-            batch.column(key).to_pandas().to_numpy(dtype=object)
-        ).astype(np.uint64)
-        h ^= kh
-    if list_col in batch.column_names:
-        col = batch.column(list_col).combine_chunks()
-        flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False)).astype(
-            np.uint64
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = arr.type
+    if pa.types.is_dictionary(t):
+        arr = arr.cast(t.value_type)
+        t = arr.type
+    n = len(arr)
+    nulls = np.zeros(n, dtype=bool)
+    if arr.null_count:
+        nulls = ~arr.is_valid().to_numpy(zero_copy_only=False)
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and (
+        pa.types.is_integer(t.value_type) or pa.types.is_floating(t.value_type)
+    ) and arr.null_count == 0 and arr.flatten().null_count == 0:
+        # positional hash: order inside the list matters (token arrays)
+        flat = np.asarray(arr.flatten().to_numpy(zero_copy_only=False))
+        flat = (
+            flat.view(np.uint64)
+            if flat.dtype == np.float64
+            else flat.astype(np.uint64)
         )
         lengths = np.asarray(
-            pa.compute.list_value_length(col).to_numpy(zero_copy_only=False)
+            pc.list_value_length(arr).to_numpy(zero_copy_only=False)
         ).astype(np.int64)
         offsets = np.concatenate([[0], np.cumsum(lengths)])
         pos = np.arange(flat.size, dtype=np.int64) - np.repeat(
@@ -203,9 +215,56 @@ def row_fingerprints(batch: pa.Table, key: str = "doc_id", list_col: str = "toke
         th = np.zeros(n, dtype=np.uint64)
         nonempty = lengths > 0
         if nonempty.any():
-            sums = np.add.reduceat(weighted, offsets[:-1][nonempty])
-            th[nonempty] = sums
-        h ^= th * _PRIME + np.uint64(0x9E3779B97F4A7C15)
+            th[nonempty] = np.add.reduceat(weighted, offsets[:-1][nonempty])
+        return th * _PRIME + np.uint64(0x9E3779B97F4A7C15)
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or (
+        pa.types.is_binary(t) or pa.types.is_large_binary(t)
+    ):
+        h = pd.util.hash_array(
+            arr.fill_null("" if not pa.types.is_binary(t) else b"")
+            .to_pandas()
+            .to_numpy(dtype=object)
+        ).astype(np.uint64)
+    elif pa.types.is_floating(t):
+        v = (arr.fill_null(0.0) if arr.null_count else arr).to_numpy(
+            zero_copy_only=False
+        )
+        h = np.ascontiguousarray(v).astype(np.float64).view(np.uint64).copy()
+    elif pa.types.is_boolean(t) or pa.types.is_integer(t) or (
+        pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t)
+    ):
+        from ..container import _to_int_np
+
+        v = _to_int_np(arr.fill_null(0) if arr.null_count else arr)
+        h = v.astype(np.int64).view(np.uint64) * _PRIME
+    else:
+        h = pd.util.hash_array(
+            np.array([str(x) for x in arr.to_pylist()], dtype=object)
+        ).astype(np.uint64)
+    h = h.copy()
+    h[nulls] = np.uint64(0xDEAD_BEEF_DEAD_BEEF)
+    return h
+
+
+def row_fingerprints(
+    batch: pa.Table,
+    key: str = "doc_id",
+    list_col: str = "tokens",
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """Vectorized 64-bit per-row fingerprint for distributed roundtrip
+    verification (per-row token equality joined on doc_id — BASELINE.md
+    correctness gate). Defaults to (key, list_col) when present; falls
+    back to EVERY column so generic tables verify too."""
+    n = batch.num_rows
+    if columns is None:
+        if key in batch.column_names and list_col in batch.column_names:
+            columns = [key, list_col]
+        else:
+            columns = list(batch.column_names)
+    h = np.zeros(n, dtype=np.uint64)
+    for c in columns:
+        h = h * np.uint64(0x100000001B3) ^ _column_row_hashes(batch.column(c))
     return pa.table({"fp": h, "n": np.ones(n, dtype=np.int64)})
 
 
