@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": similarity.ann_topk_ivf,
         # --- multimodal plumbing (stubbed decode) ---
         "multimodal_features": multimodal.multimodal_features,
+        "multimodal_pipeline": multimodal.multimodal_pipeline,
     }
 
 

@@ -106,6 +106,158 @@ class FeatureExtractor:
         )
 
 
+def _payload_bufs(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64, data uint8) views of a binary column."""
+    n = len(col)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return offs, data
+
+
+def _ragged_gather(
+    data: np.ndarray, starts: np.ndarray, lengths: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gather variable slices -> (packed values, new offsets)."""
+    total = int(lengths.sum())
+    new_offs = np.zeros(lengths.size + 1, dtype=np.int64)
+    np.cumsum(lengths, out=new_offs[1:])
+    idx = np.repeat(starts - new_offs[:-1], lengths) + np.arange(
+        total, dtype=np.int64
+    )
+    return data[idx], new_offs
+
+
+class FrameSampler:
+    """Actor-pool frame sampling: payloads are treated as sequences of
+    ``frame_bytes``-byte frames; every ``stride``-th frame is kept (a
+    real video pipeline decodes containers here — same plumbing, the
+    frame math is the deterministic stand-in). Fully vectorized over
+    the Arrow binary buffers."""
+
+    def __init__(self, frame_bytes: int = 64, stride: int = 4):
+        self.fb = frame_bytes
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column("payload").combine_chunks()
+        offs, data = _payload_bufs(col)
+        lengths = np.diff(offs)
+        n_frames = lengths // self.fb
+        keep = (n_frames + self.stride - 1) // self.stride
+        # kept bytes per row = keep * fb, gathered as strided frame runs
+        out_lens = keep * self.fb
+        row = np.repeat(np.arange(len(col)), keep)
+        within = (
+            np.arange(int(keep.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(keep)[:-1]]), keep)
+        )
+        frame_starts = offs[:-1][row] + within * self.stride * self.fb
+        vals, new_offs = _ragged_gather(
+            data, frame_starts, np.full(row.size, self.fb, dtype=np.int64)
+        )
+        arr = pa.Array.from_buffers(
+            pa.binary(),
+            len(col),
+            [
+                None,
+                pa.py_buffer(
+                    np.concatenate(
+                        [[0], np.cumsum(out_lens)]
+                    ).astype(np.int32).tobytes()
+                ),
+                pa.py_buffer(vals.tobytes()),
+            ],
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "payload": arr,
+                "media_type": t.column("media_type"),
+                "n_frames": pa.array(n_frames, pa.int64()),
+                "kept_frames": pa.array(keep, pa.int64()),
+            }
+        )
+
+
+class Resizer:
+    """Actor-pool resize stage: every payload is strided-resampled to
+    exactly ``target`` bytes (image-resize stand-in; a real deployment
+    loads the imaging library once per actor here). Vectorized gather."""
+
+    def __init__(self, target: int = 256):
+        self.target = target
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t.column("payload").combine_chunks()
+        offs, data = _payload_bufs(col)
+        lengths = np.diff(offs)
+        n = len(col)
+        # per row: target indices floor(i * len / target), empty rows -> 0s
+        pos = np.tile(np.arange(self.target, dtype=np.int64), n)
+        row = np.repeat(np.arange(n, dtype=np.int64), self.target)
+        ln = lengths[row]
+        if data.size == 0:
+            vals = np.zeros(n * self.target, dtype=np.uint8)
+        else:
+            src = offs[:-1][row] + np.where(ln > 0, pos * ln // self.target, 0)
+            vals = np.where(
+                ln > 0, data[np.minimum(src, np.maximum(offs[1:][row] - 1, 0))], 0
+            ).astype(np.uint8)
+        arr = pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [
+                None,
+                pa.py_buffer(
+                    (np.arange(n + 1, dtype=np.int64) * self.target)
+                    .astype(np.int32)
+                    .tobytes()
+                ),
+                pa.py_buffer(vals.tobytes()),
+            ],
+        )
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "payload": arr,
+                "media_type": t.column("media_type"),
+            }
+        )
+        for extra in ("n_frames", "kept_frames"):
+            if extra in t.column_names:
+                out = out.append_column(extra, t.column(extra))
+        return out
+
+
+def multimodal_pipeline(sf_dir: str):
+    """Full media pipeline shape: payloads -> frame-sample -> resize ->
+    feature-extract, three chained actor-pool stages with small batches
+    (the Ray plumbing a real video/image pipeline needs; kernels are
+    deterministic stand-ins — no media libs in this sandbox).
+    Rows-only check (stub kernels are not SQL-expressible)."""
+    ds = _payloads(sf_dir)
+    ds = ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=512, concurrency=2,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        Resizer, batch_format="pyarrow", batch_size=512, concurrency=2,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        FeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=2,
+        num_cpus=1,
+    )
+    return ds
+
+
 def multimodal_features(sf_dir: str):
     """payload -> feature pipeline: binary rows through an actor pool
     with small batches (large payloads: bound memory by rows-per-batch,
