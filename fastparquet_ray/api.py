@@ -164,5 +164,20 @@ class EncodedDataset:
     ) -> pd.DataFrame:
         return self.dataset(columns, filters=filters).limit(n).to_pandas()
 
+    def __len__(self) -> int:
+        return len(self._paths)
+
+    def __getitem__(self, key):
+        """Shard-subset dataset (reference S4: ParquetFile.__getitem__
+        row-group slicing, api.py:251-263) — ``eds[2:5]`` is a lazy
+        Dataset over shards 2..4 only."""
+        from .sources.fprs import read_fprs
+
+        paths = self._paths[key] if isinstance(key, slice) else [self._paths[key]]
+        tables = (
+            self.manifest.load_plan().tables if self.manifest.has_plan() else {}
+        )
+        return read_fprs(paths, tables=tables)
+
     def verify_against(self, src_paths: list[str] | str) -> dict:
         return verify_roundtrip(src_paths, self.out_dir)

@@ -81,3 +81,31 @@ def test_column_codec_override(ray_session, tmp_path):
     recs = Manifest(out).load_records()
     codecs = json.loads(next(iter(recs.values()))["codecs"])
     assert codecs["n_tok"] == "plain"
+
+
+def test_shard_subset_getitem(ray_session, tmp_path):
+    """eds[i] / eds[a:b] -> lazy Dataset over a shard subset
+    (reference S4 row-group slicing parity)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastparquet_ray.api import EncodedDataset
+    from fastparquet_ray.pipelines import encode_pipeline
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.table({"doc_id": [f"d{i}-{j}" for j in range(50)],
+                      "v": list(range(i * 50, i * 50 + 50))}),
+            str(src / f"p{i}.parquet"),
+        )
+    out = str(tmp_path / "enc")
+    encode_pipeline(sorted(str(p) for p in src.glob("*.parquet")), out)
+    eds = EncodedDataset(out)
+    assert len(eds) == 3
+    assert eds[0].count() == 50
+    sub = eds[0:2].to_pandas()
+    assert len(sub) == 100
+    full = eds[:].to_pandas()
+    assert len(full) == 150
