@@ -81,6 +81,51 @@ def write(
     )
 
 
+def write_simple(
+    path: str,
+    data: "pd.DataFrame | pa.Table",
+    outer: str | None = None,
+) -> dict:
+    """Single-file writer (reference S6: write_simple,
+    writer.py:773-807): the whole table becomes ONE self-describing
+    shard blob — no manifest, no Ray job; for small side tables and
+    interchange. Read back with :func:`read_simple`. Any filesystem
+    URI works (fs layer)."""
+    from .container import ShardEncoder, partition_id_for, read_header
+    from .state import fs as fsmod
+
+    table = (
+        pa.Table.from_pandas(data, preserve_index=False)
+        if isinstance(data, pd.DataFrame)
+        else data
+    )
+    spec = None
+    if outer:
+        name, _, lvl = outer.partition(":")
+        spec = (name, int(lvl) if lvl else None)
+    blob = ShardEncoder(outer=spec).encode_table(
+        table, partition_id_for(table)
+    )
+    fs, rp = fsmod.get_fs(path)
+    fsmod.atomic_write(fs, rp, blob)
+    hdr = read_header(blob)
+    return {
+        "rows": hdr["num_rows"],
+        "raw_bytes": hdr["raw_bytes"],
+        "enc_bytes": hdr["enc_bytes"],
+        "path": path,
+    }
+
+
+def read_simple(path: str, columns: list[str] | None = None) -> pa.Table:
+    """Read a :func:`write_simple` file back into an Arrow table."""
+    from .container import decode_table
+    from .state import fs as fsmod
+
+    fs, rp = fsmod.get_fs(path)
+    return decode_table(fsmod.read_bytes(fs, rp), columns=columns)
+
+
 class EncodedDataset:
     """Reader over an encoded dataset directory (shards + manifest),
     the `ParquetFile` analog."""

@@ -109,3 +109,34 @@ def test_shard_subset_getitem(ray_session, tmp_path):
     assert len(sub) == 100
     full = eds[:].to_pandas()
     assert len(full) == 150
+
+
+def test_write_simple_read_simple(tmp_path):
+    """Single-file writer/reader (reference S6 parity) — no Ray job,
+    works through the fs layer (memory:// too)."""
+    import numpy as np
+    import pandas as pd
+
+    from fastparquet_ray.api import read_simple, write_simple
+
+    df = pd.DataFrame(
+        {
+            "k": [f"k{i}" for i in range(500)],
+            "v": np.arange(500),
+            "price": np.round(np.random.default_rng(1).uniform(0, 9, 500), 2),
+        }
+    )
+    p = str(tmp_path / "one.fprs")
+    s = write_simple(p, df)
+    assert s["rows"] == 500 and s["enc_bytes"] < s["raw_bytes"]
+    back = read_simple(p).to_pandas()
+    assert back.equals(df)
+    assert read_simple(p, columns=["v"]).column_names == ["v"]
+
+    # memory:// URI
+    from fsspec.implementations.memory import MemoryFileSystem
+
+    MemoryFileSystem.store.clear()
+    write_simple("memory://ws/one.fprs", df)
+    assert read_simple("memory://ws/one.fprs").num_rows == 500
+    MemoryFileSystem.store.clear()
