@@ -277,6 +277,8 @@ class ShardEncoder:
                 arr = arr.fill_null(b"")
             elif pa.types.is_floating(t):
                 arr = arr.fill_null(0.0)
+            elif pa.types.is_boolean(t):
+                arr = arr.fill_null(False)
             else:
                 arr = arr.fill_null(0)
         info["validity_len"] = len(validity)
@@ -464,7 +466,9 @@ class ShardEncoder:
             body = encode_uvarint(len(ds)) + ds + np.ascontiguousarray(vnp).tobytes()
         elif _is_intish(t):
             kind = 3
-            vnp = _to_int_np(arr.fill_null(0) if null_count else arr)
+            if null_count:
+                arr = arr.fill_null(False if pa.types.is_boolean(t) else 0)
+            vnp = _to_int_np(arr)
             blob = _encode_int_auto(vnp, None)
             body = encode_uvarint(len(blob)) + blob
         else:

@@ -229,7 +229,9 @@ def train_plan(sample: pa.Table) -> CodecPlan:
                 from .container import _to_int_np
 
                 if arr.null_count:
-                    arr = arr.fill_null(0)
+                    arr = arr.fill_null(
+                        False if pa.types.is_boolean(t) else 0
+                    )
                 codec, stats = _pick_int_codec(_to_int_np(arr))
                 plan.specs[name] = {"codec": codec}
                 plan.stats[name] = stats

@@ -78,3 +78,111 @@ def test_strcodec_roundtrip(strs):
     for blob in [sc.encode_plain_str(l, d), sc.encode_dict_str(l, d)]:
         dl, dd = sc.decode_any_str(blob)
         assert sc.bufs_to_arrow(dl, dd).to_pylist() == strs
+
+
+# ---- nested container property tests (round 2) ----
+
+_scalar_leaves = st.sampled_from(["int32", "int64", "float64", "string", "bool"])
+
+
+def _leaf_values(dtype, n, draw):
+    if dtype == "int32":
+        return draw(st.lists(
+            st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+            min_size=n, max_size=n))
+    if dtype == "int64":
+        return draw(st.lists(
+            st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+            min_size=n, max_size=n))
+    if dtype == "float64":
+        return draw(st.lists(
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=True)),
+            min_size=n, max_size=n))
+    if dtype == "bool":
+        return draw(st.lists(st.one_of(st.none(), st.booleans()),
+                             min_size=n, max_size=n))
+    return draw(st.lists(
+        st.one_of(st.none(), st.text(max_size=12)), min_size=n, max_size=n))
+
+
+def _pa_type(dtype):
+    return {
+        "int32": pa.int32(), "int64": pa.int64(), "float64": pa.float64(),
+        "string": pa.string(), "bool": pa.bool_(),
+    }[dtype]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_nested_list_roundtrip_property(data):
+    """Random nullable list<leaf> columns roundtrip exactly through the
+    recursive container path (incl. null lists and null elements)."""
+    from fastparquet_ray.container import ShardEncoder, decode_table
+
+    dtype = data.draw(_scalar_leaves)
+    n = data.draw(st.integers(0, 40))
+    rows = []
+    for _ in range(n):
+        kind = data.draw(st.integers(0, 3))
+        if kind == 0:
+            rows.append(None)
+        else:
+            m = data.draw(st.integers(0, 6))
+            rows.append(_leaf_values(dtype, m, data.draw_fn() if False else data.draw)
+                        if False else _leaf_values(dtype, m, data.draw))
+    arr = pa.array(rows, pa.list_(_pa_type(dtype)))
+    t = pa.table({"c": arr})
+    got = decode_table(ShardEncoder().encode_table(t, "p"))
+    assert got.schema.equals(t.schema)
+    assert got.column("c").to_pylist() == arr.to_pylist()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_nested_struct_roundtrip_property(data):
+    from fastparquet_ray.container import ShardEncoder, decode_table
+
+    d1 = data.draw(_scalar_leaves)
+    d2 = data.draw(_scalar_leaves)
+    n = data.draw(st.integers(0, 30))
+    v1 = _leaf_values(d1, n, data.draw)
+    v2 = _leaf_values(d2, n, data.draw)
+    null_rows = data.draw(st.lists(st.booleans(), min_size=n, max_size=n))
+    rows = [
+        None if nr else {"a": a, "b": b}
+        for nr, a, b in zip(null_rows, v1, v2)
+    ]
+    typ = pa.struct([("a", _pa_type(d1)), ("b", _pa_type(d2))])
+    arr = pa.array(rows, typ)
+    t = pa.table({"s": arr})
+    got = decode_table(ShardEncoder().encode_table(t, "p"))
+    assert got.column("s").to_pylist() == arr.to_pylist()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_nested_projection_and_outer_property(data):
+    """Projection + outer zstd over mixed nested/flat columns."""
+    from fastparquet_ray.container import ShardEncoder, decode_table
+
+    n = data.draw(st.integers(1, 25))
+    t = pa.table(
+        {
+            "k": pa.array([f"k{i}" for i in range(n)]),
+            "lst": pa.array(
+                [_leaf_values("string", i % 4, data.draw) if i % 5 else None
+                 for i in range(n)],
+                pa.list_(pa.string()),
+            ),
+            "v": pa.array(_leaf_values("float64", n, data.draw), pa.float64()),
+        }
+    )
+    blob = ShardEncoder(outer=("zstd", 1)).encode_table(t, "p")
+    got = decode_table(blob, columns=["lst", "v"])
+    assert got.column_names == ["lst", "v"]
+    assert got.column("lst").to_pylist() == t.column("lst").to_pylist()
+    a, b = got.column("v").to_pylist(), t.column("v").to_pylist()
+    assert len(a) == len(b) and all(
+        (x is None and y is None) or x == y or (x != x and y != y)
+        for x, y in zip(a, b)
+    )
