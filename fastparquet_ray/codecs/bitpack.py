@@ -56,19 +56,28 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
         return np.ascontiguousarray(
             v.view(np.uint8).reshape(n, 4)[:, :nb]
         ).tobytes()
-    # pad to a multiple of 8 values; 8 values * width bits == width bytes
+    # pad to a multiple of 8 values; 8 values * width bits == width bytes.
+    # Writes go through UNALIGNED STRIDED u64 read-modify-write views
+    # over one padded buffer (same trick as unpack_bits; consecutive j
+    # windows overlap but the loop is sequential, and within one pass
+    # rows are stride-separated) — avoids a per-pass byte-matrix copy.
     g = (n + 7) // 8
     if n % 8:
         v = np.concatenate([v, np.zeros(g * 8 - n, dtype="<u4")])
     lanes = v.reshape(g, 8).astype("<u8")
-    out = np.zeros((g, width), dtype=np.uint8)
+    stride = width + 8  # +8 slack so the last u64 write stays in-row
+    out = np.zeros(g * stride, dtype=np.uint8)
     for j in range(8):
         start_bit = j * width
         p0, r = divmod(start_bit, 8)
-        shifted = (lanes[:, j] << np.uint64(r)).view(np.uint8).reshape(g, 8)
-        nb = (width + r + 7) // 8
-        out[:, p0 : p0 + nb] |= shifted[:, :nb]
-    return out.tobytes()[:out_len]
+        dst = np.ndarray(
+            (g,), dtype="<u8", buffer=out, offset=p0, strides=(stride,)
+        )
+        dst |= lanes[:, j] << np.uint64(r)
+    return (
+        np.ascontiguousarray(out.reshape(g, stride)[:, :width])
+        .tobytes()[:out_len]
+    )
 
 
 def unpack_bits(buf: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
