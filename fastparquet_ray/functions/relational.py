@@ -118,16 +118,14 @@ def groupby_agg(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_price=("l_extendedprice", "sum"),
-                n=("l_quantity", "size"),
-            )
+        # Arrow-native partial aggregation (no pandas copy)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("l_quantity", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n"]
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -214,11 +212,10 @@ def dtype_convert_time(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby("event_type", as_index=False).agg(
-            first_ts=("ts", "min"), last_ts=("ts", "max"), n=("ts", "size")
+        g = t.group_by(["event_type"]).aggregate(
+            [("ts", "min"), ("ts", "max"), ("ts", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(["event_type", "first_ts", "last_ts", "n"])
 
     from ray.data.aggregate import Max, Min, Sum
 

@@ -70,22 +70,26 @@ def quality_score(sf_dir: str):
 
     ds = _docs(sf_dir, ["source", "text", "n_chars"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        words = (df["text"].str.count(" ") + 1).astype("int64")
-        g = pd.DataFrame(
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # Arrow-native partial aggregation (no pandas hop)
+        words = pc.add(
+            pc.count_substring(t.column("text"), " "), 1
+        ).cast(pa.int64())
+        t2 = pa.table(
             {
-                "source": df["source"],
-                "chars": df["n_chars"].astype("int64"),
+                "source": t.column("source"),
+                "chars": t.column("n_chars").cast(pa.int64()),
                 "words": words,
             }
-        ).groupby("source", as_index=False).agg(
-            sum_chars=("chars", "sum"),
-            sum_words=("words", "sum"),
-            n=("chars", "size"),
         )
-        return g
+        g = t2.group_by(["source"]).aggregate(
+            [("chars", "sum"), ("words", "sum"), ("chars", "count")]
+        )
+        return g.rename_columns(["source", "sum_chars", "sum_words", "n"])
 
-    parts = ds.map_batches(partial, batch_format="pandas")
+    parts = ds.map_batches(partial, batch_format="pyarrow")
     agg = parts.groupby("source").aggregate(
         Sum("sum_chars", alias_name="sum_chars"),
         Sum("sum_words", alias_name="sum_words"),

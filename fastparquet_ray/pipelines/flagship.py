@@ -41,6 +41,17 @@ def ensure_encoded(sf_dir: str, partition_by_source: bool = False) -> tuple[list
     return paths, out
 
 
+def _source_partial(t: pa.Table) -> pa.Table:
+    """Arrow-native per-source partial (count + token sum), no pandas."""
+    g = t.group_by(["source"]).aggregate(
+        [("n_tok", "count"), ("n_tok", "sum")]
+    )
+    g = g.rename_columns(["source", "n", "sum_tok"])
+    return g.set_column(
+        2, "sum_tok", g.column("sum_tok").cast(pa.int64())
+    )
+
+
 def tokens_groupby_source(sf_dir: str):
     """Per-source row count and token totals computed FROM DECODED
     SHARDS (oracle reads the source parquet — equality proves the
@@ -50,15 +61,7 @@ def tokens_groupby_source(sf_dir: str):
     _, out = ensure_encoded(sf_dir)
     ds = decode_dataset(out, columns=["source", "n_tok"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby("source", as_index=False).agg(
-            n=("n_tok", "size"), sum_tok=("n_tok", "sum")
-        )
-        g["sum_tok"] = g["sum_tok"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    parts = ds.map_batches(partial, batch_format="pyarrow")
+    parts = ds.map_batches(_source_partial, batch_format="pyarrow")
     return parts.groupby("source").aggregate(
         Sum("n", alias_name="n"), Sum("sum_tok", alias_name="sum_tok")
     )
@@ -126,15 +129,7 @@ def tokens_export_roundtrip(sf_dir: str):
         export_parquet(enc, out_dir, columns=["doc_id", "n_tok", "source"])
     ds = ray.data.read_parquet(out_dir)
 
-    def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby("source", as_index=False).agg(
-            n=("n_tok", "size"), sum_tok=("n_tok", "sum")
-        )
-        g["sum_tok"] = g["sum_tok"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    parts = ds.map_batches(partial, batch_format="pyarrow")
+    parts = ds.map_batches(_source_partial, batch_format="pyarrow")
     return parts.groupby("source").aggregate(
         Sum("n", alias_name="n"), Sum("sum_tok", alias_name="sum_tok")
     )
