@@ -189,8 +189,17 @@ class EncodedDataset:
         self, columns: list[str] | None = None, filters=None
     ) -> pd.DataFrame:
         """Full materializing read — small datasets / tests only (the
-        reference's to_pandas is the same contract)."""
-        return self.dataset(columns, filters=filters).to_pandas()
+        reference's to_pandas is the same contract). Gathers through
+        Arrow batches: pyarrow's to_pandas handles ragged list / nested
+        columns that Ray's TensorArray conversion rejects."""
+        batches = list(
+            self.dataset(columns, filters=filters).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        if not batches:
+            return pd.DataFrame()
+        return pa.concat_tables(batches).to_pandas()
 
     def iter_batches(
         self,
