@@ -81,6 +81,20 @@ def _vec_bit_widths(maxd: np.ndarray) -> np.ndarray:
     return np.frexp(maxd.astype(np.float64))[1].astype(np.uint8)
 
 
+def _vec_bit_widths_est(d: np.ndarray) -> np.ndarray:
+    """Fast per-value bit widths via the float32 exponent field (~3x
+    faster than exact frexp on float64). Rounding to float32 can only
+    round a value UP across a power-of-two boundary, so the result may
+    OVERestimate by 1 at (2^k - epsilon) values and never
+    underestimates — safe wherever widths classify values as "fits in
+    w bits or becomes an exception" (PFOR): a non-exception value with
+    est <= w truly fits, an overestimated value merely becomes an
+    unnecessary exception."""
+    f = d.astype(np.float32)
+    w = (f.view(np.uint32) >> np.uint32(23)).astype(np.int16) - 126
+    return np.maximum(w, 0).astype(np.uint8)
+
+
 def encode_for_bp(values: np.ndarray) -> bytes:
     """Frame-of-reference + bit-pack. Raises ValueError when any
     miniblock's value range needs > 32 bits (caller falls back)."""
@@ -281,7 +295,7 @@ def encode_pfor(values: np.ndarray) -> bytes:
         if (d >> np.uint64(32)).any():
             raise ValueError("PFOR: miniblock range exceeds 32 bits")
         d32 = d.astype(np.uint32)
-    vwidths = _vec_bit_widths(d32)  # (nb, MINIBLOCK) width per value
+    vwidths = _vec_bit_widths_est(d32)  # (nb, MINIBLOCK), may overestimate
     # per-block width histogram via bincount on a combined index
     # (np.add.at is ~10x slower for this shape)
     comb = vwidths.reshape(-1).astype(np.int64)
