@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_roundtrip": flagship.tokens_roundtrip_summary,
         "tokens_export_parquet": flagship.tokens_export_roundtrip,
         "nested_roundtrip": flagship.nested_roundtrip,
+        "events_roundtrip": flagship.events_roundtrip,
         "codec_plan": flagship.codec_plan_report,
         "shard_stats": flagship.shard_stats_report,
         # --- dedup family ---
@@ -243,6 +244,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n, "
             "CAST(sum(n_tok) AS BIGINT) AS sum_tok "
             f"FROM read_parquet('{_TOKENS_GLOB}') GROUP BY source"
+        ),
+        "events_roundtrip": (
+            "SELECT event_type, min(ts) AS min_ts, max(ts) AS max_ts, "
+            "ROUND(sum(value), 2) AS sum_value, "
+            "CAST(count(props) AS BIGINT) AS n_props, count(*) AS n "
+            "FROM events GROUP BY event_type"
         ),
         "nested_roundtrip": (
             "SELECT doc_id, "

@@ -181,6 +181,56 @@ def nested_roundtrip(sf_dir: str):
     return dds.map_batches(report, batch_format="pyarrow")
 
 
+def events_roundtrip(sf_dir: str):
+    """The events table through the FULL engine: encode (delta/for64
+    timestamps, float->scaled-int value, nullable dict props) ->
+    decode -> per-type aggregates FROM THE DECODED SHARDS. The oracle
+    reads the raw parquet — equality proves the roundtrip across the
+    container's scalar type surface (timestamps, floats, strings with
+    nulls)."""
+    import glob as _glob
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    sf = sf_from_dir(sf_dir)
+    enc_dir = os.path.join(TOKENS_BASE, f"sf{sf:g}_events_enc")
+    src = os.path.join(sf_dir, "events.parquet")
+    encode_pipeline([src], enc_dir, resume=True)
+    ds = decode_dataset(enc_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"]).aggregate(
+            [("ts", "min"), ("ts", "max"), ("value", "sum"),
+             ("props", "count"), ("event_id", "count")]
+        )
+        return g.rename_columns(
+            ["event_type", "min_ts", "max_ts", "sum_value", "n_props", "n"]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby("event_type").aggregate(
+        Min("min_ts", alias_name="min_ts"),
+        Max("max_ts", alias_name="max_ts"),
+        Sum("sum_value", alias_name="sum_value_raw"),
+        Sum("n_props", alias_name="n_props"),
+        Sum("n", alias_name="n"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "min_ts": t.column("min_ts"),
+                "max_ts": t.column("max_ts"),
+                "sum_value": pc.round(t.column("sum_value_raw"), 2),
+                "n_props": t.column("n_props").cast(pa.int64()),
+                "n": t.column("n"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def shard_stats_report(sf_dir: str):
     """Per-shard per-column statistics from shard headers only
     (reference A2 statistics(); rows-only)."""
