@@ -22,7 +22,6 @@ auto-init a local session on first use).
 
 from __future__ import annotations
 
-import glob
 import os
 import tempfile
 from typing import Any, Iterator

@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .fsst import FsstTable
-from .intcodec import decode_any_int, encode_for_bp, encode_plain_int, encode_rle_int
+from .intcodec import decode_any_int, encode_plain_int, encode_rle_int
 from .rle import rle_decode, rle_encode
 from .bitpack import bit_width
 from .varint import decode_uvarint, encode_uvarint

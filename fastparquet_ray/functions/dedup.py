@@ -12,7 +12,6 @@ import os
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 _SEED = np.uint64(0x9E3779B97F4A7C15)
 _PRIME = np.uint64(1099511628211)
@@ -109,9 +108,11 @@ def minhash_lsh_pairs(
 ):
     """MinHash+LSH near-duplicate candidate pairs, verified with exact
     shingle Jaccard. Pipeline: minhash (actor pool) -> explode to
-    (band, band_hash, doc_id) -> groupby band buckets -> pairs ->
-    verify. Verification joins texts via broadcast at test scale; at
-    100TB the verify join becomes a bucketed self-join on doc_id.
+    (band, band_hash, doc_id) -> groupby band buckets -> candidate
+    pairs -> distributed verify (candidate-id semi-join computes
+    shingles inside map_batches; pair Jaccard vectorized over the pair
+    dataset with a candidate-bounded broadcast map). Driver state is
+    OUTPUT-bounded throughout — the corpus never leaves the cluster.
     """
     import ray
     import ray.data

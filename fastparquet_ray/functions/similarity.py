@@ -13,7 +13,6 @@ import os
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 
 def _emb(sf_dir: str):

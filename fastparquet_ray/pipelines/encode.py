@@ -16,7 +16,6 @@ own the session.
 
 from __future__ import annotations
 
-import os
 from typing import Any
 
 from ..data import SOURCES
