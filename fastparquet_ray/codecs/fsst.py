@@ -251,9 +251,15 @@ class FsstTable:
             self.sym_data.size + unit_pos + 1,  # literal byte after escape
             sym_offs[np.where(esc_u, 0, codes)],
         )
-        unit_id = np.repeat(np.arange(unit_pos.size), out_lens)
-        within = np.arange(total_out, dtype=np.int64) - out_off[unit_id]
-        out = combined[base[unit_id] + within]
+        # int32 index space when everything fits (halves index traffic)
+        idt = (
+            np.int32
+            if total_out < 2**31 and combined.size < 2**31
+            else np.int64
+        )
+        unit_id = np.repeat(np.arange(unit_pos.size, dtype=idt), out_lens)
+        within = np.arange(total_out, dtype=idt) - out_off.astype(idt)[unit_id]
+        out = combined[base.astype(idt)[unit_id] + within]
         # per-string decoded lengths
         ub = np.searchsorted(unit_pos, enc_offsets)
         lengths = np.diff(out_off[ub])
