@@ -171,16 +171,16 @@ def encode_pipeline(
         ds = salted_shuffle(ds, plan)
     elif partition_by_source == "local":
         # add the salt column only — EncodeShard's split_by does the
-        # local bucket split; no exchange
-        import pyarrow as pa  # noqa: F401
-
+        # local bucket split; no exchange. ONE bucket per source:
+        # write-side splitting needs source PURITY only — the
+        # frequency-proportional sub-buckets exist to bound group sizes
+        # in the shuffle mode, and here they merely fragment each block
+        # into ~32 tiny shards (measured: 2048 vs 320 partitions at
+        # sf0.1, with the per-shard symbol-table overhead that implies)
         from ..data import SOURCES
 
         hist = plan.stats.get("__source_hist__") or {}
-        total = sum(hist.values()) or 1
-        buckets = {
-            s: max(1, round(32 * c / total)) for s, c in hist.items()
-        }
+        buckets = {s: 1 for s in hist}
         for s in SOURCES:
             buckets.setdefault(str(s), 1)
         ds = ds.map_batches(
