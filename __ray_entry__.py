@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         relational,
         similarity,
+        sketches,
         textops,
         windows,
     )
@@ -76,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_export_parquet": flagship.tokens_export_roundtrip,
         "nested_roundtrip": flagship.nested_roundtrip,
         "events_roundtrip": flagship.events_roundtrip,
+        "token_topk": sketches.token_topk,
+        "distinct_count_approx": sketches.distinct_count_approx,
         "codec_plan": flagship.codec_plan_report,
         "shard_stats": flagship.shard_stats_report,
         # --- dedup family ---
@@ -244,6 +247,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n, "
             "CAST(sum(n_tok) AS BIGINT) AS sum_tok "
             f"FROM read_parquet('{_TOKENS_GLOB}') GROUP BY source"
+        ),
+        "token_topk": (
+            "SELECT CAST(tok AS BIGINT) AS tok, count(*) AS n FROM ("
+            f"SELECT unnest(tokens) AS tok FROM read_parquet('{_TOKENS_GLOB}')"
+            ") GROUP BY tok ORDER BY n DESC, tok LIMIT 20"
         ),
         "events_roundtrip": (
             "SELECT event_type, min(ts) AS min_ts, max(ts) AS max_ts, "

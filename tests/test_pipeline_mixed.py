@@ -89,3 +89,22 @@ def test_multimodal_pipeline_stages(ray_session):
     feats = FeatureExtractor()(rz)
     assert feats.num_rows == 51
     assert feats.column("payload_bytes").to_pylist() == [128] * 51
+
+
+def test_hll_accuracy(ray_session):
+    """HLL distinct estimate within 3% of exact on lineitem keys."""
+    import duckdb
+
+    from fastparquet_ray.functions.sketches import distinct_count_approx
+
+    sf_dir = "/root/testdata/sf0.01"
+    approx = distinct_count_approx(sf_dir)
+    con = duckdb.connect()
+    exact = con.execute(
+        "SELECT count(DISTINCT l_partkey), count(DISTINCT l_suppkey) "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()
+    for got, ex in zip(
+        [approx["n_part_approx"][0], approx["n_supp_approx"][0]], exact
+    ):
+        assert abs(got - ex) / ex < 0.03, (got, ex)
