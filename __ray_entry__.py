@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": textops.token_count,
         "token_count_bpe": textops.token_count_bpe,
         "quality_score": textops.quality_score,
+        "quality_filter": textops.quality_filter,
         "fingerprint": textops.fingerprint,
         "adjacent_similarity": textops.adjacent_similarity,
         "lang_id": textops.lang_id,
@@ -285,6 +286,15 @@ def oracle_sql() -> dict[str, str]:
             "AS avg_words, count(*) AS n FROM documents GROUP BY source"
         ),
         "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "quality_filter": (
+            "SELECT source, count(*) AS n_kept FROM ("
+            "SELECT source, "
+            "length(text) - length(replace(text, ' ', '')) + 1 AS words, "
+            "n_chars::DOUBLE / (length(text) - length(replace(text, ' ', '')) "
+            "+ 1) AS awl FROM documents) "
+            "WHERE words BETWEEN 10 AND 2000 AND awl BETWEEN 3.0 AND 12.0 "
+            "GROUP BY source"
+        ),
         # exact all-pairs 3-word-shingle Jaccard. Valid as an oracle
         # because every true near-dup pair in the corpus has j >= 0.9,
         # where the 16x4 LSH band recall is 1 - (1-0.9^4)^16 ~ 1-4e-8 —

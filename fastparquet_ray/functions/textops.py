@@ -204,6 +204,37 @@ def adjacent_similarity(sf_dir: str):
     return pairs_ds
 
 
+def quality_filter(sf_dir: str):
+    """Corpus cleaning: drop documents failing quality heuristics
+    (too short, too long, degenerate average word length — the
+    Gopher/C4-style rule shape) and report per-source survivor counts.
+    One streaming pass: metrics + filter + partial counts inside
+    map_batches, tiny final groupby. Oracle-verified (the rules are
+    pure SQL)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["source", "text", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        words = pc.add(pc.count_substring(t.column("text"), " "), 1).cast(
+            pa.int64()
+        )
+        chars = t.column("n_chars").cast(pa.int64())
+        awl = pc.divide(pc.cast(chars, pa.float64()), pc.cast(words, pa.float64()))
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(words, 10), pc.less_equal(words, 2000)),
+            pc.and_(pc.greater_equal(awl, 3.0), pc.less_equal(awl, 12.0)),
+        )
+        kept = pa.table({"source": t.column("source")}).filter(keep)
+        g = kept.group_by(["source"]).aggregate([("source", "count")])
+        return g.rename_columns(["source", "n_kept"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("source").aggregate(Sum("n_kept", alias_name="n_kept"))
+
+
 class LangId:
     """Heuristic language ID from character n-gram profiles — a
     stateful actor stage: profiles are built once per actor in
