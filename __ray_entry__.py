@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_stats": flagship.shard_stats_report,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
+        "corpus_clean": dedup.corpus_clean,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash": dedup.simhash,
         "embedding_neardup": dedup.embedding_neardup,
@@ -269,6 +270,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id, "
             "count(*) AS n_dups FROM documents GROUP BY text"
+        ),
+        "corpus_clean": (
+            "SELECT source, count(*) AS n_kept FROM ("
+            "SELECT source, "
+            "length(text) - length(replace(text, ' ', '')) + 1 AS words, "
+            "n_chars::DOUBLE / (length(text) - length(replace(text, ' ', '')) "
+            "+ 1) AS awl FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) "
+            "AS rn FROM documents) WHERE rn = 1) "
+            "WHERE words BETWEEN 10 AND 2000 AND awl BETWEEN 3.0 AND 12.0 "
+            "GROUP BY source"
         ),
         "token_count": (
             "SELECT doc_id, CAST(length(text) - "

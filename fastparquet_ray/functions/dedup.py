@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pyarrow as pa
 import pandas as pd
 
 _SEED = np.uint64(0x9E3779B97F4A7C15)
@@ -36,6 +37,43 @@ def dedup_exact(sf_dir: str):
         Min("doc_id", alias_name="keep_id"), Count(alias_name="n_dups")
     )
     return out
+
+
+def corpus_clean(sf_dir: str):
+    """The composed training-data cleaning pipeline: exact dedup (keep
+    the smallest doc_id per distinct text — one hash shuffle on the
+    text key) -> quality heuristics (word-count bounds + average word
+    length band, same rules as textops.quality_filter) -> per-source
+    survivor counts. This is the end-to-end flow a corpus-prep job
+    runs; oracle reproduces it with a window function + the rules."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source", "n_chars"])
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").head(1)
+
+    survivors = ds.groupby("text").map_groups(keep_first, batch_format="pandas")
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = pc.add(pc.count_substring(t.column("text"), " "), 1).cast(
+            pa.int64()
+        )
+        chars = t.column("n_chars").cast(pa.int64())
+        awl = pc.divide(
+            pc.cast(chars, pa.float64()), pc.cast(words, pa.float64())
+        )
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(words, 10), pc.less_equal(words, 2000)),
+            pc.and_(pc.greater_equal(awl, 3.0), pc.less_equal(awl, 12.0)),
+        )
+        kept = pa.table({"source": t.column("source")}).filter(keep)
+        g = kept.group_by(["source"]).aggregate([("source", "count")])
+        return g.rename_columns(["source", "n_kept"])
+
+    parts = survivors.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("source").aggregate(Sum("n_kept", alias_name="n_kept"))
 
 
 def _word_shingles(texts: list[str], k: int = 3) -> list[np.ndarray]:
