@@ -119,7 +119,10 @@ def run_bench() -> dict:
         import __ray_entry__ as entrymod
 
         qs = entrymod.queries()
-        for name in ["groupby_agg", "dedup_exact", "token_count", "ann_topk"]:
+        for name in [
+            "groupby_agg", "dedup_exact", "token_count", "ann_topk",
+            "corpus_clean", "token_topk",
+        ]:
             t0 = time.time()
             res = qs[name](sf_dir)
             # consume datasets so laziness doesn't hide work
