@@ -33,11 +33,34 @@ def encoded_dir_for(sf: float) -> str:
 
 def ensure_encoded(sf_dir: str, partition_by_source: bool = False) -> tuple[list[str], str]:
     """Generate (cached) + encode (resumable, cached) the tokens table
-    for the scale factor implied by sf_dir. Returns (src_paths, enc_dir)."""
+    for the scale factor implied by sf_dir. Returns (src_paths, enc_dir).
+
+    Query-harness fast path: a marker records (path, size, mtime) of
+    the inputs of the last successful encode; when unchanged, the
+    resume no-op (which re-reads and content-hashes every block to
+    verify partition ids) is skipped entirely. Content-verified resume
+    still guards every real encode run — this only short-circuits
+    repeated QUERIES over an identical, already-encoded input set."""
+    import json
+
     sf = sf_from_dir(sf_dir)
     paths = ensure_tokens_dataset(sf, base=TOKENS_BASE)
     out = encoded_dir_for(sf)
+    marker = os.path.join(out, "_inputs.json")
+    fp = [
+        [p, os.path.getsize(p), int(os.path.getmtime(p))] for p in paths
+    ] + [["partition_by_source", str(partition_by_source), 0]]
+    try:
+        with open(marker) as f:
+            if json.load(f) == fp:
+                return paths, out
+    except (OSError, ValueError):
+        pass
     encode_pipeline(paths, out, resume=True, partition_by_source=partition_by_source)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(fp, f)
+    os.replace(tmp, marker)
     return paths, out
 
 
