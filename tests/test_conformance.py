@@ -48,3 +48,20 @@ def test_testdata_roundtrip_zstd(table):
     blob = enc.encode_table(t, table)
     assert decode_table(blob, plan.tables).equals(t)
     assert len(blob) < t.nbytes
+
+
+def test_all_tables_full_pipeline_verify(ray_session, tmp_path):
+    """Every testdata table through the FULL Ray pipeline (encode ->
+    shards+manifest -> decode) with the generic all-columns fingerprint
+    verify (exact mode) — the strongest cross-table conformance
+    statement: per-row content equality for every column of every
+    table."""
+    from fastparquet_ray.pipelines import encode_pipeline, verify_roundtrip
+
+    for table in TABLES:
+        src = os.path.join(SF_DIR, f"{table}.parquet")
+        out = str(tmp_path / f"enc_{table}")
+        s = encode_pipeline([src], out)
+        assert s["rows"] == pq.read_metadata(src).num_rows, table
+        res = verify_roundtrip(src, out, mode="exact")
+        assert res["ok"], (table, res)
