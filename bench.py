@@ -85,7 +85,17 @@ def run_bench() -> dict:
     if scaling_mode:
         ver = {"ok": True}
     else:
-        # decode + distributed bit-identical verify
+        # pure decode (stream every shard through the decoder; no
+        # fingerprinting) — the direct encode-vs-decode comparison
+        from fastparquet_ray.pipelines.decode import decode_dataset
+
+        t0 = time.time()
+        n_dec = decode_dataset(out).count()
+        queries["decode_only"] = round(time.time() - t0, 3)
+        assert n_dec == summary["rows"]
+
+        # decode + distributed bit-identical verify (fingerprints BOTH
+        # the source parquet and the decoded shards — ~2x decode_only)
         t0 = time.time()
         ver = verify_roundtrip(paths, out)
         queries["decode_verify"] = round(time.time() - t0, 3)
