@@ -186,3 +186,58 @@ def test_nested_projection_and_outer_property(data):
         (x is None and y is None) or x == y or (x != x and y != y)
         for x, y in zip(a, b)
     )
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_nested_map_roundtrip_property(data):
+    from fastparquet_ray.container import ShardEncoder, decode_table
+
+    n = data.draw(st.integers(0, 25))
+    rows = []
+    for _ in range(n):
+        kind = data.draw(st.integers(0, 2))
+        if kind == 0:
+            rows.append(None)
+        else:
+            m = data.draw(st.integers(0, 4))
+            keys = [f"k{j}-{data.draw(st.integers(0, 5))}" for j in range(m)]
+            keys = list(dict.fromkeys(keys))  # map keys must be unique
+            rows.append(
+                [(kk, data.draw(st.one_of(st.none(), st.integers(-100, 100))))
+                 for kk in keys]
+            )
+    arr = pa.array(rows, pa.map_(pa.string(), pa.int64()))
+    t = pa.table({"m": arr})
+    got = decode_table(ShardEncoder().encode_table(t, "p"))
+    assert got.column("m").to_pylist() == arr.to_pylist()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_large_list_and_deep_nesting_property(data):
+    from fastparquet_ray.container import ShardEncoder, decode_table
+
+    n = data.draw(st.integers(0, 15))
+    deep = pa.array(
+        [
+            None
+            if data.draw(st.booleans())
+            else [
+                None
+                if data.draw(st.booleans())
+                else [data.draw(st.text(max_size=6)) for _ in range(data.draw(st.integers(0, 3)))]
+                for _ in range(data.draw(st.integers(0, 3)))
+            ]
+            for _ in range(n)
+        ],
+        pa.list_(pa.list_(pa.string())),
+    )
+    ll = pa.array(
+        [[data.draw(st.integers(-50, 50)) for _ in range(data.draw(st.integers(0, 4)))] for _ in range(n)],
+        pa.large_list(pa.int32()),
+    )
+    t = pa.table({"deep": deep, "ll": ll})
+    got = decode_table(ShardEncoder().encode_table(t, "p"))
+    assert got.column("deep").to_pylist() == deep.to_pylist()
+    assert got.column("ll").to_pylist() == ll.to_pylist()
