@@ -13,7 +13,7 @@ from fastparquet_ray.codecs.fsst import train_fsst
 from fastparquet_ray.codecs.rle import rle_decode, rle_encode
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(
     st.integers(1, 32),
     st.lists(st.integers(0, 2**32 - 1), min_size=0, max_size=300),
@@ -25,7 +25,7 @@ def test_bitpack_roundtrip(width, values):
     assert (unpack_bits(pack_bits(v, width), width, v.size) == v).all()
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(
     st.integers(0, 20),
     st.lists(
@@ -43,7 +43,7 @@ def test_rle_runs_roundtrip(width, runs):
     assert (rle_decode(enc, width, vals.size) == vals).all()
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(
     st.sampled_from(list(ic.INT_ENCODERS)),
     st.lists(st.integers(-(2**31), 2**31 - 1), min_size=0, max_size=400),
@@ -58,7 +58,7 @@ def test_intcodec_roundtrip(codec, values):
     assert out.dtype == v.dtype and (out == v).all()
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True)
 @given(st.lists(st.binary(min_size=0, max_size=60), min_size=0, max_size=60))
 def test_fsst_roundtrip(strs):
     data = np.frombuffer(b"".join(strs), dtype=np.uint8)
@@ -70,7 +70,7 @@ def test_fsst_roundtrip(strs):
     assert dd.tobytes() == data.tobytes()
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True)
 @given(st.lists(st.text(max_size=40), min_size=0, max_size=80))
 def test_strcodec_roundtrip(strs):
     arr = pa.array(strs, pa.string())
@@ -112,7 +112,7 @@ def _pa_type(dtype):
     }[dtype]
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(st.data())
 def test_nested_list_roundtrip_property(data):
     """Random nullable list<leaf> columns roundtrip exactly through the
@@ -137,7 +137,7 @@ def test_nested_list_roundtrip_property(data):
     assert got.column("c").to_pylist() == arr.to_pylist()
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(st.data())
 def test_nested_struct_roundtrip_property(data):
     from fastparquet_ray.container import ShardEncoder, decode_table
@@ -159,7 +159,7 @@ def test_nested_struct_roundtrip_property(data):
     assert got.column("s").to_pylist() == arr.to_pylist()
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=20, deadline=None, derandomize=True)
 @given(st.data())
 def test_nested_projection_and_outer_property(data):
     """Projection + outer zstd over mixed nested/flat columns."""
@@ -188,7 +188,7 @@ def test_nested_projection_and_outer_property(data):
     )
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=20, deadline=None, derandomize=True)
 @given(st.data())
 def test_nested_map_roundtrip_property(data):
     from fastparquet_ray.container import ShardEncoder, decode_table
@@ -213,7 +213,7 @@ def test_nested_map_roundtrip_property(data):
     assert got.column("m").to_pylist() == arr.to_pylist()
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15, deadline=None, derandomize=True)
 @given(st.data())
 def test_large_list_and_deep_nesting_property(data):
     from fastparquet_ray.container import ShardEncoder, decode_table
