@@ -52,8 +52,12 @@ def _coerce_stat_value(ltype: str | None, val):
             unit = "D" if ltype == "date32[day]" else "ms"
             return int(np.datetime64(pd.Timestamp(val).asm8, unit).astype(np.int64))
         if ltype.startswith("time"):
+            # floor-divide by one unit-tick: pandas' .value is ALWAYS
+            # nanoseconds regardless of as_unit (ADVICE r02 — the old
+            # .as_unit(unit).value inflated the filter value 1000x+ on
+            # time32[s/ms]/time64[us] and wrongly pruned matching shards)
             unit = ltype.split("[", 1)[1].split("]")[0]
-            return int(pd.Timedelta(val).as_unit(unit).value)
+            return int(pd.Timedelta(val) // pd.Timedelta(1, unit))
     except (ValueError, TypeError):
         return None
     return None

@@ -155,7 +155,8 @@ def encode_pipeline(
     read_conc = max(2, min(8, ncpu_total // 4))
     # provenance column salts partition ids so duplicate input files
     # don't collapse into one shard — skipped iff the user's schema
-    # already owns a "path" column (then ids are content-only again)
+    # already owns a "path" column (then ids are content-only again;
+    # the user's column is encoded untouched — ADVICE r02)
     import pyarrow.parquet as _pq
 
     first_fs, first_rp = fsmod.get_fs(paths[0])
@@ -167,6 +168,7 @@ def encode_pipeline(
         override_num_blocks=len(paths),
         include_paths=not user_has_path,
     )
+    provenance_col = None if user_has_path else "path"
     if partition_by_source is True:
         ds = salted_shuffle(ds, plan)
     elif partition_by_source == "local":
@@ -193,6 +195,7 @@ def encode_pipeline(
         "finished": finished_ref,
         "key_column": key_column,
         "split_by": ["__salt__"] if partition_by_source else None,
+        "provenance_col": provenance_col,
     }
     if ncpu_total <= 2:
         # tiny session: an actor pool would reserve every CPU and

@@ -31,6 +31,14 @@ def encoded_dir_for(sf: float) -> str:
     return os.path.join(TOKENS_BASE, f"sf{sf:g}_enc")
 
 
+def _input_fingerprint(paths: list[str], partition_by_source) -> list:
+    """(path, size, mtime_ns) per input. st_mtime_ns: whole-second
+    mtime let a same-size rewrite within one second serve stale
+    shards (ADVICE r02)."""
+    st = [[p, os.path.getsize(p), os.stat(p).st_mtime_ns] for p in paths]
+    return st + [["partition_by_source", str(partition_by_source), 0]]
+
+
 def ensure_encoded(sf_dir: str, partition_by_source: bool = False) -> tuple[list[str], str]:
     """Generate (cached) + encode (resumable, cached) the tokens table
     for the scale factor implied by sf_dir. Returns (src_paths, enc_dir).
@@ -47,9 +55,7 @@ def ensure_encoded(sf_dir: str, partition_by_source: bool = False) -> tuple[list
     paths = ensure_tokens_dataset(sf, base=TOKENS_BASE)
     out = encoded_dir_for(sf)
     marker = os.path.join(out, "_inputs.json")
-    fp = [
-        [p, os.path.getsize(p), int(os.path.getmtime(p))] for p in paths
-    ] + [["partition_by_source", str(partition_by_source), 0]]
+    fp = _input_fingerprint(paths, partition_by_source)
     try:
         with open(marker) as f:
             if json.load(f) == fp:

@@ -48,6 +48,7 @@ class EncodeShard:
         finished: Any = None,  # set[str] or ObjectRef[set[str]]
         key_column: str = "doc_id",
         split_by: list[str] | None = None,
+        provenance_col: str | None = None,
     ):
         import ray
 
@@ -62,6 +63,11 @@ class EncodeShard:
         self.fs, self.root = fsmod.get_fs(out_dir)
         self.key_column = key_column
         self.split_by = split_by
+        # name of the SYNTHETIC read-provenance column to consume as a
+        # partition-id salt (None when the user's schema owns a column
+        # of that name — then nothing is stripped; ADVICE r02: a bare
+        # 'path' check here silently dropped a user-owned column)
+        self.provenance_col = provenance_col
         if finished is not None and isinstance(finished, ray.ObjectRef):
             finished = ray.get(finished)
         self.finished: set[str] = finished or set()
@@ -72,18 +78,19 @@ class EncodeShard:
         if "__salt__" in batch.column_names:
             batch = batch.drop_columns(["__salt__"])
         extra = ""
-        if "path" in batch.column_names:
+        pcol = self.provenance_col
+        if pcol is not None and pcol in batch.column_names:
             # provenance column from read_parquet(include_paths=True):
             # salts the partition id so duplicate input files don't
             # collapse into one shard; dropped before encoding
             extra = "\x00".join(
                 sorted(
                     pc.unique(
-                        batch.column("path").combine_chunks()
+                        batch.column(pcol).combine_chunks()
                     ).to_pylist()
                 )
             )
-            batch = batch.drop_columns(["path"])
+            batch = batch.drop_columns([pcol])
         pid = partition_id_for(batch, self.key_column, extra=extra)
         key_range = None
         if self.key_column in batch.column_names and batch.num_rows:
