@@ -168,20 +168,50 @@ def distinct_values(sf_dir: str):
     return pd.DataFrame({"l_returnflag": vals})
 
 
+def _blockwise_topk(ds, k: int, sort_keys: list[tuple[str, str]],
+                    ascending: list[bool]):
+    """Top-k with NO all-to-all sort (VERDICT r02 #4): per-block
+    ``pc.select_k_unstable`` keeps k rows per block, then a k·blocks
+    driver merge — the token_topk heavy-hitters shape
+    (sketches.py). Deterministic: the key set must be tie-free
+    (include a unique tiebreak column)."""
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        return t.take(pc.select_k_unstable(t, k=k, sort_keys=sort_keys))
+
+    parts = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    cols = [c for c, _ in sort_keys]
+    return (
+        parts.sort_values(cols, ascending=ascending)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def sort_topk(sf_dir: str):
-    """Top-k by sort+limit (reference §2.7 has head() only;
-    deterministic tiebreak on the key)."""
+    """Top-k (reference §2.7 has head() only; deterministic tiebreak on
+    the key). Per-block select_k + tiny merge — no global sort."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
-    return ds.sort(
-        ["l_extendedprice", "l_orderkey"], descending=[True, False]
-    ).limit(10)
+    return _blockwise_topk(
+        ds,
+        10,
+        [("l_extendedprice", "descending"), ("l_orderkey", "ascending")],
+        [False, True],
+    )
 
 
 def head_limit(sf_dir: str):
-    """head(n) with deterministic order (reference S4 head,
-    api.py:231-250)."""
+    """First n rows by key (reference S4 head, api.py:231-250).
+    Same per-block select_k shape as sort_topk: the k smallest keys
+    per block, merged on the driver — no all-to-all sort. (With our
+    own shard format this is further stats-pruned: decode_dataset
+    filters shards by header min/max before any data is read.)"""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.sort("o_orderkey").limit(100)
+    return _blockwise_topk(
+        ds, 100, [("o_orderkey", "ascending")], [True]
+    )
 
 
 def partition_counts(sf_dir: str):
@@ -237,27 +267,33 @@ def join_broadcast(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Sum
 
-    cust = (
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .to_pandas()
-    )
+    cust = pa.concat_tables(
+        ray.get(
+            _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_arrow_refs()
+        )
+    ).combine_chunks()
+    # broadcast ARROW arrays; the probe is pc.index_in + pc.take — a
+    # vectorized gather, no pandas hop / Python-dict map (VERDICT r02 #5)
     lookup_ref = ray.put(
-        dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()))
+        (cust.column("c_custkey").chunk(0), cust.column("c_mktsegment").chunk(0))
     )
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     class SegmentJoin:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            self.keys, self.segs = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            df = t.to_pandas()
-            df["c_mktsegment"] = df["o_custkey"].map(self.lookup)
-            g = df.groupby("c_mktsegment", as_index=False).agg(
-                n=("o_custkey", "size"), total=("o_totalprice", "sum")
+            idx = pc.index_in(t["o_custkey"], value_set=self.keys)
+            seg = pc.take(self.segs, idx)
+            probe = pa.table(
+                {"c_mktsegment": seg, "o_totalprice": t["o_totalprice"]}
+            ).filter(pc.is_valid(seg))  # inner-join semantics
+            g = probe.group_by(["c_mktsegment"]).aggregate(
+                [("o_totalprice", "count"), ("o_totalprice", "sum")]
             )
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return g.rename_columns(["c_mktsegment", "n", "total"])
 
     partials = ds.map_batches(
         SegmentJoin,
@@ -361,39 +397,59 @@ def multi_join(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
-    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    lookup_ref = ray.put((n2r, r2name))
+    # compose the two tiny dimensions ON THE DRIVER into one
+    # nationkey -> region-name mapping, broadcast as Arrow arrays; the
+    # probe is index_in + take end-to-end (no pandas, VERDICT r02 #5)
+    nation = pa.concat_tables(
+        ray.get(_read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_arrow_refs())
+    ).combine_chunks()
+    region = pa.concat_tables(
+        ray.get(_read(sf_dir, "region", ["r_regionkey", "r_name"]).to_arrow_refs())
+    ).combine_chunks()
+    ridx = pc.index_in(
+        nation.column("n_regionkey").chunk(0),
+        value_set=region.column("r_regionkey").chunk(0),
+    )
+    nation_rname = pc.take(region.column("r_name").chunk(0), ridx)
+    lookup_ref = ray.put((nation.column("n_nationkey").chunk(0), nation_rname))
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
 
     class RegionJoin:
         def __init__(self, ref):
-            self.n2r, self.r2name = ray.get(ref)
+            self.nkeys, self.rnames = ray.get(ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rname = df["c_nationkey"].map(self.n2r).map(self.r2name)
-            g = (
-                pd.DataFrame({"r_name": rname, "bal": df["c_acctbal"]})
-                .groupby("r_name", as_index=False)
-                .agg(n=("bal", "size"), sum_bal=("bal", "sum"))
+        def __call__(self, t: pa.Table) -> pa.Table:
+            idx = pc.index_in(t["c_nationkey"], value_set=self.nkeys)
+            rname = pc.take(self.rnames, idx)
+            probe = pa.table(
+                {"r_name": rname, "bal": t["c_acctbal"]}
+            ).filter(pc.is_valid(rname))
+            g = probe.group_by(["r_name"]).aggregate(
+                [("bal", "count"), ("bal", "sum")]
             )
-            return g
+            return g.rename_columns(["r_name", "n", "sum_bal"])
 
     parts = ds.map_batches(
         RegionJoin,
         fn_constructor_kwargs={"ref": lookup_ref},
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=2,
     )
     out = parts.groupby("r_name").aggregate(
         Sum("n", alias_name="n"), Sum("sum_bal", alias_name="sum_bal_raw")
     )
-    df = out.to_pandas()
-    df["sum_bal"] = df["sum_bal_raw"].round(3)
-    return df[["r_name", "n", "sum_bal"]]
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "r_name": t["r_name"],
+                "n": t["n"].cast(pa.int64()),
+                "sum_bal": pc.round(t["sum_bal_raw"], 3),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def union_all(sf_dir: str):
