@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_export_parquet": flagship.tokens_export_roundtrip,
         "nested_roundtrip": flagship.nested_roundtrip,
         "events_roundtrip": flagship.events_roundtrip,
+        "hive_partition_counts": flagship.hive_partition_counts,
         "token_topk": sketches.token_topk,
         "distinct_count_approx": sketches.distinct_count_approx,
         "codec_plan": flagship.codec_plan_report,
@@ -266,6 +267,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
             "string_split(text, ' ')[1] AS first_word, "
             "string_split(text, ' ')[-1] AS last_word FROM documents"
+        ),
+        "hive_partition_counts": (
+            "SELECT source, count(*) AS n, "
+            "CAST(sum(n_tok) AS BIGINT) AS sum_tok "
+            f"FROM read_parquet('{_TOKENS_GLOB}') GROUP BY source"
         ),
         "dedup_exact": (
             "SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id, "

@@ -24,12 +24,13 @@ _OPS = {"==", "!=", ">", ">=", "<", "<=", "in", "not in"}
 
 def shard_files(out_dir: str) -> list[str]:
     """Shard paths under an encoded dataset dir (plain path or URI;
-    URIs keep their protocol prefix so downstream opens re-resolve)."""
+    URIs keep their protocol prefix so downstream opens re-resolve).
+    Includes hive `key=value` subdirectories (reference M8 layout)."""
     fs, root = fsmod.get_fs(out_dir)
     proto = "" if fsmod.is_local(fs) else out_dir.split("://", 1)[0] + "://"
-    return sorted(
-        proto + p for p in fs.glob(fsmod.join(fs, root, "shard-*.fprs"))
-    )
+    found = set(fs.glob(fsmod.join(fs, root, "shard-*.fprs")))
+    found |= set(fs.glob(fsmod.join(fs, root, "**", "shard-*.fprs")))
+    return sorted(proto + p for p in found)
 
 
 def _coerce_stat_value(ltype: str | None, val):
@@ -100,10 +101,14 @@ def _stats_may_match(stats: dict, col: str, op: str, val) -> bool:
     return True
 
 
-def prune_shards(paths: list[str], filters) -> list[str]:
-    """Drop shards whose header stats preclude any match."""
+def prune_shards(paths: list[str], filters, root: str | None = None) -> list[str]:
+    """Drop shards whose header stats — or hive partition-path values
+    below ``root`` (reference filter_out_cats, api.py:1002-1039) —
+    preclude any match."""
     from ..container import read_header
+    from .hive import parse_hive_parts
 
+    rootp = root.rstrip("/") if root else None
     kept = []
     for p in paths:
         fs, rp = fsmod.get_fs(p)
@@ -116,6 +121,9 @@ def prune_shards(paths: list[str], filters) -> list[str]:
             }
             for c in hdr["columns"]
         }
+        rel = rp[len(rootp):] if rootp and rp.startswith(rootp) else rp
+        for col, val in parse_hive_parts(rel).items():
+            stats.setdefault(col, {"min": val, "max": val, "ltype": None})
         if all(_stats_may_match(stats, c, op, v) for c, op, v in filters):
             kept.append(p)
     return kept
@@ -175,11 +183,12 @@ def decode_dataset(
     paths = shard_files(out_dir)
     if not paths:
         raise FileNotFoundError(f"no shards under {out_dir}")
+    _, _root_for_prune = fsmod.get_fs(out_dir)
     if filters:
         for f in filters:
             if len(f) != 3 or f[1] not in _OPS:
                 raise ValueError(f"bad filter {f}")
-        paths = prune_shards(paths, filters)
+        paths = prune_shards(paths, filters, root=_root_for_prune)
         if not paths:
             import pyarrow as pa
 
@@ -196,14 +205,29 @@ def decode_dataset(
     # encode side stays an actor pool: it holds encoder state and
     # writes shards.)
     from ..sources.fprs import read_fprs
+    from .hive import parse_hive_parts
 
-    fs, _ = fsmod.get_fs(out_dir)
+    # hive layout auto-detect: any shard under a `key=value` dir BELOW
+    # the dataset root gets its partition columns reconstructed from
+    # the path (M8)
+    fs, root = fsmod.get_fs(out_dir)
+    rootp = root.rstrip("/")
+
+    def _rel(p: str) -> str:
+        return p[len(rootp):] if p.startswith(rootp) else p
+
+    hive = (
+        rootp
+        if any(parse_hive_parts(_rel(fsmod.get_fs(p)[1])) for p in paths)
+        else None
+    )
     ds = read_fprs(
         [fsmod.get_fs(p)[1] for p in paths] if not fsmod.is_local(fs) else paths,
         tables=tables,
         columns=decode_cols,
         concurrency=concurrency,
         filesystem=None if fsmod.is_local(fs) else fs,
+        hive=hive,
     )
     if filters:
         ds = ds.map_batches(_residual_filter(filters), batch_format="pyarrow")

@@ -77,6 +77,7 @@ def encode_pipeline(
     key_column: str = "doc_id",
     outer: str | None = None,
     column_codecs: dict | None = None,
+    hive_cols: list[str] | None = None,
 ) -> dict:
     """Run the encode job; returns summary metrics (rows, bytes, ratio,
     partitions encoded vs skipped).
@@ -90,6 +91,11 @@ def encode_pipeline(
                   (block, bucket) — shards are still source-pure but
                   there are more of them; ZERO network exchange (the
                   scale pattern when co-location isn't required)
+
+    hive_cols: hive `key=value` directory layout (reference
+    partition_on, writer.py:1066-1105): each block splits locally by
+    these columns, the columns are dropped from the payload and stored
+    in the shard path; decode_dataset reconstructs them (M8).
     """
     import ray
     import ray.data
@@ -189,13 +195,19 @@ def encode_pipeline(
             lambda b: add_salt_column(b, buckets), batch_format="pyarrow"
         )
 
+    split_by = ["__salt__"] if partition_by_source else None
+    if hive_cols:
+        # local split by the hive columns (no exchange); composes with
+        # the salt column when a salted shuffle was also requested
+        split_by = (split_by or []) + list(hive_cols)
     kwargs = {
         "plan_json": plan.to_json(),
         "out_dir": out_dir,
         "finished": finished_ref,
         "key_column": key_column,
-        "split_by": ["__salt__"] if partition_by_source else None,
+        "split_by": split_by,
         "provenance_col": provenance_col,
+        "hive_cols": hive_cols,
     }
     if ncpu_total <= 2:
         # tiny session: an actor pool would reserve every CPU and

@@ -260,6 +260,26 @@ def events_roundtrip(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def hive_partition_counts(sf_dir: str):
+    """The tokens table encoded with a hive `source=...` directory
+    layout (partition column stored in the PATH, not the payload — M8,
+    reference partition_on writer.py:1066-1105), decoded with the
+    partition column reconstructed from the path, then aggregated per
+    source. The oracle reads the original parquet — equality proves
+    the hive write->discover->parse->attach roundtrip."""
+    from ray.data.aggregate import Sum
+
+    sf = sf_from_dir(sf_dir)
+    paths = ensure_tokens_dataset(sf, base=TOKENS_BASE)
+    out = os.path.join(TOKENS_BASE, f"sf{sf:g}_hive_enc")
+    encode_pipeline(paths, out, resume=True, hive_cols=["source"])
+    ds = decode_dataset(out, columns=["source", "n_tok"])
+    parts = ds.map_batches(_source_partial, batch_format="pyarrow")
+    return parts.groupby("source").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_tok", alias_name="sum_tok")
+    )
+
+
 def shard_stats_report(sf_dir: str):
     """Per-shard per-column statistics from shard headers only
     (reference A2 statistics(); rows-only)."""

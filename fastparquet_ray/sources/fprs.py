@@ -26,17 +26,40 @@ class FprsDatasource(FileBasedDatasource):
         paths,
         tables: dict[str, bytes] | None = None,
         columns: list[str] | None = None,
+        hive: str | None = None,
         **kwargs,
     ):
         super().__init__(paths, **kwargs)
         self._tables = tables or {}
         self._columns = columns
+        # hive = dataset ROOT path: `key=value` components BELOW it are
+        # partition dirs (None disables hive parsing)
+        self._hive = hive
 
     def _read_stream(
         self, f: "pyarrow.NativeFile", path: str
     ) -> Iterator["pyarrow.Table"]:
         blob = f.readall()
-        yield decode_table(blob, self._tables, columns=self._columns)
+        if self._hive is None:
+            yield decode_table(blob, self._tables, columns=self._columns)
+            return
+        # hive layout: `key=value` path components are typed partition
+        # columns, not stored in the shard (reference paths_to_cats,
+        # api.py:700-758)
+        from ..pipelines.hive import attach_hive_columns, parse_hive_parts
+
+        rel = path
+        root = self._hive.rstrip("/")
+        if rel.startswith(root):
+            rel = rel[len(root):]
+        parts = parse_hive_parts(rel)
+        stored = (
+            None
+            if self._columns is None
+            else [c for c in self._columns if c not in parts]
+        )
+        t = decode_table(blob, self._tables, columns=stored)
+        yield attach_hive_columns(t, parts, self._columns)
 
 
 def read_fprs(
@@ -45,10 +68,13 @@ def read_fprs(
     columns: list[str] | None = None,
     concurrency=None,
     filesystem=None,
+    hive: str | None = None,
 ):
     """ray.data Dataset over shard files (one read task per shard).
     ``filesystem`` may be an fsspec filesystem (wrapped for pyarrow) or
-    a pyarrow FileSystem — reference S10 remote-FS analog."""
+    a pyarrow FileSystem — reference S10 remote-FS analog. ``hive``
+    (the dataset root path) parses `key=value` components below it
+    into typed partition columns."""
     import ray.data
 
     if filesystem is not None and not hasattr(filesystem, "type_name"):
@@ -58,7 +84,8 @@ def read_fprs(
         filesystem = to_pyarrow_fs(filesystem)
     return ray.data.read_datasource(
         FprsDatasource(
-            paths, tables=tables, columns=columns, filesystem=filesystem
+            paths, tables=tables, columns=columns, hive=hive,
+            filesystem=filesystem,
         ),
         concurrency=concurrency,
     )

@@ -49,6 +49,7 @@ class EncodeShard:
         key_column: str = "doc_id",
         split_by: list[str] | None = None,
         provenance_col: str | None = None,
+        hive_cols: list[str] | None = None,
     ):
         import ray
 
@@ -68,6 +69,11 @@ class EncodeShard:
         # of that name — then nothing is stripped; ADVICE r02: a bare
         # 'path' check here silently dropped a user-owned column)
         self.provenance_col = provenance_col
+        # hive layout (reference partition_on, writer.py:1066-1105):
+        # these columns are dropped from the payload and stored in the
+        # shard's `key=value` directory path; each incoming batch must
+        # be PURE in them (encode_pipeline splits by them upstream)
+        self.hive_cols = hive_cols
         if finished is not None and isinstance(finished, ray.ObjectRef):
             finished = ray.get(finished)
         self.finished: set[str] = finished or set()
@@ -98,7 +104,24 @@ class EncodeShard:
             key_range = (str(mm["min"].as_py()), str(mm["max"].as_py()))
         from ..state import fs as fsmod
 
-        shard = f"shard-{pid}.fprs"
+        subdir = ""
+        if self.hive_cols:
+            from ..pipelines.hive import encode_component
+
+            comps = []
+            for c in self.hive_cols:
+                vals = pc.unique(batch.column(c).combine_chunks())
+                if len(vals) != 1:
+                    raise ValueError(
+                        f"hive batch not pure in {c!r}: {len(vals)} values"
+                    )
+                comps.append(encode_component(c, vals[0].as_py()))
+            batch = batch.drop_columns(list(self.hive_cols))
+            subdir = "/".join(comps)
+            self.fs.makedirs(
+                fsmod.join(self.fs, self.root, subdir), exist_ok=True
+            )
+        shard = f"{subdir}/shard-{pid}.fprs" if subdir else f"shard-{pid}.fprs"
         path = fsmod.join(self.fs, self.root, shard)
         if pid in self.finished and self.fs.exists(path):
             hdr = read_header(fsmod.read_bytes(self.fs, path, 256 * 1024))

@@ -76,9 +76,14 @@ class Manifest:
         return done
 
     def _shard_glob(self) -> list[str]:
-        return sorted(
+        found = set(
             self.fs.glob(fsmod.join(self.fs, self.root, "shard-*.fprs"))
         )
+        # hive `key=value` layouts nest shards in partition dirs
+        found |= set(
+            self.fs.glob(fsmod.join(self.fs, self.root, "**", "shard-*.fprs"))
+        )
+        return sorted(found)
 
     def valid_shard_ids(self) -> set[str]:
         """Scan shard files and validate completeness (magic + header
