@@ -177,24 +177,35 @@ class EncodedDataset:
 
     # ----- data reads (streaming Ray pipelines) -----
 
-    def dataset(self, columns: list[str] | None = None, filters=None):
+    def dataset(
+        self,
+        columns: list[str] | None = None,
+        filters=None,
+        categories: list[str] | None = None,
+    ):
         """The underlying ray.data.Dataset (lazy, streaming).
         ``filters``: [(col, op, val)] conjunctions with shard-stats
         pruning (the reference's to_pandas(filters=...) analog,
-        api.py:948-999)."""
-        return decode_dataset(self.out_dir, columns=columns, filters=filters)
+        api.py:948-999). ``categories``: string columns returned as
+        DictionaryArray without a label gather (reference categories=,
+        api.py:387-475)."""
+        return decode_dataset(
+            self.out_dir, columns=columns, filters=filters,
+            categories=categories,
+        )
 
     def to_pandas(
-        self, columns: list[str] | None = None, filters=None
+        self, columns: list[str] | None = None, filters=None,
+        categories: list[str] | None = None,
     ) -> pd.DataFrame:
         """Full materializing read — small datasets / tests only (the
         reference's to_pandas is the same contract). Gathers through
         Arrow batches: pyarrow's to_pandas handles ragged list / nested
-        columns that Ray's TensorArray conversion rejects."""
+        columns that Ray's TensorArray conversion rejects.
+        ``categories`` columns come back as pandas.Categorical."""
         batches = list(
-            self.dataset(columns, filters=filters).iter_batches(
-                batch_format="pyarrow"
-            )
+            self.dataset(columns, filters=filters, categories=categories)
+            .iter_batches(batch_format="pyarrow")
         )
         if not batches:
             return pd.DataFrame()

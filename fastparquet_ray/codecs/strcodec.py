@@ -39,6 +39,7 @@ __all__ = [
     "encode_dict_str",
     "encode_fsst_str",
     "decode_any_str",
+    "decode_dict_codes",
     "dict_table_hash",
 ]
 
@@ -202,6 +203,43 @@ def encode_fsst_str(
     )
 
 
+def _decode_dict_parts(
+    buf, pos: int, n: int, tables: dict[str, bytes] | None
+) -> tuple[np.ndarray, list[bytes]]:
+    """DICT_STR body -> (codes uint32[n], symbol table) — no gather."""
+    mode = buf[pos]
+    pos += 1
+    if mode == 0:
+        table, pos = _unpack_str_list(buf, pos)
+    else:
+        thash = buf[pos : pos + 16].hex()
+        pos += 16
+        if tables is None or thash not in tables:
+            raise KeyError(f"shared dict table {thash} not provided")
+        table, _ = _unpack_str_list(tables[thash], 0)
+        extras, pos = _unpack_str_list(buf, pos)
+        table = table + extras
+    w = buf[pos]
+    pos += 1
+    idx = rle_decode(bytes(buf[pos:]), w, n)
+    return idx, table
+
+
+def decode_dict_codes(
+    buf: bytes, tables: dict[str, bytes] | None = None
+) -> tuple[np.ndarray, list[bytes]] | None:
+    """Categorical fast path (reference analog: categories= keeps dict
+    codes as pandas categories without materializing labels per row,
+    api.py:387-475, core.py:529-549): for a DICT_STR blob return
+    (codes, table) directly — the per-row label gather never happens.
+    None when the blob isn't dictionary-coded (caller falls back to
+    decode + dictionary_encode)."""
+    if buf[0] != _S_DICT:
+        return None
+    n, pos = decode_uvarint(buf, 1)
+    return _decode_dict_parts(buf, pos, n, tables)
+
+
 def decode_any_str(
     buf: bytes, tables: dict[str, bytes] | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -214,21 +252,7 @@ def decode_any_str(
         data = np.frombuffer(buf, dtype=np.uint8, offset=pos)[: int(lengths.sum())]
         return lengths, data
     if codec == _S_DICT:
-        mode = buf[pos]
-        pos += 1
-        if mode == 0:
-            table, pos = _unpack_str_list(buf, pos)
-        else:
-            thash = buf[pos : pos + 16].hex()
-            pos += 16
-            if tables is None or thash not in tables:
-                raise KeyError(f"shared dict table {thash} not provided")
-            table, _ = _unpack_str_list(tables[thash], 0)
-            extras, pos = _unpack_str_list(buf, pos)
-            table = table + extras
-        w = buf[pos]
-        pos += 1
-        idx = rle_decode(bytes(buf[pos:]), w, n)
+        idx, table = _decode_dict_parts(buf, pos, n, tables)
         tl = np.array([len(s) for s in table], dtype=np.int64)
         toff = np.concatenate([[0], np.cumsum(tl)])
         tdata = np.frombuffer(b"".join(table), dtype=np.uint8)

@@ -620,8 +620,17 @@ def read_header(blob: bytes) -> dict:
 
 
 def decode_table(
-    blob: bytes, tables: dict[str, bytes] | None = None, columns: list[str] | None = None
+    blob: bytes,
+    tables: dict[str, bytes] | None = None,
+    columns: list[str] | None = None,
+    categories: list[str] | None = None,
 ) -> pa.Table:
+    """``categories``: string columns to return as
+    pa.DictionaryArray (reference categories=, api.py:387-475 /
+    core.py:529-549). Dictionary-coded shards take the zero-gather
+    fast path — codes + symbol table become the DictionaryArray
+    directly, so decode memory is O(distinct) for the labels instead
+    of O(rows); other codecs decode then dictionary_encode."""
     header = read_header(blob)
     hlen = int.from_bytes(blob[5:9], "little")
     base = 9 + hlen
@@ -662,8 +671,21 @@ def decode_table(
             if not arr.type.equals(t):
                 arr = arr.cast(t)
         elif kind == "str":
-            lengths, data = sc.decode_any_str(bodies[0], tables)
-            arr = sc.bufs_to_arrow(lengths, data)
+            arr = None
+            if categories and name in categories and not info["null_count"]:
+                ct = sc.decode_dict_codes(bodies[0], tables)
+                if ct is not None:
+                    idx, table = ct
+                    tl = np.array([len(s) for s in table], dtype=np.int64)
+                    dict_vals = sc.bufs_to_arrow(
+                        tl, np.frombuffer(b"".join(table), dtype=np.uint8)
+                    )
+                    arr = pa.DictionaryArray.from_arrays(
+                        pa.array(idx.astype(np.int32), pa.int32()), dict_vals
+                    )
+            if arr is None:
+                lengths, data = sc.decode_any_str(bodies[0], tables)
+                arr = sc.bufs_to_arrow(lengths, data)
         elif kind == "list":
             lb, vb = bodies[0], bodies[1]
             lengths = ic.decode_any_int(lb).astype(np.int64)
@@ -712,6 +734,18 @@ def decode_table(
             arr = pa.compute.if_else(pa.array(mask), arr, pa.scalar(None, arr.type))
         if pa.types.is_dictionary(field.type) and kind != "nested":
             arr = arr.dictionary_encode()
+        if (
+            categories
+            and name in categories
+            and kind == "str"
+            and not pa.types.is_dictionary(arr.type)
+        ):
+            # non-dict-coded shard (plain/fsst) or nullable column:
+            # decode then dictionary-encode (gather happens, but the
+            # caller still gets the categorical type)
+            arr = arr.dictionary_encode()
+        if not arr.type.equals(field.type):
+            field = pa.field(name, arr.type, field.nullable)
         out_cols.append(arr)
         out_fields.append(field)
     return pa.Table.from_arrays(out_cols, schema=pa.schema(out_fields))

@@ -167,12 +167,17 @@ def decode_dataset(
     columns: list[str] | None = None,
     concurrency=None,
     filters=None,
+    categories: list[str] | None = None,
 ):
     """ray.data.Dataset over the decoded rows of an encoded dataset.
 
     ``filters``: conjunction of (col, op, value) tuples; shards whose
     header stats preclude matches are skipped entirely, the residual
-    predicate is applied vectorized per batch."""
+    predicate is applied vectorized per batch.
+
+    ``categories``: string columns returned as pa.DictionaryArray
+    (reference categories=, api.py:387-475) — dictionary-coded shards
+    skip the per-row label gather entirely."""
     import ray
     import ray.data
 
@@ -228,6 +233,7 @@ def decode_dataset(
         concurrency=concurrency,
         filesystem=None if fsmod.is_local(fs) else fs,
         hive=hive,
+        categories=categories,
     )
     if filters:
         ds = ds.map_batches(_residual_filter(filters), batch_format="pyarrow")

@@ -27,11 +27,13 @@ class FprsDatasource(FileBasedDatasource):
         tables: dict[str, bytes] | None = None,
         columns: list[str] | None = None,
         hive: str | None = None,
+        categories: list[str] | None = None,
         **kwargs,
     ):
         super().__init__(paths, **kwargs)
         self._tables = tables or {}
         self._columns = columns
+        self._categories = categories
         # hive = dataset ROOT path: `key=value` components BELOW it are
         # partition dirs (None disables hive parsing)
         self._hive = hive
@@ -41,7 +43,10 @@ class FprsDatasource(FileBasedDatasource):
     ) -> Iterator["pyarrow.Table"]:
         blob = f.readall()
         if self._hive is None:
-            yield decode_table(blob, self._tables, columns=self._columns)
+            yield decode_table(
+                blob, self._tables, columns=self._columns,
+                categories=self._categories,
+            )
             return
         # hive layout: `key=value` path components are typed partition
         # columns, not stored in the shard (reference paths_to_cats,
@@ -58,7 +63,10 @@ class FprsDatasource(FileBasedDatasource):
             if self._columns is None
             else [c for c in self._columns if c not in parts]
         )
-        t = decode_table(blob, self._tables, columns=stored)
+        t = decode_table(
+            blob, self._tables, columns=stored,
+            categories=self._categories,
+        )
         yield attach_hive_columns(t, parts, self._columns)
 
 
@@ -69,6 +77,7 @@ def read_fprs(
     concurrency=None,
     filesystem=None,
     hive: str | None = None,
+    categories: list[str] | None = None,
 ):
     """ray.data Dataset over shard files (one read task per shard).
     ``filesystem`` may be an fsspec filesystem (wrapped for pyarrow) or
@@ -85,7 +94,7 @@ def read_fprs(
     return ray.data.read_datasource(
         FprsDatasource(
             paths, tables=tables, columns=columns, hive=hive,
-            filesystem=filesystem,
+            categories=categories, filesystem=filesystem,
         ),
         concurrency=concurrency,
     )
