@@ -744,7 +744,9 @@ def decode_table(
             # decode then dictionary-encode (gather happens, but the
             # caller still gets the categorical type)
             arr = arr.dictionary_encode()
-        if not arr.type.equals(field.type):
+        if pa.types.is_dictionary(arr.type) and not arr.type.equals(field.type):
+            # intentional type change from categories= (everything else
+            # is cast back to the stored schema by from_arrays below)
             field = pa.field(name, arr.type, field.nullable)
         out_cols.append(arr)
         out_fields.append(field)
