@@ -303,7 +303,18 @@ def train_plan(sample: pa.Table) -> CodecPlan:
             }
             plan.stats[name] = {"lengths": lstats, "values": vstats}
         elif pa.types.is_floating(t):
-            plan.specs[name] = {"codec": "plain_float"}
+            from .container import _float_decimal_ints, _float_shuffle_body
+
+            vnp = (
+                arr.fill_null(0.0) if arr.null_count else arr
+            ).to_numpy(zero_copy_only=False)
+            if _float_decimal_ints(vnp) is not None:
+                codec = "float_dec"  # fixed-point -> scaled ints
+            elif _float_shuffle_body(vnp) is not None:
+                codec = "shuffle_float"  # byte-shuffle + zstd
+            else:
+                codec = "plain_float"
+            plan.specs[name] = {"codec": codec}
             plan.stats[name] = {"n": len(arr)}
         else:
             try:
