@@ -24,6 +24,27 @@ import tempfile
 import time
 
 
+def _cpu_calibration() -> float:
+    """Single-core zstd:22 compress throughput (GB/s) on a fixed,
+    deterministic token-like buffer — a probe of THIS process's
+    attainable per-core compute in the current throttle window. The
+    sandbox VM's per-core speed swings run-to-run (BASELINE.md r2:
+    50x memcpy throttle swings); dividing each scaling sample's job
+    throughput by its own calibration cancels that machine state out
+    of the efficiency ratio, leaving the engine's parallel structure
+    (VERDICT r02 #2 option b)."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(0)
+    buf = rng.integers(0, 1000, 2_000_000).astype(np.int32).tobytes()
+    c = pa.Codec("zstd", compression_level=22)
+    t0 = time.perf_counter()
+    c.compress(buf)
+    dt = time.perf_counter() - t0
+    return len(buf) / dt / 1e9
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -42,6 +63,23 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+
+    # Known-harmless Ray-internal noise (reproduced with VANILLA
+    # ray.data groupby().aggregate() on 2.49.2 — the sort-shuffle
+    # Aggregate emits empty-schema blocks for empty partitions; not an
+    # engine stage): keep it out of the recorded bench tail.
+    import logging
+
+    class _RayNoise(logging.Filter):
+        def filter(self, record):  # True = keep
+            m = record.getMessage()
+            return (
+                "RefBundle with a different schema" not in m
+                and "Failed to hash the schemas" not in m
+            )
+
+    for lname in ("ray.data", "ray"):
+        logging.getLogger(lname).addFilter(_RayNoise())
 
     from fastparquet_ray.data import ensure_tokens_dataset
     from fastparquet_ray.pipelines import encode_pipeline, verify_roundtrip
@@ -69,6 +107,9 @@ def run_bench() -> dict:
     outer = os.environ.get("GRAFT_BENCH_OUTER") or None
     out = tempfile.mkdtemp(prefix="fpray_bench_")
     reps = 1 if scaling_mode else 2
+    cal = []
+    if scaling_mode:
+        cal.append(_cpu_calibration())  # machine-state probe, pre-job
     encode_secs = []
     for rep in range(reps):
         if rep:
@@ -77,6 +118,10 @@ def run_bench() -> dict:
         t0 = time.time()
         summary = encode_pipeline(paths, out, resume=False, outer=outer)
         encode_secs.append(time.time() - t0)
+    if scaling_mode:
+        cal.append(_cpu_calibration())  # post-job: captures drift
+        result_extra["cal_gbps"] = round(sum(cal) / len(cal), 5)
+        result_extra["cal_samples"] = [round(c, 5) for c in cal]
     encode_sec = min(encode_secs)  # best-of-n: this VM is ±40% noisy
     queries["encode"] = round(encode_sec, 3)
     result_extra["encode_secs"] = [round(s, 3) for s in encode_secs]
@@ -122,7 +167,7 @@ def run_bench() -> dict:
         t0 = time.time()
         s3 = encode_pipeline(paths, out3, resume=False, outer="zstd:3")
         queries["encode_zstd3"] = round(time.time() - t0, 3)
-        result_extra = {"zstd3_ratio": round(s3["ratio"], 4)}
+        result_extra["zstd3_ratio"] = round(s3["ratio"], 4)
         shutil.rmtree(out3, ignore_errors=True)
 
         # auxiliary operator timings over the testdata tables
@@ -215,25 +260,62 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
-    thr_lo = lo["raw_bytes"] / lo["value"]
-    thr_hi = hi["raw_bytes"] / hi["value"]
-    eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+    # ABBA interleave (lo, hi, hi, lo): pairing each hi with an
+    # adjacent lo cancels the sandbox's slow machine-state drift from
+    # the ratio; GRAFT_SCALING_PATTERN=AB runs one pair (fast mode).
+    pattern = os.environ.get("GRAFT_SCALING_PATTERN", "ABBA")
+    order = [lo_cpus if c == "A" else hi_cpus for c in pattern]
+    runs = [(n, run(n)) for n in order]
+    los = [r for n, r in runs if n == lo_cpus]
+    his = [r for n, r in runs if n == hi_cpus]
+
+    def thr(r):
+        return r["raw_bytes"] / r["value"]
+
+    # raw efficiency per adjacent (lo, hi) pair
+    pairs = min(len(los), len(his))
+    eff_raw = [
+        (thr(his[i]) / thr(los[i])) / (hi_cpus / lo_cpus)
+        for i in range(pairs)
+    ]
+    # compute-normalized: divide each run's throughput by its own
+    # single-core calibration (measured in the same process window),
+    # cancelling the VM's time-varying per-core throttle (VERDICT r02
+    # #2 option b). On a quiet machine cal_lo == cal_hi and the two
+    # metrics agree.
+    eff_norm = [
+        (thr(his[i]) / his[i]["cal_gbps"])
+        / (thr(los[i]) / los[i]["cal_gbps"])
+        / (hi_cpus / lo_cpus)
+        for i in range(pairs)
+    ]
+
+    def med(xs):
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
     return {
         "metric": f"scaling efficiency (N={lo_cpus} -> 4N={hi_cpus} CPUs, "
-        "fresh sessions, identical input)",
-        "value": round(eff, 3),
+        f"fresh sessions, identical input, {pattern} interleave)",
+        "value": round(med(eff_norm), 3),
         "unit": "efficiency",
         "num_cpus_lo": lo_cpus,
         "num_cpus_hi": hi_cpus,
-        "sec_lo": lo["value"],
-        "sec_hi": hi["value"],
-        "gbps_lo": round(thr_lo / 1e9, 4),
-        "gbps_hi": round(thr_hi / 1e9, 4),
-        "scaling_efficiency": round(eff, 3),
+        "sec_lo": [r["value"] for r in los],
+        "sec_hi": [r["value"] for r in his],
+        "gbps_lo": [round(thr(r) / 1e9, 4) for r in los],
+        "gbps_hi": [round(thr(r) / 1e9, 4) for r in his],
+        "cal_lo": [r["cal_gbps"] for r in los],
+        "cal_hi": [r["cal_gbps"] for r in his],
+        "scaling_efficiency": round(med(eff_raw), 3),
+        "scaling_efficiency_raw_samples": [round(e, 3) for e in eff_raw],
+        "scaling_efficiency_normalized": round(med(eff_norm), 3),
+        "scaling_efficiency_normalized_samples": [
+            round(e, 3) for e in eff_norm
+        ],
         "outer": os.environ.get("GRAFT_SCALING_OUTER", "zstd:22"),
-        "sf": lo["sf"],
+        "sf": los[0]["sf"],
     }
 
 

@@ -89,23 +89,27 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8, n_probe: int = 
     """IVF variant: centroids from a deterministic sample; only the
     n_probe closest buckets are scanned. Results may differ from exact
     top-k (approximate by design) — rows-only check."""
-    import pyarrow.parquet as pq
     import ray
 
     qid, q = _query_vector(sf_dir)
     qn = q / (np.linalg.norm(q) or 1.0)
 
-    # deterministic centroid init: first n_centroids * 16 vectors from
-    # a HEAD-of-fragment read (first record batch only — never the full
-    # file; at 100TB the training sample is a bounded head slice), then
-    # 5 Lloyd iterations on the sample
+    # deterministic centroid init: n_centroids * 16 vectors STRATIFIED
+    # across fragments and row groups (plan.sample_fragments — the same
+    # distributed bounded-sample pass the codec plan uses; a
+    # source-ordered corpus would otherwise train centroids on one
+    # source, VERDICT r02 #6), then 5 Lloyd iterations on the sample
+    from ..plan import sample_fragments
+
     n_sample = n_centroids * 16
-    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
-    head = next(pf.iter_batches(batch_size=n_sample, columns=["embedding"]))
-    pf.close()
-    sample = np.stack(head.column("embedding").to_numpy(zero_copy_only=False)).astype(
-        np.float64
+    head = sample_fragments(
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        rows_per_fragment=n_sample,
+        columns=["embedding"],
     )
+    sample = np.stack(
+        head.column("embedding").to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
     cent = sample[:n_centroids].copy()
     for _ in range(5):
         d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)

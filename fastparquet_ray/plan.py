@@ -157,8 +157,13 @@ def _select_fragments(paths: list[str], cap: int = SAMPLE_FRAGMENTS_CAP) -> list
     return [paths[round(i * step)] for i in range(cap)]
 
 
-def _read_fragment_head(path: str, rows: int) -> pa.Table | None:
-    """Head slice of one fragment (reads only leading row groups)."""
+def _read_fragment_head(
+    path: str, rows: int, columns: list[str] | None = None
+) -> pa.Table | None:
+    """Bounded sample slice of one fragment: ``rows`` rows spread over
+    up to 4 evenly-spaced row groups (a source-ordered fragment
+    contributes samples from every region, not just its head — VERDICT
+    r02 #6), reading only those row groups' leading pages."""
     import pyarrow.parquet as pq
 
     from .state import fs as fsmod  # lazy: avoids plan<->state cycle
@@ -166,28 +171,45 @@ def _read_fragment_head(path: str, rows: int) -> pa.Table | None:
     fs, rp = fsmod.get_fs(path)
     with fs.open(rp, "rb") as fh:
         f = pq.ParquetFile(fh)
-        got = 0
-        batches = []
-        for batch in f.iter_batches(batch_size=rows):
-            batches.append(batch)
-            got += batch.num_rows
-            if got >= rows:
-                break
-        if not batches:
+        ngr = f.num_row_groups
+        if ngr == 0:
             return None
-        return pa.Table.from_batches(batches).slice(0, rows)
+        take = min(4, ngr)
+        step = (ngr - 1) / (take - 1) if take > 1 else 0
+        rgs = sorted({round(i * step) for i in range(take)})
+        per = -(-rows // len(rgs))  # ceil
+        parts = []
+        for rg in rgs:
+            got = 0
+            batches = []
+            for batch in f.iter_batches(
+                batch_size=per, row_groups=[rg], columns=columns
+            ):
+                batches.append(batch)
+                got += batch.num_rows
+                if got >= per:
+                    break
+            if batches:
+                parts.append(pa.Table.from_batches(batches).slice(0, per))
+        if not parts:
+            return None
+        return pa.concat_tables(parts).slice(0, rows)
 
 
-def _sample_fragments_serial(paths: list[str], rows_per_fragment: int) -> pa.Table:
+def _sample_fragments_serial(
+    paths: list[str], rows_per_fragment: int, columns: list[str] | None = None
+) -> pa.Table:
     parts = []
     for p in paths:
-        t = _read_fragment_head(p, rows_per_fragment)
+        t = _read_fragment_head(p, rows_per_fragment, columns)
         if t is not None:
             parts.append(t)
     return pa.concat_tables(parts) if parts else pa.table({})
 
 
-def _sample_fragments_ray(paths: list[str], rows_per_fragment: int) -> pa.Table:
+def _sample_fragments_ray(
+    paths: list[str], rows_per_fragment: int, columns: list[str] | None = None
+) -> pa.Table:
     """Distributed sampling pass (VERDICT r02 #1): dataset of fragment
     paths -> map_batches opening each fragment INSIDE a Ray task and
     returning its head slice as one IPC blob -> driver merges the tiny
@@ -204,7 +226,7 @@ def _sample_fragments_ray(paths: list[str], rows_per_fragment: int) -> pa.Table:
         for i, p in zip(
             batch.column("idx").to_pylist(), batch.column("path").to_pylist()
         ):
-            t = _read_fragment_head(p, rpf)
+            t = _read_fragment_head(p, rpf, columns)
             if t is None:
                 continue
             sink = pa.BufferOutputStream()
@@ -232,12 +254,18 @@ def _sample_fragments_ray(paths: list[str], rows_per_fragment: int) -> pa.Table:
     return pa.concat_tables(parts) if parts else pa.table({})
 
 
-def sample_fragments(paths: list[str], rows_per_fragment: int | None = None) -> pa.Table:
-    """Deterministic bounded sample for plan training: head rows of an
-    evenly-spaced fragment subset. Distributed over Ray tasks when a
+def sample_fragments(
+    paths: list[str],
+    rows_per_fragment: int | None = None,
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """Deterministic bounded sample for plan training: rows from
+    evenly-spaced row groups of an evenly-spaced fragment subset
+    (stratified in BOTH dimensions). Distributed over Ray tasks when a
     session is live (the scale path); serial fallback otherwise (plan
     training in a bare process). Either path yields the IDENTICAL
-    sample table, so CodecPlans agree."""
+    sample table, so CodecPlans agree. ``columns`` prunes at the
+    read."""
     sel = _select_fragments(paths)
     if rows_per_fragment is None:
         rows_per_fragment = min(
@@ -251,8 +279,8 @@ def sample_fragments(paths: list[str], rows_per_fragment: int | None = None) -> 
     except ImportError:  # pragma: no cover
         use_ray = False
     if use_ray:
-        return _sample_fragments_ray(sel, rows_per_fragment)
-    return _sample_fragments_serial(sel, rows_per_fragment)
+        return _sample_fragments_ray(sel, rows_per_fragment, columns)
+    return _sample_fragments_serial(sel, rows_per_fragment, columns)
 
 
 def train_plan(sample: pa.Table) -> CodecPlan:
