@@ -22,12 +22,17 @@ from ..state.manifest import Manifest
 _OPS = {"==", "!=", ">", ">=", "<", "<=", "in", "not in"}
 
 
-def shard_files(out_dir: str) -> list[str]:
+def shard_files(out_dir: str, filesystem=None) -> list[str]:
     """Shard paths under an encoded dataset dir (plain path or URI;
-    URIs keep their protocol prefix so downstream opens re-resolve).
+    URIs keep their protocol prefix so downstream opens re-resolve;
+    with an explicit ``filesystem`` instance, paths stay fs-relative).
     Includes hive `key=value` subdirectories (reference M8 layout)."""
-    fs, root = fsmod.get_fs(out_dir)
-    proto = "" if fsmod.is_local(fs) else out_dir.split("://", 1)[0] + "://"
+    fs, root = fsmod.get_fs(out_dir, filesystem)
+    proto = (
+        ""
+        if filesystem is not None or fsmod.is_local(fs)
+        else out_dir.split("://", 1)[0] + "://"
+    )
     found = set(fs.glob(fsmod.join(fs, root, "shard-*.fprs")))
     found |= set(fs.glob(fsmod.join(fs, root, "**", "shard-*.fprs")))
     return sorted(proto + p for p in found)
@@ -101,7 +106,9 @@ def _stats_may_match(stats: dict, col: str, op: str, val) -> bool:
     return True
 
 
-def prune_shards(paths: list[str], filters, root: str | None = None) -> list[str]:
+def prune_shards(
+    paths: list[str], filters, root: str | None = None, filesystem=None
+) -> list[str]:
     """Drop shards whose header stats — or hive partition-path values
     below ``root`` (reference filter_out_cats, api.py:1002-1039) —
     preclude any match."""
@@ -111,7 +118,7 @@ def prune_shards(paths: list[str], filters, root: str | None = None) -> list[str
     rootp = root.rstrip("/") if root else None
     kept = []
     for p in paths:
-        fs, rp = fsmod.get_fs(p)
+        fs, rp = fsmod.get_fs(p, filesystem)
         hdr = read_header(fsmod.read_bytes(fs, rp, 256 * 1024))
         stats = {
             c["name"]: {
@@ -168,6 +175,7 @@ def decode_dataset(
     concurrency=None,
     filters=None,
     categories: list[str] | None = None,
+    filesystem=None,
 ):
     """ray.data.Dataset over the decoded rows of an encoded dataset.
 
@@ -181,19 +189,21 @@ def decode_dataset(
     import ray
     import ray.data
 
-    manifest = Manifest(out_dir)
+    manifest = Manifest(out_dir, filesystem=filesystem)
     tables = {}
     if manifest.has_plan():
         tables = manifest.load_plan().tables
-    paths = shard_files(out_dir)
+    paths = shard_files(out_dir, filesystem=filesystem)
     if not paths:
         raise FileNotFoundError(f"no shards under {out_dir}")
-    _, _root_for_prune = fsmod.get_fs(out_dir)
+    _, _root_for_prune = fsmod.get_fs(out_dir, filesystem)
     if filters:
         for f in filters:
             if len(f) != 3 or f[1] not in _OPS:
                 raise ValueError(f"bad filter {f}")
-        paths = prune_shards(paths, filters, root=_root_for_prune)
+        paths = prune_shards(
+            paths, filters, root=_root_for_prune, filesystem=filesystem
+        )
         if not paths:
             import pyarrow as pa
 
@@ -215,7 +225,7 @@ def decode_dataset(
     # hive layout auto-detect: any shard under a `key=value` dir BELOW
     # the dataset root gets its partition columns reconstructed from
     # the path (M8)
-    fs, root = fsmod.get_fs(out_dir)
+    fs, root = fsmod.get_fs(out_dir, filesystem)
     rootp = root.rstrip("/")
 
     def _rel(p: str) -> str:
@@ -223,15 +233,19 @@ def decode_dataset(
 
     hive = (
         rootp
-        if any(parse_hive_parts(_rel(fsmod.get_fs(p)[1])) for p in paths)
+        if any(
+            parse_hive_parts(_rel(fsmod.get_fs(p, filesystem)[1]))
+            for p in paths
+        )
         else None
     )
+    remote = filesystem is not None or not fsmod.is_local(fs)
     ds = read_fprs(
-        [fsmod.get_fs(p)[1] for p in paths] if not fsmod.is_local(fs) else paths,
+        [fsmod.get_fs(p, filesystem)[1] for p in paths] if remote else paths,
         tables=tables,
         columns=decode_cols,
         concurrency=concurrency,
-        filesystem=None if fsmod.is_local(fs) else fs,
+        filesystem=fs if remote else None,
         hive=hive,
         categories=categories,
     )

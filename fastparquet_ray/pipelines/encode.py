@@ -78,6 +78,7 @@ def encode_pipeline(
     outer: str | None = None,
     column_codecs: dict | None = None,
     hive_cols: list[str] | None = None,
+    filesystem=None,
 ) -> dict:
     """Run the encode job; returns summary metrics (rows, bytes, ratio,
     partitions encoded vs skipped).
@@ -114,9 +115,9 @@ def encode_pipeline(
             )
         else:
             paths = [paths]
-    out_fs, out_root = fsmod.get_fs(out_dir)
+    out_fs, out_root = fsmod.get_fs(out_dir, filesystem)
     out_fs.makedirs(out_root, exist_ok=True)
-    manifest = Manifest(out_dir)
+    manifest = Manifest(out_dir, filesystem=filesystem)
 
     if plan is None:
         if resume and manifest.has_plan():
@@ -208,6 +209,7 @@ def encode_pipeline(
         "split_by": split_by,
         "provenance_col": provenance_col,
         "hive_cols": hive_cols,
+        "filesystem": filesystem,
     }
     if ncpu_total <= 2:
         # tiny session: an actor pool would reserve every CPU and

@@ -50,6 +50,7 @@ class EncodeShard:
         split_by: list[str] | None = None,
         provenance_col: str | None = None,
         hive_cols: list[str] | None = None,
+        filesystem=None,
     ):
         import ray
 
@@ -60,8 +61,10 @@ class EncodeShard:
         self.out_dir = out_dir
         # out_dir may be a URI (s3://...); resolve once per actor —
         # reference S10 analog: open_with threaded through every write
-        # (writer.py:864-869)
-        self.fs, self.root = fsmod.get_fs(out_dir)
+        # (writer.py:864-869). An explicit ``filesystem`` instance
+        # (e.g. state.s3compat for endpoints without an fsspec
+        # protocol) is pickled into the actor and wins.
+        self.fs, self.root = fsmod.get_fs(out_dir, filesystem)
         self.key_column = key_column
         self.split_by = split_by
         # name of the SYNTHETIC read-provenance column to consume as a
