@@ -60,7 +60,7 @@ def _outer_decompress(buf: bytes, codec: str, orig_len: int) -> bytes:
 # codec-id byte -> name (for lineage records; ids from intcodec/strcodec)
 _INT_CODEC_NAMES = {
     0: "plain", 1: "for_bp", 2: "rle", 3: "dict", 4: "delta",
-    5: "pfor", 6: "dict2", 7: "for64",
+    5: "pfor", 6: "dict2", 7: "for64", 8: "zrank",
 }
 _STR_CODEC_NAMES = {16: "plain", 17: "dict", 18: "fsst"}
 
@@ -195,7 +195,8 @@ def _encode_int_auto(values: np.ndarray, codec: str | None) -> bytes:
         except ValueError:
             return ic.encode_plain_int(values)
     for name in ic.rank_int_codecs(
-        values, ("plain", "for_bp", "delta", "pfor", "rle", "dict", "for64")
+        values,
+        ("plain", "for_bp", "delta", "pfor", "rle", "dict", "zrank", "for64"),
     ):
         try:
             b = ic.INT_ENCODERS[name](values)

@@ -92,13 +92,13 @@ def _pick_int_codec(values: np.ndarray) -> tuple[str, dict]:
     # candidates in encode-speed order; a slower codec must beat the
     # faster ones by >5% encoded size to be chosen (deterministic)
     sizes: dict[str, int] = {"plain": len(ic.encode_plain_int(values))}
-    for name in ("for_bp", "delta", "pfor", "rle", "dict", "dict2", "for64"):
+    for name in ("for_bp", "delta", "pfor", "rle", "dict", "dict2", "zrank", "for64"):
         try:
             sizes[name] = len(ic.INT_ENCODERS[name](values))
         except ValueError:
             continue
     best = min(sizes.values())
-    for name in ("plain", "for_bp", "delta", "pfor", "rle", "dict", "dict2", "for64"):
+    for name in ("plain", "for_bp", "delta", "pfor", "rle", "dict", "dict2", "zrank", "for64"):
         if name in sizes and sizes[name] <= best * 1.05:
             return name, _int_stats(values)
     return "plain", _int_stats(values)
