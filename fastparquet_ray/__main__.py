@@ -2,7 +2,9 @@
 
     python -m fastparquet_ray encode  SRC_DIR OUT_DIR [--outer zstd:3]
                                       [--partition-by-source] [--no-resume]
+                                      [--hive-cols col1,col2]
     python -m fastparquet_ray decode  ENC_DIR OUT_PARQUET_DIR [--columns a,b]
+                                      [--filter "col>value"]
     python -m fastparquet_ray verify  SRC_DIR ENC_DIR [--exact]
     python -m fastparquet_ray stats   ENC_DIR
     python -m fastparquet_ray gen     OUT_DIR --rows N [--fragments K] [--skewed]
@@ -33,6 +35,17 @@ def _init_ray():
     DataContext.get_current().enable_progress_bars = False
 
 
+def _parse_filter(expr: str):
+    """'col>=value' -> (col, op, typed value); longest ops first."""
+    for op in ("==", "!=", ">=", "<=", ">", "<"):
+        if op in expr:
+            col, _, raw = expr.partition(op)
+            from .pipelines.hive import val_to_typed
+
+            return (col.strip(), op, val_to_typed(raw.strip()))
+    raise SystemExit(f"bad --filter {expr!r} (ops: == != > >= < <=)")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="fastparquet_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -53,11 +66,24 @@ def main(argv: list[str] | None = None) -> int:
         "bucket (costs an all-to-all exchange)",
     )
     enc.add_argument("--no-resume", action="store_true")
+    enc.add_argument(
+        "--hive-cols",
+        default=None,
+        help="comma-separated columns stored as hive key=value dirs "
+        "instead of shard payload (M8 layout)",
+    )
 
     dec = sub.add_parser("decode")
     dec.add_argument("enc")
     dec.add_argument("out")
     dec.add_argument("--columns", default=None)
+    dec.add_argument(
+        "--filter",
+        action="append",
+        default=None,
+        help="predicate col<op>value (ops: == != > >= < <=), repeatable; "
+        "prunes shards by header stats / hive path values",
+    )
 
     ver = sub.add_parser("verify")
     ver.add_argument("src")
@@ -105,13 +131,23 @@ def main(argv: list[str] | None = None) -> int:
                 resume=not args.no_resume,
                 outer=args.outer,
                 partition_by_source=pbs,
+                hive_cols=args.hive_cols.split(",") if args.hive_cols else None,
             )
             print(json.dumps(summary))
         elif args.cmd == "decode":
-            from .pipelines.export import export_parquet
-
             cols = args.columns.split(",") if args.columns else None
-            export_parquet(args.enc, args.out, columns=cols)
+            filters = None
+            if args.filter:
+                filters = [_parse_filter(f) for f in args.filter]
+            if filters:
+                from .pipelines.decode import decode_dataset
+
+                ds = decode_dataset(args.enc, columns=cols, filters=filters)
+                ds.write_parquet(args.out)
+            else:
+                from .pipelines.export import export_parquet
+
+                export_parquet(args.enc, args.out, columns=cols)
             print(json.dumps({"out": args.out}))
         elif args.cmd == "verify":
             from .pipelines.verify import verify_roundtrip
