@@ -129,10 +129,13 @@ class EncodedDataset:
     """Reader over an encoded dataset directory (shards + manifest),
     the `ParquetFile` analog."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, filesystem=None):
         self.out_dir = out_dir
-        self.manifest = Manifest(out_dir)
-        self._paths = shard_files(out_dir)
+        # explicit fsspec instance (e.g. state.s3compat) wins over URI
+        # protocol resolution — reference S10 open_with analog
+        self.filesystem = filesystem
+        self.manifest = Manifest(out_dir, filesystem=filesystem)
+        self._paths = shard_files(out_dir, filesystem=filesystem)
         if not self._paths:
             raise FileNotFoundError(f"no shards under {out_dir}")
 
@@ -157,7 +160,7 @@ class EncodedDataset:
     def _first_header(self) -> dict:
         from .state import fs as fsmod
 
-        fs, rp = fsmod.get_fs(self._paths[0])
+        fs, rp = fsmod.get_fs(self._paths[0], self.filesystem)
         return read_header(fsmod.read_bytes(fs, rp, 256 * 1024))
 
     def count(self) -> int:
@@ -168,7 +171,7 @@ class EncodedDataset:
 
         total = 0
         for p in self._paths:
-            fs, rp = fsmod.get_fs(p)
+            fs, rp = fsmod.get_fs(p, self.filesystem)
             total += read_header(fsmod.read_bytes(fs, rp, 256 * 1024))["num_rows"]
         return total
 
@@ -191,7 +194,7 @@ class EncodedDataset:
         api.py:387-475)."""
         return decode_dataset(
             self.out_dir, columns=columns, filters=filters,
-            categories=categories,
+            categories=categories, filesystem=self.filesystem,
         )
 
     def to_pandas(

@@ -111,6 +111,13 @@ def test_encode_decode_verify_against_s3(ray_session, s3fs_moto, tmp_path):
     assert summary2["encoded"] == 0
     assert summary2["skipped"] == summary["partitions"]
 
+    # the ParquetFile-analog API works against the endpoint too
+    from fastparquet_ray.api import EncodedDataset
+
+    eds = EncodedDataset(out, filesystem=fs)
+    assert eds.count() == 500
+    assert "tokens" in eds.columns
+
 
 def test_filter_pruning_against_s3(ray_session, s3fs_moto, tmp_path):
     fs = s3fs_moto
