@@ -31,10 +31,12 @@ from ..state.manifest import Manifest
 DEFAULT_BATCH_ROWS = None
 
 
-def make_plan(paths: list[str]) -> CodecPlan:
-    """Stats/sampling pass -> CodecPlan (driver-side tiny reduce).
-    Samples head rows of every fragment; deterministic."""
-    return train_plan(sample_fragments(paths))
+def make_plan(paths: list[str], outer: tuple | None = None) -> CodecPlan:
+    """Stats/sampling pass -> CodecPlan (driver-side tiny reduce over
+    a distributed, stratified, bounded sample); deterministic. With an
+    outer block codec, per-column codecs are ranked by post-outer
+    size."""
+    return train_plan(sample_fragments(paths), outer=outer)
 
 
 def salted_shuffle(ds, plan: CodecPlan, total_buckets: int = 32):
@@ -119,16 +121,21 @@ def encode_pipeline(
     out_fs.makedirs(out_root, exist_ok=True)
     manifest = Manifest(out_dir, filesystem=filesystem)
 
-    if plan is None:
-        if resume and manifest.has_plan():
-            plan = manifest.load_plan()
-        else:
-            plan = make_plan(paths)
+    outer_spec = None
     if outer is not None:
         # "zstd" or "zstd:5" — outer block codec over encoded buffers
         # (reference analog: compression.py codec registry, E18)
         name, _, lvl = outer.partition(":")
-        plan.outer = (name, int(lvl) if lvl else None)
+        outer_spec = (name, int(lvl) if lvl else None)
+    if plan is None:
+        if resume and manifest.has_plan():
+            plan = manifest.load_plan()
+            if outer_spec is not None:
+                plan.outer = outer_spec
+        else:
+            plan = make_plan(paths, outer=outer_spec)
+    elif outer_spec is not None:
+        plan.outer = outer_spec
     if column_codecs:
         # per-column user override, reference analog: the per-column
         # compression dict incl. '_default' (writer.py:829-860)
@@ -159,7 +166,11 @@ def encode_pipeline(
     # upstream files should be written at roughly block size (norm for
     # training-data lakes; our generator and any 128-512 MB layout).
     ncpu_total = int(ray.cluster_resources().get("CPU", 4))
-    read_conc = max(2, min(8, ncpu_total // 4))
+    # exactly 1/4 of CPUs, capped at 8/node: a floor of 2 readers made
+    # the 4-CPU:16-CPU split 2:4 instead of 1:4 — the low-parallelism
+    # side got relatively MORE read bandwidth, skewing any N -> 4N
+    # comparison (and the protocol documents a proportional split)
+    read_conc = max(1, min(8, ncpu_total // 4))
     # provenance column salts partition ids so duplicate input files
     # don't collapse into one shard — skipped iff the user's schema
     # already owns a "path" column (then ids are content-only again;

@@ -83,22 +83,38 @@ def _int_stats(values: np.ndarray) -> dict:
     }
 
 
-def _pick_int_codec(values: np.ndarray) -> tuple[str, dict]:
-    """Trial-encode, pick smallest (deterministic)."""
+def _pick_int_codec(
+    values: np.ndarray, outer: tuple | None = None
+) -> tuple[str, dict]:
+    """Trial-encode, pick smallest (deterministic). With an ``outer``
+    block codec configured, candidates are ranked by size AFTER outer
+    compression of the sample — the archival choice measures what it
+    ships: e.g. bit-packed dict2 codes compress better under zstd:22
+    than zrank's already-entropy-coded bytes (3.25 vs 3.55 bits/token
+    on the flagship stream), while without an outer codec zrank wins
+    outright (3.7 vs 9.9)."""
     if values.size == 0:
         return "plain", {"n": 0}
     if values.size > SAMPLE_VALUES_CAP:
         values = values[:SAMPLE_VALUES_CAP]
+
+    def shipped(blob: bytes) -> int:
+        if outer is None:
+            return len(blob)
+        codec = pa.Codec(outer[0], compression_level=outer[1])
+        return len(codec.compress(blob, asbytes=True))
+
     # candidates in encode-speed order; a slower codec must beat the
     # faster ones by >5% encoded size to be chosen (deterministic)
-    sizes: dict[str, int] = {"plain": len(ic.encode_plain_int(values))}
-    for name in ("for_bp", "delta", "pfor", "rle", "dict", "dict2", "zrank", "for64"):
+    names = ("plain", "for_bp", "delta", "pfor", "rle", "dict", "dict2", "zrank", "for64")
+    sizes: dict[str, int] = {"plain": shipped(ic.encode_plain_int(values))}
+    for name in names[1:]:
         try:
-            sizes[name] = len(ic.INT_ENCODERS[name](values))
+            sizes[name] = shipped(ic.INT_ENCODERS[name](values))
         except ValueError:
             continue
     best = min(sizes.values())
-    for name in ("plain", "for_bp", "delta", "pfor", "rle", "dict", "dict2", "zrank", "for64"):
+    for name in names:
         if name in sizes and sizes[name] <= best * 1.05:
             return name, _int_stats(values)
     return "plain", _int_stats(values)
@@ -283,9 +299,12 @@ def sample_fragments(
     return _sample_fragments_serial(sel, rows_per_fragment, columns)
 
 
-def train_plan(sample: pa.Table) -> CodecPlan:
-    """Build a CodecPlan from a sampled table."""
+def train_plan(sample: pa.Table, outer: tuple | None = None) -> CodecPlan:
+    """Build a CodecPlan from a sampled table. ``outer``: the
+    configured block codec — int-codec candidates are then ranked by
+    post-outer size (what actually ships)."""
     plan = CodecPlan()
+    plan.outer = outer
     sample = sample.combine_chunks()
     for name in sample.column_names:
         col = sample.column(name)
@@ -318,12 +337,12 @@ def train_plan(sample: pa.Table) -> CodecPlan:
                 plan.stats[name] = {"nested": True}
                 continue
             lengths = pc.list_value_length(arr).cast(pa.int32()).to_numpy()
-            lcodec, lstats = _pick_int_codec(np.asarray(lengths))
+            lcodec, lstats = _pick_int_codec(np.asarray(lengths), outer)
             if pa.types.is_floating(t.value_type):
                 vspec = {"codec": "plain_float"}
                 vstats = {"n": len(values)}
             else:
-                vcodec, vstats = _pick_int_codec(values.to_numpy())
+                vcodec, vstats = _pick_int_codec(values.to_numpy(), outer)
                 vspec = {"codec": vcodec}
             plan.specs[name] = {
                 "lengths": {"codec": lcodec},
@@ -352,7 +371,7 @@ def train_plan(sample: pa.Table) -> CodecPlan:
                     arr = arr.fill_null(
                         False if pa.types.is_boolean(t) else 0
                     )
-                codec, stats = _pick_int_codec(_to_int_np(arr))
+                codec, stats = _pick_int_codec(_to_int_np(arr), outer)
                 plan.specs[name] = {"codec": codec}
                 plan.stats[name] = stats
             except (TypeError, pa.ArrowInvalid):
