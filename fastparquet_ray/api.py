@@ -44,6 +44,8 @@ def write(
     column_codecs: dict | None = None,
     partition_on_source: "bool | str" = False,
     resume: bool = True,
+    hive_cols: list[str] | None = None,
+    filesystem=None,
 ) -> dict:
     """Encode a table (or existing parquet path(s)) into an encoded
     shard dataset with manifest. Returns the job summary.
@@ -77,6 +79,8 @@ def write(
         outer=outer,
         column_codecs=column_codecs,
         partition_by_source=partition_on_source,
+        hive_cols=hive_cols,
+        filesystem=filesystem,
     )
 
 
