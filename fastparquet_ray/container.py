@@ -353,15 +353,24 @@ class ShardEncoder:
             lb = _encode_int_auto(lengths, lspec.get("codec"))
             if pa.types.is_floating(t.value_type):
                 vnp = values.to_numpy()
-                vb = b"F" + np.ascontiguousarray(vnp).tobytes()
+                sb = _float_shuffle_body(vnp)
+                if sb is not None:
+                    # byte-shuffle + zstd (same trick as flat float
+                    # columns) — embedding list<float> payloads
+                    vb = b"S" + sb
+                    vname = "shuffle_float"
+                else:
+                    vb = b"F" + np.ascontiguousarray(vnp).tobytes()
+                    vname = "plain_float"
                 info["float_values"] = str(vnp.dtype)
             else:
                 vb = _encode_int_auto(_to_int_np(values), vspec.get("codec"))
+                vname = _INT_CODEC_NAMES.get(vb[0], "?")
             bufs = [validity, lb, vb]
             info["sizes"] = [len(lb), len(vb)]
             info["codec"] = (
                 f"list<lengths={_INT_CODEC_NAMES.get(lb[0], '?')},"
-                f"values={'plain_float' if vb[:1] == b'F' else _INT_CODEC_NAMES.get(vb[0], '?')}>"
+                f"values={vname}>"
             )
         elif kind == "float":
             vnp = arr.to_numpy(zero_copy_only=False)
@@ -731,7 +740,13 @@ def decode_table(
             lb, vb = bodies[0], bodies[1]
             lengths = ic.decode_any_int(lb).astype(np.int64)
             if "float_values" in info:
-                values = np.frombuffer(vb, dtype=info["float_values"], offset=1)
+                fdt = np.dtype(info["float_values"])
+                if vb[:1] == b"S":
+                    values = _float_unshuffle(
+                        bytes(vb[1:]), fdt, int(lengths.sum())
+                    )
+                else:
+                    values = np.frombuffer(vb, dtype=fdt, offset=1)
                 varr = pa.array(values, type=t.value_type)
             else:
                 vals = ic.decode_any_int(vb)
