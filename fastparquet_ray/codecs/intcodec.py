@@ -46,6 +46,7 @@ _C_PLAIN, _C_FOR, _C_RLE, _C_DICT, _C_DELTA, _C_PFOR, _C_DICT2, _C_FOR64 = (
     0, 1, 2, 3, 4, 5, 6, 7,
 )
 _C_ZRANK = 8
+_C_ZRANKS = 9  # zrank with a plan-shared rank table (+ embedded extras)
 
 _DTYPES = {
     1: np.dtype("<i4"),
@@ -497,6 +498,127 @@ def encode_zrank_int(values: np.ndarray) -> bytes:
     )
 
 
+def train_rank_table(values: np.ndarray, cap: int = 1 << 20) -> np.ndarray:
+    """Frequency-rank table for zrank-shared: distinct values ordered by
+    (count desc, value asc), truncated to ``cap`` entries. Trained once
+    at plan time on the stratified sample and broadcast to encoder
+    actors (SURVEY.md ST1) — per-shard encodes then reference it by
+    hash instead of embedding a fresh ~4B-per-distinct table in every
+    shard, and code assignment is stable across the whole corpus."""
+    u, counts = np.unique(values, return_counts=True)
+    order = np.lexsort((u, -counts))
+    return u[order][:cap]
+
+
+class RankTable:
+    """Shared value->rank lookup for zrank-shared encode.
+
+    Holds the rank-ordered value table plus a prebuilt inverse lookup:
+    a dense LUT when the value range is bounded (token vocabularies),
+    else sorted-array binary search. Built once per encoder actor and
+    reused across shards."""
+
+    def __init__(self, table: np.ndarray):
+        self.table = np.ascontiguousarray(table)
+        self._lut = None
+        self._sorted = None
+        self._sorted_ranks = None
+        if self.table.size:
+            t64 = self.table.astype(np.int64)
+            tmin, tmax = int(t64.min()), int(t64.max())
+            if tmax - tmin <= (1 << 22):
+                lut = np.full(tmax - tmin + 1, -1, dtype=np.int64)
+                lut[t64 - tmin] = np.arange(self.table.size)
+                self._lut = lut
+                self._lmin = tmin
+            else:
+                order = np.argsort(t64, kind="stable")
+                self._sorted = t64[order]
+                self._sorted_ranks = order
+
+    def lookup(self, v: np.ndarray) -> np.ndarray:
+        """Ranks as int64; -1 where the value is not in the table."""
+        v64 = v.astype(np.int64, copy=False)
+        out = np.full(v64.size, -1, dtype=np.int64)
+        if not self.table.size:
+            return out
+        if self._lut is not None:
+            dv = v64 - self._lmin
+            ok = (dv >= 0) & (dv < self._lut.size)
+            out[ok] = self._lut[dv[ok]]
+        else:
+            idx = np.searchsorted(self._sorted, v64)
+            idx_c = np.minimum(idx, self._sorted.size - 1)
+            hit = self._sorted[idx_c] == v64
+            out[hit] = self._sorted_ranks[idx_c[hit]]
+        return out
+
+    def serialize(self) -> bytes:
+        t = self.table
+        return (
+            bytes([_dtype_id(t)])
+            + encode_uvarint(t.size)
+            + np.ascontiguousarray(
+                t.astype(t.dtype.newbyteorder("<"), copy=False)
+            ).tobytes()
+        )
+
+    @classmethod
+    def deserialize(cls, buf: bytes) -> "RankTable":
+        return cls(deserialize_rank_values(buf))
+
+    def table_hash(self) -> str:
+        import hashlib
+
+        return hashlib.md5(self.serialize()).hexdigest()
+
+
+def deserialize_rank_values(buf: bytes) -> np.ndarray:
+    dt = _DTYPES[buf[0]]
+    n, pos = decode_uvarint(buf, 1)
+    return np.frombuffer(buf, dtype=dt, count=n, offset=pos)
+
+
+def encode_zrank_shared(values: np.ndarray, rt: RankTable, thash: str) -> bytes:
+    """zrank against a plan-shared rank table: codes reference the
+    shared table first; values the sample never saw get codes >=
+    len(shared) into an embedded extras list (the dict_str escape
+    pattern, strcodec.py:148-178). Body: [md5 16B][varint n_extras]
+    [extras LE][width u8][varint zlen][zstd codes]."""
+    import pyarrow as pa
+
+    v = np.ascontiguousarray(values)
+    head = _header(_C_ZRANKS, v)
+    if v.size == 0:
+        return head
+    ranks = rt.lookup(v)
+    miss = ranks < 0
+    n_shared = int(rt.table.size)
+    if miss.any():
+        extras = np.unique(v[miss])
+        ranks[miss] = n_shared + np.searchsorted(extras, v[miss])
+    else:
+        extras = np.empty(0, dtype=v.dtype)
+    total = n_shared + extras.size
+    width = 2 if total <= 65536 else 4
+    codes = ranks.astype(np.uint16 if width == 2 else np.uint32)
+    z = pa.Codec("zstd", compression_level=3).compress(
+        codes.tobytes(), asbytes=True
+    )
+    xbytes = np.ascontiguousarray(
+        extras.astype(extras.dtype.newbyteorder("<"), copy=False)
+    ).tobytes()
+    return (
+        head
+        + bytes.fromhex(thash)
+        + encode_uvarint(extras.size)
+        + xbytes
+        + bytes([width])
+        + encode_uvarint(len(z))
+        + z
+    )
+
+
 _AUTO_SAMPLE = 1 << 18  # values used for codec ranking trials
 
 
@@ -516,7 +638,9 @@ def rank_int_codecs(values: np.ndarray, names) -> list[str]:
     return [n for _, n in sized]
 
 
-def decode_any_int(buf: bytes) -> np.ndarray:
+def decode_any_int(
+    buf: bytes, tables: dict[str, bytes] | None = None
+) -> np.ndarray:
     codec = buf[0]
     dt = _DTYPES[buf[1]]
     n, pos = decode_uvarint(buf, 2)
@@ -576,6 +700,28 @@ def decode_any_int(buf: bytes) -> np.ndarray:
         codes = np.frombuffer(
             raw, dtype=np.uint16 if width == 2 else np.uint32
         )
+        return table[codes]
+    if codec == _C_ZRANKS:
+        import pyarrow as pa
+
+        thash = buf[pos : pos + 16].hex()
+        pos += 16
+        if tables is None or thash not in tables:
+            raise KeyError(f"shared rank table {thash} not provided")
+        shared = deserialize_rank_values(tables[thash]).astype(dt, copy=False)
+        nx, pos = decode_uvarint(buf, pos)
+        extras = np.frombuffer(buf, dtype=dt, count=nx, offset=pos)
+        pos += extras.nbytes
+        width = buf[pos]
+        pos += 1
+        zlen, pos = decode_uvarint(buf, pos)
+        raw = pa.Codec("zstd").decompress(
+            buf[pos : pos + zlen], decompressed_size=n * width, asbytes=True
+        )
+        codes = np.frombuffer(
+            raw, dtype=np.uint16 if width == 2 else np.uint32
+        )
+        table = np.concatenate([shared, extras]) if nx else shared
         return table[codes]
     if codec == _C_RLE:
         mn = int.from_bytes(buf[pos : pos + 8], "little", signed=True)

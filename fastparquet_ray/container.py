@@ -60,7 +60,7 @@ def _outer_decompress(buf: bytes, codec: str, orig_len: int) -> bytes:
 # codec-id byte -> name (for lineage records; ids from intcodec/strcodec)
 _INT_CODEC_NAMES = {
     0: "plain", 1: "for_bp", 2: "rle", 3: "dict", 4: "delta",
-    5: "pfor", 6: "dict2", 7: "for64", 8: "zrank",
+    5: "pfor", 6: "dict2", 7: "for64", 8: "zrank", 9: "zranks",
 }
 _STR_CODEC_NAMES = {16: "plain", 17: "dict", 18: "fsst"}
 
@@ -233,6 +233,7 @@ class ShardEncoder:
         self.outer = outer  # e.g. ("zstd", 3) — block codec over buffers
         self._fsst_cache: dict[str, FsstTable] = {}
         self._dict_cache: dict[str, list[bytes]] = {}
+        self._rank_cache: dict[str, ic.RankTable] = {}
 
     def _fsst_table(self, thash: str) -> FsstTable:
         if thash not in self._fsst_cache:
@@ -245,6 +246,22 @@ class ShardEncoder:
             t, _ = sc._unpack_str_list(self.tables[thash], 0)
             self._dict_cache[thash] = t
         return self._dict_cache[thash]
+
+    def _rank_table(self, thash: str) -> ic.RankTable:
+        if thash not in self._rank_cache:
+            self._rank_cache[thash] = ic.RankTable(
+                ic.deserialize_rank_values(self.tables[thash])
+            )
+        return self._rank_cache[thash]
+
+    def _encode_int(self, vnp: np.ndarray, spec: dict | None) -> bytes:
+        """Int body under a spec: zrank with a plan-shared table when
+        the spec carries a table_hash, else the per-shard auto path."""
+        codec = (spec or {}).get("codec")
+        thash = (spec or {}).get("table_hash")
+        if codec == "zrank" and thash:
+            return ic.encode_zrank_shared(vnp, self._rank_table(thash), thash)
+        return _encode_int_auto(vnp, codec)
 
     def _encode_str(self, arr: pa.Array, spec: dict | None) -> bytes:
         lengths, data = sc.str_to_bufs(arr)
@@ -364,7 +381,7 @@ class ShardEncoder:
                     vname = "plain_float"
                 info["float_values"] = str(vnp.dtype)
             else:
-                vb = _encode_int_auto(_to_int_np(values), vspec.get("codec"))
+                vb = self._encode_int(_to_int_np(values), vspec)
                 vname = _INT_CODEC_NAMES.get(vb[0], "?")
             bufs = [validity, lb, vb]
             info["sizes"] = [len(lb), len(vb)]
@@ -422,7 +439,7 @@ class ShardEncoder:
             info["codec"] = "dec128"
         else:  # int-ish
             vnp = _to_int_np(arr)
-            body = _encode_int_auto(vnp, (spec or {}).get("codec"))
+            body = self._encode_int(vnp, spec)
             bufs = [validity, body]
             info["sizes"] = [len(body)]
             info["codec"] = _INT_CODEC_NAMES.get(body[0], "?") if body else "?"
@@ -738,7 +755,7 @@ def decode_table(
                 arr = sc.bufs_to_arrow(lengths, data)
         elif kind == "list":
             lb, vb = bodies[0], bodies[1]
-            lengths = ic.decode_any_int(lb).astype(np.int64)
+            lengths = ic.decode_any_int(lb, tables).astype(np.int64)
             if "float_values" in info:
                 fdt = np.dtype(info["float_values"])
                 if vb[:1] == b"S":
@@ -749,7 +766,7 @@ def decode_table(
                     values = np.frombuffer(vb, dtype=fdt, offset=1)
                 varr = pa.array(values, type=t.value_type)
             else:
-                vals = ic.decode_any_int(vb)
+                vals = ic.decode_any_int(vb, tables)
                 varr = pa.array(vals, type=t.value_type)
             offsets = np.zeros(n + 1, dtype=np.int32)
             np.cumsum(lengths, out=offsets[1:])
@@ -782,7 +799,7 @@ def decode_table(
                 values = np.frombuffer(bodies[0], dtype=info["float_dtype"])
             arr = pa.array(values, type=t)
         else:
-            vals = ic.decode_any_int(bodies[0])
+            vals = ic.decode_any_int(bodies[0], tables)
             if pa.types.is_boolean(t):
                 arr = pa.array(vals.astype(bool), type=t)
             else:

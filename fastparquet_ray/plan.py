@@ -158,6 +158,20 @@ def _pick_str_codec(arr: pa.Array) -> tuple[dict, dict[str, bytes], dict]:
     return spec, {k: v for k, v in out_tables.items() if k in used}, stats
 
 
+def _maybe_share_zrank(spec: dict, values: np.ndarray, plan: "CodecPlan") -> dict:
+    """When zrank wins a column, train the rank table ONCE on the plan
+    sample and share it by hash (NEXT r3 #2): shards reference it via
+    ``encode_zrank_shared`` instead of embedding a fresh
+    ~4B-per-distinct table each, with an embedded-extras escape for
+    values the sample never saw. Ranks are then stable corpus-wide."""
+    if spec.get("codec") != "zrank" or values.size == 0:
+        return spec
+    rt = ic.RankTable(ic.train_rank_table(values))
+    h = rt.table_hash()
+    plan.tables[h] = rt.serialize()
+    return {**spec, "table_hash": h}
+
+
 SAMPLE_FRAGMENTS_CAP = 64  # stratified fragment subset for the plan
 
 
@@ -342,8 +356,9 @@ def train_plan(sample: pa.Table, outer: tuple | None = None) -> CodecPlan:
                 vspec = {"codec": "plain_float"}
                 vstats = {"n": len(values)}
             else:
-                vcodec, vstats = _pick_int_codec(values.to_numpy(), outer)
-                vspec = {"codec": vcodec}
+                vnp = values.to_numpy()
+                vcodec, vstats = _pick_int_codec(vnp, outer)
+                vspec = _maybe_share_zrank({"codec": vcodec}, vnp, plan)
             plan.specs[name] = {
                 "lengths": {"codec": lcodec},
                 "values": vspec,
@@ -371,8 +386,11 @@ def train_plan(sample: pa.Table, outer: tuple | None = None) -> CodecPlan:
                     arr = arr.fill_null(
                         False if pa.types.is_boolean(t) else 0
                     )
-                codec, stats = _pick_int_codec(_to_int_np(arr), outer)
-                plan.specs[name] = {"codec": codec}
+                vnp = _to_int_np(arr)
+                codec, stats = _pick_int_codec(vnp, outer)
+                plan.specs[name] = _maybe_share_zrank(
+                    {"codec": codec}, vnp, plan
+                )
                 plan.stats[name] = stats
             except (TypeError, pa.ArrowInvalid):
                 plan.specs[name] = {}

@@ -58,3 +58,69 @@ def test_plan_picks_zrank_for_zipf_tokens():
 def test_plan_still_picks_cheap_codec_for_sequential():
     codec, _ = _pick_int_codec(np.arange(100_000, dtype=np.int64))
     assert codec in ("delta", "for_bp")  # zrank must not win here
+
+
+# ---------------------------------------------------------------------------
+# plan-shared rank table (NEXT r3 #2)
+
+
+def test_zrank_shared_roundtrip_with_extras():
+    v = _zipf_tokens()
+    rt = ic.RankTable(ic.train_rank_table(v[:50_000]))  # partial vocab
+    h = rt.table_hash()
+    blob = ic.encode_zrank_shared(v, rt, h)
+    got = ic.decode_any_int(blob, {h: rt.serialize()})
+    assert got.dtype == v.dtype
+    assert (got == v).all()
+
+
+def test_zrank_shared_smaller_than_embedded():
+    v = _zipf_tokens(vocab=20_000)
+    rt = ic.RankTable(ic.train_rank_table(v))
+    blob = ic.encode_zrank_shared(v, rt, rt.table_hash())
+    emb = ic.encode_zrank_int(v)
+    # the embedded per-shard table (~4B/distinct) moves to the plan
+    assert len(blob) < len(emb) - rt.table.size * 2
+
+
+def test_zrank_shared_missing_table_raises():
+    v = _zipf_tokens(n=1000)
+    rt = ic.RankTable(ic.train_rank_table(v))
+    blob = ic.encode_zrank_shared(v, rt, rt.table_hash())
+    with pytest.raises(KeyError):
+        ic.decode_any_int(blob, {})
+
+
+def test_zrank_shared_wide_range_lookup():
+    # table range > 2^22 exercises the searchsorted inverse path
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 2**40, 50_000).astype(np.int64)
+    v[::2] = v[0]
+    rt = ic.RankTable(ic.train_rank_table(v[:10_000]))
+    h = rt.table_hash()
+    got = ic.decode_any_int(
+        ic.encode_zrank_shared(v, rt, h), {h: rt.serialize()}
+    )
+    assert (got == v).all()
+
+
+def test_plan_trains_shared_zrank_table_for_token_lists():
+    import pyarrow as pa
+
+    from fastparquet_ray.container import ShardEncoder, decode_table
+    from fastparquet_ray.plan import train_plan
+
+    v = _zipf_tokens(n=40_000)
+    tok = pa.array(
+        [v[i * 40 : (i + 1) * 40].tolist() for i in range(1000)],
+        pa.list_(pa.int32()),
+    )
+    t = pa.table({"tokens": tok, "n_tok": pa.array([40] * 1000, pa.int32())})
+    plan = train_plan(t)
+    spec = plan.specs["tokens"]["values"]
+    assert spec["codec"] == "zrank"
+    assert spec["table_hash"] in plan.tables
+    enc = ShardEncoder(plan.specs, plan.tables, outer=plan.outer)
+    blob = enc.encode_table(t)
+    dec = decode_table(blob, plan.tables)
+    assert dec.equals(t.combine_chunks())
