@@ -32,11 +32,33 @@ class TestOuterCodec:
             assert out.equals(t)
 
     def test_zstd_improves_ratio(self):
+        # the outer codec must find real redundancy where the inner
+        # codecs left it: forcing PLAIN inner codecs, zstd:3 over the
+        # buffers must compress substantially
+        t = generate_fragment(2000, 0)
+        forced = {
+            "tokens": {"lengths": {"codec": "plain"}, "values": {"codec": "plain"}},
+            "n_tok": {"codec": "plain"},
+            "doc_id": {"codec": "plain"},
+            "source": {"codec": "plain"},
+        }
+        plain = ShardEncoder(forced).encode_table(t, "t")
+        z = ShardEncoder(forced, outer=("zstd", 3)).encode_table(t, "t")
+        assert len(z) < 0.7 * len(plain)
+
+    def test_outer_config_stays_near_lightweight_entropy(self):
+        # since zrank (r3), the lightweight plan is already
+        # entropy-coded, so the archival zstd:3 config no longer beats
+        # it outright — but sample-ranked post-outer selection must
+        # keep it within selection noise of the lightweight size
         t = generate_fragment(2000, 0)
         plan = train_plan(t.slice(0, 300))
+        zplan = train_plan(t.slice(0, 300), outer=("zstd", 3))
         plain = ShardEncoder(plan.specs, plan.tables).encode_table(t, "t")
-        z = ShardEncoder(plan.specs, plan.tables, outer=("zstd", 3)).encode_table(t, "t")
-        assert len(z) < 0.7 * len(plain)
+        z = ShardEncoder(
+            zplan.specs, zplan.tables, outer=("zstd", 3)
+        ).encode_table(t, "t")
+        assert len(z) < 1.1 * len(plain)
 
     def test_outer_with_projection(self):
         t = generate_fragment(500, 0)
