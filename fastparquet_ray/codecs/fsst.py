@@ -81,6 +81,17 @@ class FsstTable:
             )
             order = np.argsort(keys)
             self._by_len[L] = (keys[order], np.array(codes, np.uint8)[order])
+        # perfect lookup tables for the 1- and 2-byte tiers: the match
+        # becomes a single gather (no searchsorted) — these tiers see
+        # the largest active sets since they run last over everything
+        # the longer tiers left unmatched. 256 = no-symbol sentinel.
+        self._lut1 = np.full(256, 256, dtype=np.int16)
+        self._lut2 = np.full(65536, 256, dtype=np.int16)
+        for code, s in enumerate(symbols):
+            if len(s) == 1:
+                self._lut1[s[0]] = code
+            elif len(s) == 2:
+                self._lut2[int.from_bytes(s, "little")] = code
 
     # ---------------- serialization ----------------
 
@@ -120,16 +131,24 @@ class FsstTable:
         for L in range(MAX_SYM_LEN, 0, -1):
             if L not in self._by_len:
                 continue
-            keys, codes = self._by_len[L]
             w = w64 if active is None else w64[active]
             e = edist if active is None else edist[active]
             kk = w & _MASKS[L]
-            idx = np.searchsorted(keys, kk)
-            idx_c = np.minimum(idx, keys.size - 1)
-            ok = (keys[idx_c] == kk) & (e >= L)
+            if L <= 2:
+                # perfect-lut tier: one gather instead of searchsorted
+                lut = self._lut1 if L == 1 else self._lut2
+                cand = lut[kk]  # uint64 fancy-index, no copy
+                ok = (cand != 256) & (e >= L)
+                hit_codes = cand[ok].astype(np.uint8)
+            else:
+                keys, codes = self._by_len[L]
+                idx = np.searchsorted(keys, kk)
+                idx_c = np.minimum(idx, keys.size - 1)
+                ok = (keys[idx_c] == kk) & (e >= L)
+                hit_codes = codes[idx_c[ok]]
             tgt = np.flatnonzero(ok) if active is None else active[ok]
             best_len[tgt] = L
-            best_code[tgt] = codes[idx_c[ok]]
+            best_code[tgt] = hit_codes
             rem = ~ok
             active = (
                 np.flatnonzero(rem) if active is None else active[rem]

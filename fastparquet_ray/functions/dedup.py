@@ -253,8 +253,13 @@ def minhash_lsh_pairs(
     import ray.data
 
     ds = _docs(sf_dir, ["doc_id", "text"])
+    # autoscaling (1, 2) pools: this pipeline stacks TWO actor pools
+    # plus read/sort tasks — fixed pools of 2 each can reserve every
+    # CPU of a small session before the read stage gets one, wedging
+    # the whole DAG (observed on the 4-CPU test session). A min of 1
+    # per pool always leaves CPUs for upstream tasks.
     sigs = ds.map_batches(
-        MinHasher, batch_format="pandas", concurrency=2, batch_size=4096
+        MinHasher, batch_format="pandas", concurrency=(1, 2), batch_size=4096
     )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -343,7 +348,7 @@ def minhash_lsh_pairs(
             CandidateShingles,
             fn_constructor_kwargs={"ref": ids_ref},
             batch_format="pandas",
-            concurrency=2,
+            concurrency=(1, 2),
         )
         .to_pandas()  # candidate-bounded, not corpus-bounded
     )
@@ -370,7 +375,7 @@ def minhash_lsh_pairs(
             VerifyJaccard,
             fn_constructor_kwargs={"ref": smap_ref},
             batch_format="pandas",
-            concurrency=2,
+            concurrency=(1, 2),
         )
         .filter(expr=f"jaccard >= {jaccard_threshold}")
         .to_pandas()  # OUTPUT-bounded: verified near-dup pairs only
@@ -443,7 +448,7 @@ class SimHasher:
 def simhash(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
-        SimHasher, batch_format="pandas", concurrency=2, batch_size=4096
+        SimHasher, batch_format="pandas", concurrency=(1, 2), batch_size=4096
     )
 
 
@@ -465,24 +470,61 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.0, top_k: int = 10):
         columns=["vec_id", "embedding", "label"],
     )
 
+    def _truncate_exact(s, lo, hi, k):
+        """Keep exactly the top-k of (sim desc, lo asc, hi asc) — the
+        same TOTAL order the one-shot path sorts by, so dropping the
+        rest can never change the global answer even when the k-th
+        similarity is tied (the degenerate all-identical bucket: every
+        sim == 1.0 and the winners are decided purely by ids)."""
+        if s.size <= k:
+            return s, lo, hi
+        kth = np.partition(s, s.size - k)[s.size - k]  # k-th largest
+        better = s > kth
+        nb = int(better.sum())
+        tie = np.flatnonzero(s == kth)
+        t_order = np.lexsort((hi[tie], lo[tie]))[: k - nb]
+        keep = np.concatenate([np.flatnonzero(better), tie[t_order]])
+        return s[keep], lo[keep], hi[keep]
+
     def group_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # skewed-label safety (VERDICT r02): the similarity matrix is
+        # computed in TILE x n blocks with a running exact top-k merge,
+        # so a degenerate label group costs O(TILE * n) peak memory
+        # instead of materializing the full n x n matrix. Results are
+        # EXACT (identical to the one-shot matmul), so the SQL oracle
+        # holds.
+        TILE = 2048
         ids = g["vec_id"].to_numpy()
         m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms
-        sim = mn @ mn.T
-        iu = np.triu_indices(len(ids), k=1)
-        s = sim[iu]
-        mask = s >= threshold
-        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        s = s[mask]
-        order = np.lexsort((hi, lo, -s))[:top_k]  # sim desc, id tiebreak
+        n = len(ids)
+        best_s = np.empty(0)
+        best_lo = np.empty(0, dtype="int64")
+        best_hi = np.empty(0, dtype="int64")
+        for i0 in range(0, n, TILE):
+            i1 = min(i0 + TILE, n)
+            block = mn[i0:i1] @ mn[i0:].T  # rows i0..i1 vs cols i0..n
+            ii, jj = np.nonzero(block >= threshold)
+            keep = jj > ii  # strict upper triangle in global indices
+            ii, jj = ii[keep], jj[keep]
+            s = block[ii, jj]
+            a, b = ids[ii + i0], ids[jj + i0]
+            lo = np.minimum(a, b).astype("int64")
+            hi = np.maximum(a, b).astype("int64")
+            s, lo, hi = _truncate_exact(s, lo, hi, top_k)
+            best_s = np.concatenate([best_s, s])
+            best_lo = np.concatenate([best_lo, lo])
+            best_hi = np.concatenate([best_hi, hi])
+            best_s, best_lo, best_hi = _truncate_exact(
+                best_s, best_lo, best_hi, top_k
+            )
+        order = np.lexsort((best_hi, best_lo, -best_s))[:top_k]
         return pd.DataFrame(
-            {"id_a": lo[order].astype("int64"),
-             "id_b": hi[order].astype("int64"),
-             "sim": s[order]}
+            {"id_a": best_lo[order],
+             "id_b": best_hi[order],
+             "sim": best_s[order]}
         )
 
     parts = ds.groupby("label").map_groups(group_topk, batch_format="pandas")

@@ -243,7 +243,23 @@ def encode_pipeline(
             concurrency=concurrency,
             num_cpus=1,
         )
-    records = mani_ds.take_all()  # tiny: one row per partition
+    if partition_by_source is True:
+        # push-based shuffle for the one all-to-all exchange (the
+        # salted groupby): measured ~10% faster on this path in r2
+        # benchmarks. Scoped to execution (flag is read when the
+        # streaming executor runs, i.e. at take_all) and restored so
+        # other pipelines in the session keep the default.
+        from ray.data import DataContext
+
+        _ctx = DataContext.get_current()
+        _prev_push = _ctx.use_push_based_shuffle
+        _ctx.use_push_based_shuffle = True
+        try:
+            records = mani_ds.take_all()  # tiny: one row per partition
+        finally:
+            _ctx.use_push_based_shuffle = _prev_push
+    else:
+        records = mani_ds.take_all()  # tiny: one row per partition
     # overwrite semantics: the manifest holds EXACTLY this run's
     # partition set, and shards from older runs over a different input
     # set / block configuration are deleted — otherwise decode would

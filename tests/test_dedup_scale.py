@@ -98,3 +98,33 @@ def test_lsh_degenerate_bucket_bounded(ray_session, tmp_path):
     assert (out["id_a"] == 0).all()
     assert (out["jaccard"] == 1.0).all()
     assert sorted(out["id_b"].tolist()) == list(range(1, n))
+
+
+def test_embedding_neardup_skewed_label_tiled_exact(ray_session, tmp_path):
+    """A skewed label group (3000 identical vectors) runs through the
+    TILE x n blocked matmul — bounded memory — and still returns the
+    EXACT top-k by (sim desc, id asc): the all-ties case is decided
+    purely by ids, so any approximate truncation would be caught."""
+    n_ident, n_rand = 3000, 64
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    vecs = [base.copy() for _ in range(n_ident)] + [
+        rng.normal(size=16) for _ in range(n_rand)
+    ]
+    ids = rng.permutation(100_000)[: n_ident + n_rand].astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [v.astype(np.float32) for v in vecs],
+            "label": ["hot"] * (n_ident + n_rand),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "embeddings.parquet")
+    out = dedup.embedding_neardup(str(tmp_path), threshold=0.999, top_k=5)
+    # every identical pair ties at sim 1.0 -> winners are the 5
+    # lexicographically-smallest (lo, hi) pairs among the identical ids
+    ident_ids = np.sort(ids[:n_ident])
+    lo0 = ident_ids[0]
+    want = [(int(lo0), int(h)) for h in ident_ids[1:6]]
+    got = list(zip(out["id_a"].tolist(), out["id_b"].tolist()))
+    assert got == want

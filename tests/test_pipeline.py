@@ -79,7 +79,13 @@ def test_salted_shuffle_bounds_skew(ray_session, tmp_path):
         src, 4000, n_fragments=4, weights=SKEWED_WEIGHTS
     )
     out = str(tmp_path / "skew_enc")
+    import ray.data as rd
+
+    _prev_push = rd.DataContext.get_current().use_push_based_shuffle
     s = encode_pipeline(paths, out, partition_by_source=True)
+    # the push-based-shuffle flag is scoped to the salted execution
+    # and restored afterwards (NEXT r3 #7)
+    assert rd.DataContext.get_current().use_push_based_shuffle is _prev_push
     assert s["rows"] == 4000
     # the hot source ('web', 95%) must be spread over several shards
     from fastparquet_ray.container import decode_table
