@@ -16,6 +16,7 @@ own the session.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from ..data import SOURCES
@@ -243,10 +244,15 @@ def encode_pipeline(
             concurrency=concurrency,
             num_cpus=1,
         )
-    if partition_by_source is True:
+    if partition_by_source is True and os.environ.get(
+        "GRAFT_PUSH_SHUFFLE", "1"
+    ) != "0":
         # push-based shuffle for the one all-to-all exchange (the
-        # salted groupby): measured ~10% faster on this path in r2
-        # benchmarks. Scoped to execution (flag is read when the
+        # salted groupby): designed for large multi-node shuffles
+        # (pipelined merge, fewer object transfers); on the single-node
+        # test box warm A/B measures parity (5.2-5.8s both ways at
+        # sf0.1), so this is a cluster-oriented default with an env
+        # opt-out. Scoped to execution (flag is read when the
         # streaming executor runs, i.e. at take_all) and restored so
         # other pipelines in the session keep the default.
         from ray.data import DataContext
