@@ -13,7 +13,13 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["bit_width", "bit_width_arr", "pack_bits", "unpack_bits"]
+__all__ = [
+    "bit_width",
+    "bit_width_arr",
+    "pack_bits",
+    "unpack_bits",
+    "unpack_bits_add",
+]
 
 _MAX_WIDTH = 32
 
@@ -126,3 +132,48 @@ def unpack_bits(buf: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
         )
         out[:, j] = (lanes >> np.uint64(r)) & mask
     return out.reshape(-1)[:count].astype(np.uint32)
+
+
+def unpack_bits_add(
+    buf: bytes | np.ndarray, width: int, count: int, out: np.ndarray
+) -> None:
+    """Fused unpack+add for FOR decode (NEXT r3 #3): adds ``count``
+    ``width``-bit values from the bitstream into ``out[:count]``
+    (int64, preloaded with the per-value frame minimums) IN PLACE.
+    Skips unpack_bits' intermediate (g, 8) u64 matrix and its
+    astype(uint32) copy plus the caller's separate add pass — each
+    lane goes shift->mask->cast->strided-add in one sweep."""
+    if count == 0 or width == 0:
+        return
+    if not 0 < width <= _MAX_WIDTH:
+        raise ValueError(f"width must be in 1..{_MAX_WIDTH}, got {width}")
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    need_bytes = (count * width + 7) // 8
+    if raw.size < need_bytes:
+        raise ValueError(
+            f"buffer too small: need {need_bytes} bytes for "
+            f"{count} x {width}-bit values, have {raw.size}"
+        )
+    if width % 8 == 0:
+        nb = width // 8
+        padded = np.zeros((count, 4), dtype=np.uint8)
+        padded[:, :nb] = raw[: count * nb].reshape(count, nb)
+        out[:count] += padded.reshape(-1).view("<u4")
+        return
+    g = (count + 7) // 8
+    grp = np.zeros(g * (width + 8), dtype=np.uint8)  # +8 slack for u64 reads
+    full = raw[: g * width]
+    if full.size < g * width:
+        tmp = np.zeros(g * width, dtype=np.uint8)
+        tmp[: full.size] = full
+        full = tmp
+    grp.reshape(g, width + 8)[:, :width] = full.reshape(g, width)
+    mask = np.uint64((1 << width) - 1)
+    stride = width + 8
+    for j in range(8):
+        p0, r = divmod(j * width, 8)
+        lanes = np.ndarray(
+            (g,), dtype="<u8", buffer=grp, offset=p0, strides=(stride,)
+        )
+        tgt = out[j:count:8]  # values j, j+8, ... across groups
+        tgt += ((lanes[: tgt.size] >> np.uint64(r)) & mask).astype(np.int64)

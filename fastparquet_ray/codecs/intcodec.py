@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .bitpack import bit_width, pack_bits, unpack_bits
+from .bitpack import bit_width, pack_bits, unpack_bits, unpack_bits_add
 from .rle import rle_decode, rle_encode
 from .varint import decode_uvarint, encode_uvarint
 
@@ -659,11 +659,10 @@ def decode_any_int(
         out = np.empty((nb, MINIBLOCK), dtype=np.int64)
         out[:] = hdr["min"][:, None]
         uw = np.unique(widths)
-        if uw.size == 1:  # one width: single vectorized unpack
+        if uw.size == 1:  # one width: single fused unpack+add sweep
             w = int(uw[0])
             if w:
-                vals = unpack_bits(payload, w, nb * MINIBLOCK)
-                out += vals.reshape(nb, MINIBLOCK)
+                unpack_bits_add(payload, w, nb * MINIBLOCK, out.ravel())
         else:
             from .rle import _scatter_ragged
 
