@@ -239,19 +239,25 @@ def multimodal_pipeline(sf_dir: str):
     deterministic stand-ins — no media libs in this sandbox).
     Rows-only check (stub kernels are not SQL-expressible)."""
     ds = _payloads(sf_dir)
+    # autoscaling (1, 2) pools: three chained fixed pools of 2 would
+    # reserve 6 CPUs of minimum actors and can starve the upstream
+    # read task on a small session (the dedup LSH pipeline wedged this
+    # way on the 4-CPU test session) — a min of 1 per pool always
+    # leaves CPUs for upstream tasks, and the pools still scale to 2
+    # on a full-size session.
     ds = ds.map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=512, concurrency=2,
+        FrameSampler, batch_format="pyarrow", batch_size=512, concurrency=(1, 2),
         num_cpus=1,
     )
     ds = ds.map_batches(
-        Resizer, batch_format="pyarrow", batch_size=512, concurrency=2,
+        Resizer, batch_format="pyarrow", batch_size=512, concurrency=(1, 2),
         num_cpus=1,
     )
     ds = ds.map_batches(
         FeatureExtractor,
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=2,
+        concurrency=(1, 2),
         num_cpus=1,
     )
     return ds
@@ -266,6 +272,6 @@ def multimodal_features(sf_dir: str):
         FeatureExtractor,
         batch_format="pyarrow",
         batch_size=512,  # small: payloads can be MBs each in real media
-        concurrency=2,
+        concurrency=(1, 2),
         num_cpus=1,
     )

@@ -299,7 +299,7 @@ def join_broadcast(sf_dir: str):
         SegmentJoin,
         fn_constructor_kwargs={"ref": lookup_ref},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return partials.groupby("c_mktsegment").aggregate(
         Sum("n", alias_name="n"), Sum("total", alias_name="total")
@@ -338,7 +338,7 @@ def semi_join(sf_dir: str):
 
     return ds.map_batches(
         Semi, fn_constructor_kwargs={"ref": keys_ref},
-        batch_format="pyarrow", concurrency=2,
+        batch_format="pyarrow", concurrency=(1, 2),
     )
 
 
@@ -363,7 +363,7 @@ def anti_join(sf_dir: str):
 
     return ds.map_batches(
         Anti, fn_constructor_kwargs={"ref": keys_ref},
-        batch_format="pyarrow", concurrency=2,
+        batch_format="pyarrow", concurrency=(1, 2),
     )
 
 
@@ -434,7 +434,7 @@ def multi_join(sf_dir: str):
         RegionJoin,
         fn_constructor_kwargs={"ref": lookup_ref},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     out = parts.groupby("r_name").aggregate(
         Sum("n", alias_name="n"), Sum("sum_bal", alias_name="sum_bal_raw")

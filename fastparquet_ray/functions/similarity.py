@@ -76,7 +76,7 @@ def ann_topk(sf_dir: str, k: int = 10):
         fn_constructor_kwargs={"ref": q_ref, "k": k},
         batch_format="pandas",
         batch_size=8192,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     df = partials.to_pandas()
     df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
@@ -151,7 +151,7 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8, n_probe: int = 
         fn_constructor_kwargs={"ref": cent_ref, "k": k},
         batch_format="pandas",
         batch_size=8192,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     df = partials.to_pandas()
     df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)

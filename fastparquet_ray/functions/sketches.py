@@ -118,7 +118,7 @@ def distinct_count_approx(sf_dir: str):
             HLLPartial,
             fn_constructor_kwargs={"column": col},
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=(1, 2),
         ).to_pandas()  # one 4 KB row per batch
         regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
         for blob in parts["regs"]:

@@ -57,7 +57,7 @@ class BpeishCounter:
 def token_count_bpe(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
-        BpeishCounter, batch_format="pandas", concurrency=2, batch_size=4096
+        BpeishCounter, batch_format="pandas", concurrency=(1, 2), batch_size=4096
     )
 
 
@@ -274,5 +274,5 @@ class LangId:
 def lang_id(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
-        LangId, batch_format="pandas", concurrency=2, batch_size=4096
+        LangId, batch_format="pandas", concurrency=(1, 2), batch_size=4096
     )
