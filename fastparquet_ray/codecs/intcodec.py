@@ -538,19 +538,27 @@ class RankTable:
 
     def lookup(self, v: np.ndarray) -> np.ndarray:
         """Ranks as int64; -1 where the value is not in the table."""
-        v64 = v.astype(np.int64, copy=False)
-        out = np.full(v64.size, -1, dtype=np.int64)
         if not self.table.size:
-            return out
+            return np.full(v.size, -1, dtype=np.int64)
         if self._lut is not None:
-            dv = v64 - self._lmin
+            # single upcasting subtract (no separate astype pass)
+            dv = v - np.int64(self._lmin)
+            if dv.size and 0 <= int(dv.min()) and int(dv.max()) < self._lut.size:
+                # fast path — every value inside the LUT window (the
+                # norm: the table is trained on the same corpus), one
+                # gather, no mask/scatter passes. LUT misses inside
+                # the window still return -1 from the sentinel.
+                return self._lut[dv]
+            out = np.full(dv.size, -1, dtype=np.int64)
             ok = (dv >= 0) & (dv < self._lut.size)
             out[ok] = self._lut[dv[ok]]
-        else:
-            idx = np.searchsorted(self._sorted, v64)
-            idx_c = np.minimum(idx, self._sorted.size - 1)
-            hit = self._sorted[idx_c] == v64
-            out[hit] = self._sorted_ranks[idx_c[hit]]
+            return out
+        v64 = v.astype(np.int64, copy=False)
+        out = np.full(v64.size, -1, dtype=np.int64)
+        idx = np.searchsorted(self._sorted, v64)
+        idx_c = np.minimum(idx, self._sorted.size - 1)
+        hit = self._sorted[idx_c] == v64
+        out[hit] = self._sorted_ranks[idx_c[hit]]
         return out
 
     def serialize(self) -> bytes:
@@ -592,9 +600,9 @@ def encode_zrank_shared(values: np.ndarray, rt: RankTable, thash: str) -> bytes:
     if v.size == 0:
         return head
     ranks = rt.lookup(v)
-    miss = ranks < 0
     n_shared = int(rt.table.size)
-    if miss.any():
+    if int(ranks.min()) < 0:  # single reduction; misses are rare
+        miss = ranks < 0
         extras = np.unique(v[miss])
         ranks[miss] = n_shared + np.searchsorted(extras, v[miss])
     else:
