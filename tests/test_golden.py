@@ -56,3 +56,15 @@ def test_strcodec_golden():
         blob = bytes.fromhex(case["bytes"])
         lengths, data = sc.decode_any_str(blob)
         assert sc.bufs_to_arrow(lengths, data).to_pylist() == case["values"]
+
+
+def test_zranks_golden():
+    """Shared-rank-table wire format (round 3): decoder must keep
+    reading blobs + serialized tables produced by earlier rounds,
+    including the embedded-extras escape for unseen values."""
+    for case in load().get("zranks", []):
+        blob = bytes.fromhex(case["bytes"])
+        tables = {case["table_hash"]: bytes.fromhex(case["table_bytes"])}
+        out = ic.decode_any_int(blob, tables)
+        v = np.array(case["values"], dtype=case["dtype"])
+        assert out.dtype == v.dtype and (out == v).all()
