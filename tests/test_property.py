@@ -241,3 +241,26 @@ def test_large_list_and_deep_nesting_property(data):
     got = decode_table(ShardEncoder().encode_table(t, "p"))
     assert got.column("deep").to_pylist() == deep.to_pylist()
     assert got.column("ll").to_pylist() == ll.to_pylist()
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(
+    st.sampled_from(["int32", "int64", "uint32", "int16"]),
+    st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1, max_size=400),
+    st.integers(0, 399),
+)
+def test_zrank_shared_roundtrip_property(dtype, values, train_prefix):
+    """Shared-rank-table zrank (round 3): any train-prefix/shard
+    combination roundtrips bit-identically — values the training
+    prefix never saw must survive through the embedded-extras
+    escape."""
+    info = np.iinfo(dtype)
+    v = np.clip(np.array(values, dtype=np.int64), info.min, info.max).astype(
+        dtype
+    )
+    train = v[: max(train_prefix, 1)]
+    rt = ic.RankTable(ic.train_rank_table(train))
+    h = rt.table_hash()
+    blob = ic.encode_zrank_shared(v, rt, h)
+    out = ic.decode_any_int(blob, {h: rt.serialize()})
+    assert out.dtype == v.dtype and (out == v).all()
