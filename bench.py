@@ -107,9 +107,9 @@ def run_bench() -> dict:
     outer = os.environ.get("GRAFT_BENCH_OUTER") or None
     out = tempfile.mkdtemp(prefix="fpray_bench_")
     reps = 1 if scaling_mode else 2
-    cal = []
-    if scaling_mode:
-        cal.append(_cpu_calibration())  # machine-state probe, pre-job
+    cal = [_cpu_calibration()]  # machine-state probe, pre-job: lets a
+    # reader normalize this run's wall times against the VM's current
+    # per-core throttle window (BASELINE.md documents 50x swings)
     encode_secs = []
     for rep in range(reps):
         if rep:
@@ -118,10 +118,9 @@ def run_bench() -> dict:
         t0 = time.time()
         summary = encode_pipeline(paths, out, resume=False, outer=outer)
         encode_secs.append(time.time() - t0)
-    if scaling_mode:
-        cal.append(_cpu_calibration())  # post-job: captures drift
-        result_extra["cal_gbps"] = round(sum(cal) / len(cal), 5)
-        result_extra["cal_samples"] = [round(c, 5) for c in cal]
+    cal.append(_cpu_calibration())  # post-job: captures drift
+    result_extra["cal_gbps"] = round(sum(cal) / len(cal), 5)
+    result_extra["cal_samples"] = [round(c, 5) for c in cal]
     encode_sec = min(encode_secs)  # best-of-n: this VM is ±40% noisy
     queries["encode"] = round(encode_sec, 3)
     result_extra["encode_secs"] = [round(s, 3) for s in encode_secs]
