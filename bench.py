@@ -45,6 +45,35 @@ def _cpu_calibration() -> float:
     return len(buf) / dt / 1e9
 
 
+def _quiet_ray_internal_noise():
+    """Filter known-harmless Ray-internal warnings (reproduced with
+    VANILLA ray.data groupby().aggregate() on 2.49.2 — the
+    sort-shuffle Aggregate emits empty-schema blocks for empty
+    partitions, and PandasBlockSchema with object columns is
+    unhashable in the schema-dedup fast path; neither is an engine
+    stage). Filters must sit on the EXACT logger that emits the
+    record (python logging does not propagate parent filters), so
+    attach to the two emitting modules plus the parents. Runs in the
+    driver AND in every worker (worker_process_setup_hook)."""
+    import logging
+
+    class _RayNoise(logging.Filter):
+        def filter(self, record):  # True = keep
+            m = record.getMessage()
+            return (
+                "RefBundle with a different schema" not in m
+                and "Failed to hash the schemas" not in m
+            )
+
+    for lname in (
+        "ray.data",
+        "ray",
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+        "ray.data._internal.execution.streaming_executor_state",
+    ):
+        logging.getLogger(lname).addFilter(_RayNoise())
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -58,28 +87,15 @@ def run_bench() -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            runtime_env={
+                "worker_process_setup_hook": _quiet_ray_internal_noise
+            },
         )
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-
-    # Known-harmless Ray-internal noise (reproduced with VANILLA
-    # ray.data groupby().aggregate() on 2.49.2 — the sort-shuffle
-    # Aggregate emits empty-schema blocks for empty partitions; not an
-    # engine stage): keep it out of the recorded bench tail.
-    import logging
-
-    class _RayNoise(logging.Filter):
-        def filter(self, record):  # True = keep
-            m = record.getMessage()
-            return (
-                "RefBundle with a different schema" not in m
-                and "Failed to hash the schemas" not in m
-            )
-
-    for lname in ("ray.data", "ray"):
-        logging.getLogger(lname).addFilter(_RayNoise())
+    _quiet_ray_internal_noise()
 
     from fastparquet_ray.data import ensure_tokens_dataset
     from fastparquet_ray.pipelines import encode_pipeline, verify_roundtrip
