@@ -270,15 +270,28 @@ class FsstTable:
             self.sym_data.size + unit_pos + 1,  # literal byte after escape
             sym_offs[np.where(esc_u, 0, codes)],
         )
-        # int32 index space when everything fits (halves index traffic)
+        # per-byte-position scatter (NEXT r3 #1): each (unit, j) pair
+        # with j < out_len writes EXACTLY one output byte, so the 8
+        # passes never overlap and need no ordering; the alive set
+        # shrinks each pass (escapes and 1-byte symbols drop out after
+        # j=0), replacing the repeat + arange + gather index build
+        # with total_out scatter work.
         idt = (
             np.int32
             if total_out < 2**31 and combined.size < 2**31
             else np.int64
         )
-        unit_id = np.repeat(np.arange(unit_pos.size, dtype=idt), out_lens)
-        within = np.arange(total_out, dtype=idt) - out_off.astype(idt)[unit_id]
-        out = combined[base.astype(idt)[unit_id] + within]
+        out = np.empty(total_out, dtype=np.uint8)
+        o = out_off[:-1].astype(idt)
+        b = base.astype(idt)
+        ln = out_lens
+        for j in range(MAX_SYM_LEN):
+            if j:
+                keep = ln > j
+                o, b, ln = o[keep], b[keep], ln[keep]
+                if o.size == 0:
+                    break
+            out[o + j] = combined[b + j]
         # per-string decoded lengths
         ub = np.searchsorted(unit_pos, enc_offsets)
         lengths = np.diff(out_off[ub])
