@@ -587,6 +587,21 @@ def deserialize_rank_values(buf: bytes) -> np.ndarray:
     return np.frombuffer(buf, dtype=dt, count=n, offset=pos)
 
 
+def zranks_extras_count(blob: bytes) -> int:
+    """Number of embedded-extras values in a zrank-shared body — the
+    per-shard vocabulary-drift signal (values the plan's rank table
+    never saw). Recorded in shard headers so an append job over a
+    drifting corpus can decide when to re-train the shared table."""
+    if not blob or blob[0] != _C_ZRANKS:
+        return 0
+    n, pos = decode_uvarint(blob, 2)
+    if n == 0:
+        return 0
+    pos += 16  # table hash
+    nx, _ = decode_uvarint(blob, pos)
+    return nx
+
+
 def encode_zrank_shared(values: np.ndarray, rt: RankTable, thash: str) -> bytes:
     """zrank against a plan-shared rank table: codes reference the
     shared table first; values the sample never saw get codes >=

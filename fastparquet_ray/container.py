@@ -383,6 +383,8 @@ class ShardEncoder:
             else:
                 vb = self._encode_int(_to_int_np(values), vspec)
                 vname = _INT_CODEC_NAMES.get(vb[0], "?")
+                if vb[:1] == b"\x09":  # zrank-shared: drift signal
+                    info["zrank_extras"] = ic.zranks_extras_count(vb)
             bufs = [validity, lb, vb]
             info["sizes"] = [len(lb), len(vb)]
             info["codec"] = (
@@ -443,6 +445,8 @@ class ShardEncoder:
             bufs = [validity, body]
             info["sizes"] = [len(body)]
             info["codec"] = _INT_CODEC_NAMES.get(body[0], "?") if body else "?"
+            if body[:1] == b"\x09":  # zrank-shared: drift signal
+                info["zrank_extras"] = ic.zranks_extras_count(body)
             if (
                 pa.types.is_timestamp(t)
                 or pa.types.is_date(t)

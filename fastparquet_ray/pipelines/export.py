@@ -62,6 +62,9 @@ def shard_statistics(enc_dir: str) -> pd.DataFrame:
                     "distinct": c.get("distinct"),
                     "enc_bytes": c["length"],
                     "rows": hdr["num_rows"],
+                    # vocabulary-drift signal: values this shard had to
+                    # escape past the plan-shared zrank table
+                    "zrank_extras": c.get("zrank_extras", 0),
                 }
             )
     return pd.DataFrame(rows)

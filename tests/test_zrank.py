@@ -124,3 +124,29 @@ def test_plan_trains_shared_zrank_table_for_token_lists():
     blob = enc.encode_table(t)
     dec = decode_table(blob, plan.tables)
     assert dec.equals(t.combine_chunks())
+
+
+def test_zrank_shared_extras_drift_signal():
+    """Shards record how many values escaped past the shared rank
+    table — the vocabulary-drift signal an append job watches to
+    decide when to re-train the plan (NEXT r4 #3 enabler)."""
+    import pyarrow as pa
+
+    from fastparquet_ray.container import ShardEncoder, read_header
+    from fastparquet_ray.plan import train_plan
+
+    v = _zipf_tokens(n=40_000)
+    tok = pa.array(
+        [v[i * 40 : (i + 1) * 40].tolist() for i in range(1000)],
+        pa.list_(pa.int32()),
+    )
+    t = pa.table({"tokens": tok})
+    plan = train_plan(t.slice(0, 200))  # partial vocab -> drift
+    blob = ShardEncoder(plan.specs, plan.tables, outer=plan.outer).encode_table(t)
+    col = [c for c in read_header(blob)["columns"] if c["name"] == "tokens"][0]
+    assert col.get("zrank_extras", 0) > 0
+    # full-vocab plan -> no drift
+    plan2 = train_plan(t)
+    blob2 = ShardEncoder(plan2.specs, plan2.tables, outer=plan2.outer).encode_table(t)
+    col2 = [c for c in read_header(blob2)["columns"] if c["name"] == "tokens"][0]
+    assert col2.get("zrank_extras", 0) == 0
