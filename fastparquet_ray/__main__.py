@@ -72,6 +72,14 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated columns stored as hive key=value dirs "
         "instead of shard payload (M8 layout)",
     )
+    enc.add_argument(
+        "--column-codecs",
+        default=None,
+        help="per-column codec override as JSON, e.g. "
+        '\'{"n_tok": {"codec": "rle"}, "tokens": {"values": '
+        '{"codec": "zrank"}}}\' (reference per-column compression= '
+        "dicts, writer.py:829-860)",
+    )
 
     dec = sub.add_parser("decode")
     dec.add_argument("enc")
@@ -132,6 +140,11 @@ def main(argv: list[str] | None = None) -> int:
                 outer=args.outer,
                 partition_by_source=pbs,
                 hive_cols=args.hive_cols.split(",") if args.hive_cols else None,
+                column_codecs=(
+                    json.loads(args.column_codecs)
+                    if args.column_codecs
+                    else None
+                ),
             )
             print(json.dumps(summary))
         elif args.cmd == "decode":
