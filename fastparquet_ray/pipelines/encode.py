@@ -287,5 +287,11 @@ def encode_pipeline(
         "raw_bytes": int(raw),
         "enc_bytes": int(enc),
         "ratio": (enc / raw) if raw else None,
+        # aggregate vocabulary-drift signal (NEXT r4 #3): when this
+        # grows across append runs, re-train the plan's shared rank
+        # table (encode with resume=False, plan=None)
+        "zrank_extras": int(
+            sum(r.get("zrank_extras", 0) or 0 for r in records)
+        ),
         "out_dir": out_dir,
     }

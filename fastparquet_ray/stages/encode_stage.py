@@ -185,6 +185,11 @@ def _manifest_batch(
             "status": [status],
             "codecs": [json.dumps(codecs, sort_keys=True)],
             "table_hashes": [json.dumps(thashes, sort_keys=True)],
+            # vocabulary-drift signal: values this partition escaped
+            # past the plan-shared zrank table (0 when not in use)
+            "zrank_extras": [
+                sum(c.get("zrank_extras", 0) for c in hdr.get("columns", []))
+            ],
             "key_min": [key_range[0] if key_range else ""],
             "key_max": [key_range[1] if key_range else ""],
         }
