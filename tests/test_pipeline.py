@@ -147,3 +147,49 @@ def test_decode_projection_streaming(ray_session, dataset, tmp_path):
         total += b.num_rows
         assert pa.types.is_int32(b.schema.field("n_tok").type)
     assert total == 6000
+
+
+def test_drift_signal_flows_to_summary_and_manifest(ray_session, tmp_path):
+    """A plan trained on a vocabulary-poor sample must surface the
+    escaped-values count end-to-end: shard headers -> manifest
+    lineage -> encode summary (the append-job re-train trigger)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastparquet_ray.plan import train_plan
+
+    rng = np.random.default_rng(5)
+    vals = rng.zipf(1.3, 80_000).clip(1, 8000).astype(np.int32)
+    src = str(tmp_path / "drift_src")
+    os.makedirs(src)
+    rows = []
+    for i in range(2000):
+        rows.append(vals[i * 40 : (i + 1) * 40])
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:06d}" for i in range(2000)]),
+            "tokens": pa.array([r.tolist() for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array([40] * 2000, pa.int32()),
+            "source": pa.array(["web"] * 2000),
+        }
+    )
+    pq.write_table(t.slice(0, 1000), os.path.join(src, "tokens-00000.parquet"))
+    pq.write_table(t.slice(1000), os.path.join(src, "tokens-00001.parquet"))
+    # train on a deliberately small slice so later rows carry unseen
+    # values (400 rows sees ~1.4k of the corpus's ~3.7k distinct)
+    plan = train_plan(t.slice(0, 400))
+    assert plan.specs["tokens"]["values"].get("table_hash")
+    out = str(tmp_path / "drift_enc")
+    s = encode_pipeline(
+        [os.path.join(src, f) for f in sorted(os.listdir(src))],
+        out,
+        plan=plan,
+        resume=False,
+    )
+    assert s["zrank_extras"] > 0
+    recs = Manifest(out).load_records().values()
+    assert sum(r.get("zrank_extras", 0) for r in recs) == s["zrank_extras"]
+    assert verify_roundtrip(
+        [os.path.join(src, f) for f in sorted(os.listdir(src))], out
+    )["ok"]
