@@ -38,6 +38,28 @@ class Manifest:
         return self.fs.exists(self.plan_path)
 
     def write_plan(self, plan: CodecPlan) -> None:
+        """Publish the plan sidecar. Symbol tables are MERGED with any
+        existing sidecar's tables (old entries kept, new win on hash
+        collision — hashes are content-addressed so a collision is the
+        same table): an append run with a re-trained plan (vocabulary
+        drift) must not orphan the table hashes that already-encoded
+        shards reference, or decode of the mixed dataset would fail."""
+        if self.has_plan():
+            try:
+                old_tables = self.load_plan().tables
+            except Exception:
+                old_tables = {}
+            if old_tables:
+                merged = CodecPlan(
+                    specs=plan.specs,
+                    tables={**old_tables, **plan.tables},
+                    stats=plan.stats,
+                    outer=plan.outer,
+                )
+                fsmod.atomic_write(
+                    self.fs, self.plan_path, merged.to_json().encode()
+                )
+                return
         fsmod.atomic_write(self.fs, self.plan_path, plan.to_json().encode())
 
     def load_plan(self) -> CodecPlan:

@@ -193,3 +193,60 @@ def test_drift_signal_flows_to_summary_and_manifest(ray_session, tmp_path):
     assert verify_roundtrip(
         [os.path.join(src, f) for f in sorted(os.listdir(src))], out
     )["ok"]
+
+
+def test_append_with_retrained_plan_keeps_old_tables(ray_session, tmp_path):
+    """Vocabulary-drift response flow: append new fragments with a
+    RE-TRAINED plan (new shared-table hashes). The plan sidecar must
+    merge symbol tables so shards encoded under the old plan still
+    decode — the whole mixed dataset verifies bit-identical."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastparquet_ray.plan import train_plan
+
+    rng = np.random.default_rng(9)
+    src = str(tmp_path / "ap_src")
+    os.makedirs(src)
+
+    def frag(path, vocab_lo, vocab_hi, n=800):
+        # zipf-shaped so the plan picks zrank
+        vals = (
+            rng.zipf(1.3, n * 40).clip(1, vocab_hi - vocab_lo) + vocab_lo - 1
+        ).astype(np.int32)
+        t = pa.table(
+            {
+                "doc_id": pa.array([f"{path[-20:]}-{i:05d}" for i in range(n)]),
+                "tokens": pa.array(
+                    [vals[i * 40 : (i + 1) * 40].tolist() for i in range(n)],
+                    pa.list_(pa.int32()),
+                ),
+                "n_tok": pa.array([40] * n, pa.int32()),
+                "source": pa.array(["web"] * n),
+            }
+        )
+        pq.write_table(t, path)
+        return t
+
+    p1 = os.path.join(src, "tokens-00000.parquet")
+    t1 = frag(p1, 0, 4000)
+    out = str(tmp_path / "ap_enc")
+    plan_a = train_plan(t1)
+    encode_pipeline([p1], out, plan=plan_a, resume=False)
+    ha = plan_a.specs["tokens"]["values"].get("table_hash")
+    assert ha
+
+    # corpus drifts: new fragment from a disjoint vocabulary range
+    p2 = os.path.join(src, "tokens-00001.parquet")
+    t2 = frag(p2, 4000, 8000)
+    plan_b = train_plan(t2)
+    hb = plan_b.specs["tokens"]["values"].get("table_hash")
+    assert hb and hb != ha
+    s = encode_pipeline([p1, p2], out, plan=plan_b, resume=True)
+    assert s["skipped"] >= 1  # old partition not re-encoded
+
+    # sidecar holds BOTH tables; the mixed dataset decodes bit-identical
+    tables = Manifest(out).load_plan().tables
+    assert ha in tables and hb in tables
+    assert verify_roundtrip([p1, p2], out)["ok"]
