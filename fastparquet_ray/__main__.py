@@ -101,6 +101,14 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("enc")
 
+    cp = sub.add_parser(
+        "compact",
+        help="merge small shards into ~target-rows shards under the "
+        "frozen plan (reference merge analog)",
+    )
+    cp.add_argument("enc")
+    cp.add_argument("--target-rows", type=int, default=50_000)
+
     gen = sub.add_parser("gen")
     gen.add_argument("out")
     gen.add_argument("--rows", type=int, required=True)
@@ -174,6 +182,10 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.export import shard_statistics
 
             print(shard_statistics(args.enc).to_string())
+        elif args.cmd == "compact":
+            from .pipelines.compact import compact_shards
+
+            print(json.dumps(compact_shards(args.enc, args.target_rows)))
     finally:
         ray.shutdown()
     return 0

@@ -250,3 +250,41 @@ def test_append_with_retrained_plan_keeps_old_tables(ray_session, tmp_path):
     tables = Manifest(out).load_plan().tables
     assert ha in tables and hb in tables
     assert verify_roundtrip([p1, p2], out)["ok"]
+
+
+def test_compact_shards(ray_session, tmp_path):
+    """Shard compaction (reference merge analog): many small shards
+    merge into ~target_rows shards under the frozen plan; the dataset
+    still verifies bit-identical, the manifest is rewritten to the new
+    layout, old shards are removed, and the op is idempotent."""
+    from fastparquet_ray.pipelines.compact import compact_shards
+
+    src = str(tmp_path / "src")
+    paths = write_tokens_dataset(src, 6000, n_fragments=12)
+    out = str(tmp_path / "enc")
+    encode_pipeline(paths, out)
+    assert len(glob.glob(os.path.join(out, "shard-*.fprs"))) == 12
+    s = compact_shards(out, target_rows=2000)
+    assert s["bins"] == 3 and s["compacted_shards"] == 12
+    assert s["rows"] == 6000
+    shards = glob.glob(os.path.join(out, "shard-*.fprs"))
+    assert len(shards) == 3
+    recs = Manifest(out).load_records()
+    assert len(recs) == 3
+    assert {os.path.basename(p) for p in shards} == {
+        r["shard"] for r in recs.values()
+    }
+    assert verify_roundtrip(paths, out)["ok"]
+    # idempotent: already at target size
+    assert compact_shards(out, target_rows=2000)["bins"] == 0
+
+
+def test_compact_rejects_hive_layout(ray_session, tmp_path):
+    from fastparquet_ray.pipelines.compact import compact_shards
+
+    src = str(tmp_path / "src")
+    paths = write_tokens_dataset(src, 1000, n_fragments=2)
+    out = str(tmp_path / "enc")
+    encode_pipeline(paths, out, hive_cols=["source"])
+    with pytest.raises(NotImplementedError):
+        compact_shards(out)
