@@ -73,6 +73,13 @@ def main(argv: list[str] | None = None) -> int:
         "instead of shard payload (M8 layout)",
     )
     enc.add_argument(
+        "--cluster-by",
+        default=None,
+        help="range-sort on this column before encoding: shards get "
+        "disjoint key ranges, so key filters prune to O(1) shards "
+        "(costs one all-to-all sort)",
+    )
+    enc.add_argument(
         "--column-codecs",
         default=None,
         help="per-column codec override as JSON, e.g. "
@@ -148,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
                 outer=args.outer,
                 partition_by_source=pbs,
                 hive_cols=args.hive_cols.split(",") if args.hive_cols else None,
+                cluster_by=args.cluster_by,
                 column_codecs=(
                     json.loads(args.column_codecs)
                     if args.column_codecs

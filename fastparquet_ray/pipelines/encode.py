@@ -81,6 +81,7 @@ def encode_pipeline(
     outer: str | None = None,
     column_codecs: dict | None = None,
     hive_cols: list[str] | None = None,
+    cluster_by: str | None = None,
     filesystem=None,
 ) -> dict:
     """Run the encode job; returns summary metrics (rows, bytes, ratio,
@@ -100,7 +101,19 @@ def encode_pipeline(
     partition_on, writer.py:1066-1105): each block splits locally by
     these columns, the columns are dropped from the payload and stored
     in the shard path; decode_dataset reconstructs them (M8).
+
+    cluster_by: opt-in range sort on this column before encoding
+    (reference analog: sorted row-group writes detected by
+    sorted_partitioned_columns, api.py:609-628). Shards then hold
+    disjoint key ranges, so key filters prune to O(1) shards through
+    the header min/max stats. Costs one all-to-all sort; mutually
+    exclusive with the salted shuffle.
     """
+    if cluster_by and partition_by_source is True:
+        raise ValueError(
+            "cluster_by and partition_by_source=True are mutually "
+            "exclusive (two conflicting global layouts)"
+        )
     import ray
     import ray.data
 
@@ -185,9 +198,26 @@ def encode_pipeline(
         paths,
         concurrency=read_conc,
         override_num_blocks=len(paths),
-        include_paths=not user_has_path,
+        # no provenance column under cluster_by: a range sort
+        # redistributes rows anyway, so file-identity salting of
+        # partition ids no longer applies (content hashing still makes
+        # ids unique and resume-safe)
+        include_paths=not user_has_path and not cluster_by,
     )
-    provenance_col = None if user_has_path else "path"
+    provenance_col = (
+        None if user_has_path or cluster_by else "path"
+    )
+    if cluster_by:
+        # clustered layout (opt-in, one all-to-all range sort like the
+        # reference's sorted row-group writes): shards get DISJOINT
+        # cluster-key ranges, so key-equality and range filters prune
+        # to O(1) shards via the existing header min/max stats —
+        # sorted_detect then reports the column as globally sorted.
+        ds = ds.sort(cluster_by)
+        # one shard per sorted block: a row-count batcher may BUNDLE
+        # non-adjacent blocks arriving at the same actor into one
+        # batch, which would weld disjoint key ranges back together
+        batch_rows = None
     if partition_by_source is True:
         ds = salted_shuffle(ds, plan)
     elif partition_by_source == "local":

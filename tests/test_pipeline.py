@@ -288,3 +288,31 @@ def test_compact_rejects_hive_layout(ray_session, tmp_path):
     encode_pipeline(paths, out, hive_cols=["source"])
     with pytest.raises(NotImplementedError):
         compact_shards(out)
+
+
+def test_cluster_by_gives_disjoint_ranges_and_pruning(ray_session, tmp_path):
+    """cluster_by: shards hold disjoint cluster-key ranges (reference
+    sorted row-group writes, api.py:609-628), so an equality filter
+    decodes exactly ONE shard via header stats pruning."""
+    from fastparquet_ray.pipelines.decode import decode_dataset
+    from fastparquet_ray.pipelines.export import sorted_partitioned_columns
+
+    src = str(tmp_path / "src")
+    paths = write_tokens_dataset(src, 4000, n_fragments=4)
+    out = str(tmp_path / "enc")
+    s = encode_pipeline(paths, out, cluster_by="doc_id")
+    assert s["rows"] == 4000
+    assert verify_roundtrip(paths, out)["ok"]
+    # disjoint, globally sorted key ranges across shards
+    recs = sorted(
+        Manifest(out).load_records().values(), key=lambda r: r["key_min"]
+    )
+    assert len(recs) > 1
+    for a, b in zip(recs, recs[1:]):
+        assert a["key_max"] <= b["key_min"]
+    sp = sorted_partitioned_columns(out)
+    assert bool(sp[sp["column"] == "doc_id"]["range_partitioned"].iloc[0])
+    # equality filter prunes to exactly one shard
+    target = recs[2]["key_min"]
+    got = decode_dataset(out, filters=[("doc_id", "==", target)]).to_pandas()
+    assert len(got) == 1 and got["doc_id"].iloc[0] == target
