@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_groupby_source": flagship.tokens_groupby_source,
         "tokens_checksum": flagship.tokens_checksum,
         "tokens_roundtrip": flagship.tokens_roundtrip_summary,
+        "clustered_lookup": flagship.clustered_lookup,
         "tokens_export_parquet": flagship.tokens_export_roundtrip,
         "nested_roundtrip": flagship.nested_roundtrip,
         "events_roundtrip": flagship.events_roundtrip,
@@ -244,6 +245,12 @@ def oracle_sql() -> dict[str, str]:
         "tokens_checksum": (
             "SELECT CAST(sum(tok) AS BIGINT) AS token_sum, "
             "count(tok) AS token_cnt FROM (SELECT unnest(tokens) AS tok "
+            f"FROM read_parquet('{_TOKENS_GLOB}'))"
+        ),
+        "clustered_lookup": (
+            "SELECT doc_id, n_tok, source "
+            f"FROM read_parquet('{_TOKENS_GLOB}') "
+            "WHERE doc_id = (SELECT min(doc_id) "
             f"FROM read_parquet('{_TOKENS_GLOB}'))"
         ),
         "tokens_export_parquet": (

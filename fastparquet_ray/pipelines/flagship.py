@@ -39,7 +39,11 @@ def _input_fingerprint(paths: list[str], partition_by_source) -> list:
     return st + [["partition_by_source", str(partition_by_source), 0]]
 
 
-def ensure_encoded(sf_dir: str, partition_by_source: bool = False) -> tuple[list[str], str]:
+def ensure_encoded(
+    sf_dir: str,
+    partition_by_source: bool = False,
+    cluster_by: str | None = None,
+) -> tuple[list[str], str]:
     """Generate (cached) + encode (resumable, cached) the tokens table
     for the scale factor implied by sf_dir. Returns (src_paths, enc_dir).
 
@@ -53,16 +57,24 @@ def ensure_encoded(sf_dir: str, partition_by_source: bool = False) -> tuple[list
 
     sf = sf_from_dir(sf_dir)
     paths = ensure_tokens_dataset(sf, base=TOKENS_BASE)
-    out = encoded_dir_for(sf)
+    out = encoded_dir_for(sf) + ("_clustered" if cluster_by else "")
     marker = os.path.join(out, "_inputs.json")
     fp = _input_fingerprint(paths, partition_by_source)
+    if cluster_by:
+        fp = [["cluster_by", cluster_by], fp]
     try:
         with open(marker) as f:
             if json.load(f) == fp:
                 return paths, out
     except (OSError, ValueError):
         pass
-    encode_pipeline(paths, out, resume=True, partition_by_source=partition_by_source)
+    encode_pipeline(
+        paths,
+        out,
+        resume=True,
+        partition_by_source=partition_by_source,
+        cluster_by=cluster_by,
+    )
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
         json.dump(fp, f)
@@ -117,6 +129,30 @@ def tokens_checksum(sf_dir: str):
             "token_cnt": [int(parts["token_cnt"].sum())],
         }
     )
+
+
+def clustered_lookup(sf_dir: str):
+    """Key-pruned point lookup over a CLUSTERED layout: encode with
+    cluster_by='doc_id' (range sort -> disjoint shard key ranges),
+    then an equality filter on the globally-minimal doc_id decodes
+    O(1) shards via header-stats pruning. Oracle: the same row from
+    the source parquet by min(doc_id)."""
+    from ..state.manifest import Manifest
+
+    _, out = ensure_encoded(sf_dir, cluster_by="doc_id")
+    recs = Manifest(out).load_records()
+    key = min(r["key_min"] for r in recs.values())
+    df = (
+        decode_dataset(
+            out,
+            columns=["doc_id", "n_tok", "source"],
+            filters=[("doc_id", "==", key)],
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return df
 
 
 def tokens_roundtrip_summary(sf_dir: str):
