@@ -316,3 +316,30 @@ def test_cluster_by_gives_disjoint_ranges_and_pruning(ray_session, tmp_path):
     target = recs[2]["key_min"]
     got = decode_dataset(out, filters=[("doc_id", "==", target)]).to_pandas()
     assert len(got) == 1 and got["doc_id"].iloc[0] == target
+
+
+def test_compact_preserves_clustered_ranges(ray_session, tmp_path):
+    """Compacting a clustered dataset keeps shard key ranges disjoint
+    (bins are key-ordered and concatenated in key order), so pruned
+    point lookups survive compaction."""
+    from fastparquet_ray.pipelines.compact import compact_shards
+
+    src = str(tmp_path / "src")
+    paths = write_tokens_dataset(src, 4000, n_fragments=8)
+    out = str(tmp_path / "enc")
+    encode_pipeline(paths, out, cluster_by="doc_id")
+    n0 = len(glob.glob(os.path.join(out, "shard-*.fprs")))
+    s = compact_shards(out, target_rows=1500)
+    assert s["bins"] >= 1
+    recs = sorted(
+        Manifest(out).load_records().values(), key=lambda r: r["key_min"]
+    )
+    assert len(recs) < n0
+    for a, b in zip(recs, recs[1:]):
+        assert a["key_max"] <= b["key_min"]
+    assert verify_roundtrip(paths, out)["ok"]
+    target = recs[-1]["key_min"]
+    got = decode_dataset(
+        out, columns=["doc_id"], filters=[("doc_id", "==", target)]
+    ).to_pandas()
+    assert len(got) == 1
