@@ -80,6 +80,16 @@ def main(argv: list[str] | None = None) -> int:
         "(costs one all-to-all sort)",
     )
     enc.add_argument(
+        "--retrain-on-drift",
+        type=float,
+        default=None,
+        metavar="RATIO",
+        help="append-time policy: re-train the stored codec plan when "
+        "the sampled fraction of values escaping its shared rank "
+        "tables exceeds RATIO (old shards stay decodable via "
+        "sidecar table merge)",
+    )
+    enc.add_argument(
         "--column-codecs",
         default=None,
         help="per-column codec override as JSON, e.g. "
@@ -156,6 +166,7 @@ def main(argv: list[str] | None = None) -> int:
                 partition_by_source=pbs,
                 hive_cols=args.hive_cols.split(",") if args.hive_cols else None,
                 cluster_by=args.cluster_by,
+                retrain_on_drift=args.retrain_on_drift,
                 column_codecs=(
                     json.loads(args.column_codecs)
                     if args.column_codecs

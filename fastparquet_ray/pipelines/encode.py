@@ -82,6 +82,7 @@ def encode_pipeline(
     column_codecs: dict | None = None,
     hive_cols: list[str] | None = None,
     cluster_by: str | None = None,
+    retrain_on_drift: float | None = None,
     filesystem=None,
 ) -> dict:
     """Run the encode job; returns summary metrics (rows, bytes, ratio,
@@ -101,6 +102,16 @@ def encode_pipeline(
     partition_on, writer.py:1066-1105): each block splits locally by
     these columns, the columns are dropped from the payload and stored
     in the shard path; decode_dataset reconstructs them (M8).
+
+    retrain_on_drift: append-time vocabulary-drift policy (NEXT r4
+    #3). When resuming with a stored plan, the (cheap, distributed,
+    deterministic) sampling pass runs over the CURRENT inputs and
+    measures, per shared-rank-table column, the fraction of sampled
+    values the stored table cannot rank. If the worst ratio exceeds
+    this threshold the plan re-trains on that sample; the manifest
+    sidecar MERGES symbol tables so shards encoded under the old plan
+    stay decodable. The summary reports drift_ratio / plan_retrained
+    either way. None (default) = manual flow, no extra sampling pass.
 
     cluster_by: opt-in range sort on this column before encoding
     (reference analog: sorted row-group writes detected by
@@ -141,11 +152,22 @@ def encode_pipeline(
         # (reference analog: compression.py codec registry, E18)
         name, _, lvl = outer.partition(":")
         outer_spec = (name, int(lvl) if lvl else None)
+    drift_ratio = None
+    plan_retrained = False
     if plan is None:
         if resume and manifest.has_plan():
             plan = manifest.load_plan()
             if outer_spec is not None:
                 plan.outer = outer_spec
+            if retrain_on_drift is not None:
+                from ..plan import measure_drift
+
+                sample = sample_fragments(paths)
+                drift = measure_drift(plan, sample)
+                drift_ratio = max(drift.values(), default=0.0)
+                if drift_ratio > retrain_on_drift:
+                    plan = train_plan(sample, outer=plan.outer)
+                    plan_retrained = True
         else:
             plan = make_plan(paths, outer=outer_spec)
     elif outer_spec is not None:
@@ -323,5 +345,9 @@ def encode_pipeline(
         "zrank_extras": int(
             sum(r.get("zrank_extras", 0) or 0 for r in records)
         ),
+        # retrain_on_drift policy outcome (None/False when the policy
+        # was off or no stored plan was being reused)
+        "drift_ratio": drift_ratio,
+        "plan_retrained": plan_retrained,
         "out_dir": out_dir,
     }

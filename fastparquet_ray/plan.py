@@ -402,3 +402,52 @@ def train_plan(sample: pa.Table, outer: tuple | None = None) -> CodecPlan:
             str(x["values"]): int(x["counts"]) for x in vc.to_pylist()
         }
     return plan
+
+
+def measure_drift(plan: "CodecPlan", sample: pa.Table) -> dict[str, float]:
+    """Vocabulary-drift measurement for the append-time re-train
+    policy (encode_pipeline retrain_on_drift): for every column whose
+    stored spec references a SHARED rank table, the fraction of the
+    sampled values that table cannot rank (the values that would ship
+    as embedded extras in every new shard). A ratio near 0 means the
+    stored plan still covers the corpus; a large ratio means the
+    vocabulary moved and the plan should re-train. Columns absent from
+    the sample or without a shared table are skipped.
+
+    Reference analog: fastparquet has no drift policy — its dictionary
+    pages are per-row-group, so drift silently degrades ratio
+    (writer.py:602-640); here the shared table makes drift observable.
+    """
+    out: dict[str, float] = {}
+    sample = sample.combine_chunks()
+    names = set(sample.column_names)
+    for name, spec in plan.specs.items():
+        vspec = spec.get("values") if isinstance(spec, dict) else None
+        nested = vspec is not None
+        target = vspec if nested else (spec if isinstance(spec, dict) else None)
+        if not target or not target.get("table_hash"):
+            continue
+        blob = plan.tables.get(target["table_hash"])
+        if blob is None or name not in names:
+            continue
+        col = sample.column(name)
+        arr = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+        if nested:
+            values = arr.flatten()
+            if values.null_count:
+                values = values.drop_null()
+            vnp = values.to_numpy(zero_copy_only=False)
+        else:
+            if arr.null_count:
+                arr = arr.drop_null()
+            from .container import _to_int_np
+
+            try:
+                vnp = _to_int_np(arr)
+            except (TypeError, pa.ArrowInvalid):
+                continue
+        if vnp.size == 0:
+            continue
+        rt = ic.RankTable(ic.deserialize_rank_values(blob))
+        out[name] = float((rt.lookup(vnp) == -1).mean())
+    return out

@@ -252,6 +252,72 @@ def test_append_with_retrained_plan_keeps_old_tables(ray_session, tmp_path):
     assert verify_roundtrip([p1, p2], out)["ok"]
 
 
+def test_retrain_on_drift_policy(ray_session, tmp_path):
+    """Automatic vocabulary-drift response (retrain_on_drift): an
+    append whose vocabulary escapes the stored rank table re-trains
+    the plan by itself; a same-vocabulary append does not. Old shards
+    stay decodable either way (sidecar table merge)."""
+    import pyarrow.parquet as pq
+
+    from fastparquet_ray.plan import measure_drift, sample_fragments
+
+    rng = np.random.default_rng(11)
+    src = str(tmp_path / "rd_src")
+    os.makedirs(src)
+
+    def frag(path, vocab_lo, vocab_hi, n=800):
+        vals = (
+            rng.zipf(1.3, n * 40).clip(1, vocab_hi - vocab_lo) + vocab_lo - 1
+        ).astype(np.int32)
+        t = pa.table(
+            {
+                "doc_id": pa.array([f"{path[-20:]}-{i:05d}" for i in range(n)]),
+                "tokens": pa.array(
+                    [vals[i * 40 : (i + 1) * 40].tolist() for i in range(n)],
+                    pa.list_(pa.int32()),
+                ),
+                "n_tok": pa.array([40] * n, pa.int32()),
+                "source": pa.array(["web"] * n),
+            }
+        )
+        pq.write_table(t, path)
+
+    p1 = os.path.join(src, "tokens-00000.parquet")
+    frag(p1, 0, 4000)
+    out = str(tmp_path / "rd_enc")
+    s0 = encode_pipeline([p1], out, resume=False)
+    assert s0["drift_ratio"] is None  # policy off / fresh train
+    ha = Manifest(out).load_plan().specs["tokens"]["values"]["table_hash"]
+
+    # stable append: same vocabulary range -> no retrain, plan kept
+    p2 = os.path.join(src, "tokens-00001.parquet")
+    frag(p2, 0, 4000)
+    s1 = encode_pipeline([p1, p2], out, resume=True, retrain_on_drift=0.2)
+    assert s1["plan_retrained"] is False
+    assert s1["drift_ratio"] is not None and s1["drift_ratio"] <= 0.2
+    assert (
+        Manifest(out).load_plan().specs["tokens"]["values"]["table_hash"] == ha
+    )
+
+    # drifted append: disjoint vocabulary -> auto retrain, both tables
+    # survive in the sidecar, mixed dataset verifies bit-identical
+    p3 = os.path.join(src, "tokens-00002.parquet")
+    frag(p3, 4000, 8000)
+    # sanity: the measurement itself sees the drift
+    plan_before = Manifest(out).load_plan()
+    drift = measure_drift(plan_before, sample_fragments([p1, p2, p3]))
+    assert drift["tokens"] > 0.2
+    s2 = encode_pipeline(
+        [p1, p2, p3], out, resume=True, retrain_on_drift=0.2
+    )
+    assert s2["plan_retrained"] is True
+    assert s2["drift_ratio"] > 0.2
+    assert s2["skipped"] >= 2  # old partitions not re-encoded
+    tables = Manifest(out).load_plan().tables
+    assert ha in tables  # old table kept for old shards
+    assert verify_roundtrip([p1, p2, p3], out)["ok"]
+
+
 def test_compact_shards(ray_session, tmp_path):
     """Shard compaction (reference merge analog): many small shards
     merge into ~target_rows shards under the frozen plan; the dataset
