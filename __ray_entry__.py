@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "corpus_clean": dedup.corpus_clean,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash": dedup.simhash,
         "embedding_neardup": dedup.embedding_neardup,
         # --- text analysis ---
@@ -326,6 +327,25 @@ def oracle_sql() -> dict[str, str]:
         # the candidate set provably equals the exact answer for this
         # (deterministic, seeded) pipeline.
         "minhash_lsh_pairs": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN "
+            "[array_to_string(ws, ' ')] ELSE "
+            "list_distinct(list_transform(generate_series(1, len(ws) - 2), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s "
+            "FROM w) "
+            "SELECT id_a, id_b, jaccard FROM ("
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.s, b.s))::DOUBLE / "
+            "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) "
+            "AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "WHERE jaccard >= 0.5"
+        ),
+        # same exact all-pairs ground truth — but for ngram_jaccard_pairs
+        # the oracle holds UNCONDITIONALLY: prefix filtering under a
+        # consistent global shingle order is lossless (every pair with
+        # J >= t shares a prefix element), no LSH recall argument needed.
+        "ngram_jaccard_pairs": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
             "FROM documents), "
             "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN "

@@ -191,7 +191,7 @@ def run_bench() -> dict:
         qs = entrymod.queries()
         for name in [
             "groupby_agg", "dedup_exact", "token_count", "ann_topk",
-            "corpus_clean", "token_topk",
+            "corpus_clean", "token_topk", "ngram_jaccard_pairs",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)

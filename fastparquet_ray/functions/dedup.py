@@ -299,6 +299,30 @@ def minhash_lsh_pairs(
             lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
         )
     )
+    return _verify_candidate_pairs(sf_dir, cand_ds, 3, jaccard_threshold)
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64"),
+         "jaccard": pd.Series([], dtype="float64")}
+    )
+
+
+def _verify_candidate_pairs(
+    sf_dir: str, cand_ds, k: int, jaccard_threshold: float
+) -> pd.DataFrame:
+    """Exact-Jaccard verification of a candidate-pair Dataset (shared
+    tail of minhash_lsh_pairs and ngram_jaccard_pairs): semi-join the
+    corpus on the candidate DOC ids to shingle only candidates, then
+    verify pair Jaccard vectorized over the pair dataset with a
+    candidate-bounded broadcast shingle map. The pair set never lands
+    on the driver — only the unique candidate-id list and the final
+    verified output do (VERDICT r02 #3)."""
+    import ray
+    import ray.data
+
     # unique candidate DOC ids (far smaller than the pair set): needed
     # on the driver to broadcast the shingle semi-join's id filter
     cand_ids = set(
@@ -317,13 +341,8 @@ def minhash_lsh_pairs(
         ).unique("doc_id")
     )
     if not cand_ids:
-        return pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"),
-             "id_b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")}
-        )
+        return _empty_pairs()
     ids_ref = ray.put(cand_ids)
-    k = 3  # same word-shingle size as the MinHasher
 
     class CandidateShingles:
         def __init__(self, ref):
@@ -381,12 +400,154 @@ def minhash_lsh_pairs(
         .to_pandas()  # OUTPUT-bounded: verified near-dup pairs only
     )
     if verified.empty:
-        return pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"),
-             "id_b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")}
-        )
+        return _empty_pairs()
     return verified.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+    df_table_size: int = 4096,
+):
+    """EXACT n-gram (word k-shingle) Jaccard similarity join via
+    prefix filtering — the AllPairs/PPJoin family (Bayardo et al.
+    WWW'07; Xiao et al. WWW'08; public literature — the reference has
+    no similarity join). Unlike minhash_lsh_pairs (probabilistic
+    recall, star-capped buckets) the output is EXACTLY the pairs with
+    Jaccard >= t, so the DuckDB all-pairs oracle holds unconditionally:
+
+      pass 1: shingle -> shingle document-frequency heavy hitters
+              (per-batch partial counts -> tiny groupby-sum -> top-M
+              -> broadcast; the token_topk shape)
+      pass 2: per-doc PREFIX emission under the global (df, hash)
+              order — if J(A,B) >= t the sets must share an element
+              inside both prefixes of length |S| - ceil(t*|S|) + 1,
+              so indexing only prefixes loses no true pair
+      pass 3: groupby prefix-shingle -> all-pairs per group ->
+              distinct -> exact-Jaccard verify (shared tail with
+              minhash_lsh_pairs)
+
+    Scale notes: only shingles with df >= 2 can ever form a bucket, and
+    the broadcast table is top-M of those (absent = df 1 — ties with
+    every other rare shingle, order stays total via the hash
+    tiebreak; ANY consistent global order keeps the filter exact, df
+    order just minimizes candidates). Docs are shingled twice
+    (recompute beats materializing corpus-sized shingle bytes in the
+    object store at 100 TB). A cluster of n true near-identical docs
+    inherently yields ~n^2/2 OUTPUT pairs — that is the exact
+    semantics; use minhash_lsh_pairs for capped cluster-level dedup.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    # ---- pass 1: document frequency of shingles (df >= 2, top-M) ----
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sh = _word_shingles(df["text"].tolist(), k)
+        if not sh:
+            return pd.DataFrame(
+                {"sh": pd.Series([], dtype="uint64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        allh = np.concatenate(sh) if sh else np.empty(0, np.uint64)
+        uniq, cnt = np.unique(allh, return_counts=True)
+        return pd.DataFrame({"sh": uniq, "n": cnt.astype(np.int64)})
+
+    agg = (
+        docs.map_batches(df_partial, batch_format="pandas", batch_size=4096)
+        .groupby("sh")
+        .aggregate(Sum("n", alias_name="n"))
+        .filter(expr="n >= 2")
+    )
+
+    def block_topm(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows <= df_table_size:
+            return t
+        idx = pc.select_k_unstable(
+            t, df_table_size, [("n", "descending"), ("sh", "ascending")]
+        )
+        return t.take(idx)
+
+    parts = agg.map_batches(block_topm, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["n", "sh"], ascending=[False, True]
+    ).head(df_table_size)
+    df_keys = np.sort(parts["sh"].to_numpy().astype(np.uint64))
+    order = np.argsort(parts["sh"].to_numpy().astype(np.uint64), kind="stable")
+    df_vals = parts["n"].to_numpy()[order].astype(np.int64)
+    df_ref = ray.put((df_keys, df_vals))
+
+    # ---- pass 2: prefix emission under the (df, hash) global order ----
+    class PrefixEmit:
+        def __init__(self, ref):
+            self.keys, self.vals = ray.get(ref)
+
+        def _df_of(self, sh: np.ndarray) -> np.ndarray:
+            out = np.ones(sh.size, dtype=np.int64)
+            if self.keys.size:
+                idx = np.searchsorted(self.keys, sh)
+                idx[idx == self.keys.size] = 0
+                hit = self.keys[idx] == sh
+                out[hit] = self.vals[idx[hit]]
+            return out
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            shingles = _word_shingles(df["text"].tolist(), k)
+            out_sh: list[np.ndarray] = []
+            out_id: list[np.ndarray] = []
+            for did, sh in zip(df["doc_id"].to_numpy(), shingles):
+                s = sh.size
+                if s == 0:
+                    continue
+                p = s - int(np.ceil(jaccard_threshold * s)) + 1
+                o = np.lexsort((sh, self._df_of(sh)))
+                pref = sh[o[:p]]
+                out_sh.append(pref)
+                out_id.append(np.full(pref.size, did, dtype=np.int64))
+            if not out_sh:
+                return pd.DataFrame(
+                    {"sh": pd.Series([], dtype="int64"),
+                     "doc_id": pd.Series([], dtype="int64")}
+                )
+            return pd.DataFrame(
+                {
+                    # int64 view: groupby keys hash identically either way
+                    "sh": np.concatenate(out_sh).view(np.int64),
+                    "doc_id": np.concatenate(out_id),
+                }
+            )
+
+    prefixes = docs.map_batches(
+        PrefixEmit,
+        fn_constructor_kwargs={"ref": df_ref},
+        batch_format="pandas",
+        concurrency=(1, 2),
+        batch_size=4096,
+    )
+
+    # ---- pass 3: bucket all-pairs (exact: no star cap) -> distinct ----
+    def bucket_all_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["id_a", "id_b"], dtype="int64")
+
+    from ray.data.aggregate import Count
+
+    cand_ds = (
+        prefixes.groupby("sh")
+        .map_groups(bucket_all_pairs, batch_format="pandas")
+        .groupby(["id_a", "id_b"])  # distinct across buckets
+        .aggregate(Count(alias_name="_nb"))
+        .map_batches(
+            lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+        )
+    )
+    return _verify_candidate_pairs(sf_dir, cand_ds, k, jaccard_threshold)
 
 
 class SimHasher:

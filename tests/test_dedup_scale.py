@@ -128,3 +128,57 @@ def test_embedding_neardup_skewed_label_tiled_exact(ray_session, tmp_path):
     want = [(int(lo0), int(h)) for h in ident_ids[1:6]]
     got = list(zip(out["id_a"].tolist(), out["id_b"].tolist()))
     assert got == want
+
+def test_ngram_jaccard_pairs_exact_vs_allpairs(ray_session, tmp_path):
+    """Prefix-filter exact similarity join equals brute-force all-pairs
+    shingle Jaccard — including pairs whose Jaccard sits just above
+    the threshold (lossless candidate generation, not LSH recall)."""
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = []
+    for i in range(60):
+        texts.append(" ".join(rng.choice(vocab, 20).tolist()))
+    # plant near-dup pairs at varied similarity levels
+    for i in range(0, 24, 2):
+        words = texts[i].split(" ")
+        mutated = list(words)
+        for j in range(i % 7):  # 0..6 word edits
+            mutated[rng.integers(0, len(mutated))] = rng.choice(vocab)
+        texts.append(" ".join(mutated))
+    n = len(texts)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * n,
+            "source": ["web"] * n,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "documents.parquet")
+    got = dedup.ngram_jaccard_pairs(str(tmp_path), jaccard_threshold=0.5)
+
+    # brute force ground truth over word 3-shingle sets
+    def shset(t):
+        ws = t.split(" ")
+        if len(ws) < 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shset(t) for i, t in enumerate(texts)}
+    want = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            j = inter / union if union else 1.0
+            if j >= 0.5:
+                want.append((a, b, j))
+    assert len(want) > 3  # the planted pairs actually exist
+    got_pairs = list(
+        zip(got["id_a"].tolist(), got["id_b"].tolist(), got["jaccard"].tolist())
+    )
+    assert len(got_pairs) == len(want)
+    for (ga, gb, gj), (wa, wb, wj) in zip(got_pairs, sorted(want)):
+        assert (ga, gb) == (wa, wb)
+        assert abs(gj - wj) < 1e-12
