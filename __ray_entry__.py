@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         multimodal,
         relational,
+        sampling,
         similarity,
         sketches,
         textops,
@@ -89,6 +90,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash": dedup.simhash,
+        # --- deterministic sampling / mixture assembly ---
+        "sample_hash": sampling.sample_hash,
+        "sample_stratified": sampling.sample_stratified,
+        "mixture_sample": sampling.mixture_sample,
         "embedding_neardup": dedup.embedding_neardup,
         # --- text analysis ---
         "token_count": textops.token_count,
@@ -359,6 +364,29 @@ def oracle_sql() -> dict[str, str]:
             "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) "
             "AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
             "WHERE jaccard >= 0.5"
+        ),
+        # deterministic hash sampling — the SQL computes the IDENTICAL
+        # md5-prefix hash the Ray operators key on (simhash precedent)
+        "sample_hash": (
+            "SELECT doc_id, source, n_chars FROM documents "
+            "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))"
+            "::UBIGINT % 100 < 5"
+        ),
+        "sample_stratified": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT, "
+            "doc_id) AS rn FROM documents) WHERE rn <= 10"
+        ),
+        "mixture_sample": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT, "
+            "doc_id) AS rn FROM documents) "
+            "WHERE rn <= CASE source WHEN 'src0' THEN 30 "
+            "WHEN 'src1' THEN 18 WHEN 'src2' THEN 12 ELSE 0 END"
         ),
         "simhash": (
             "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) "
