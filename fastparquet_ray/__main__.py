@@ -109,6 +109,13 @@ def main(argv: list[str] | None = None) -> int:
         help="predicate col<op>value (ops: == != > >= < <=), repeatable; "
         "prunes shards by header stats / hive path values",
     )
+    dec.add_argument(
+        "--resumable",
+        action="store_true",
+        help="one deterministic parquet file per shard, published "
+        "atomically: a re-run skips finished files (kill-resumable "
+        "export; incompatible with --filter)",
+    )
 
     ver = sub.add_parser("verify")
     ver.add_argument("src")
@@ -180,15 +187,23 @@ def main(argv: list[str] | None = None) -> int:
             if args.filter:
                 filters = [_parse_filter(f) for f in args.filter]
             if filters:
+                if args.resumable:
+                    raise SystemExit("--resumable is incompatible with --filter")
                 from .pipelines.decode import decode_dataset
 
                 ds = decode_dataset(args.enc, columns=cols, filters=filters)
                 ds.write_parquet(args.out)
+                print(json.dumps({"out": args.out}))
+            elif args.resumable:
+                from .pipelines.export import export_parquet_resumable
+
+                s = export_parquet_resumable(args.enc, args.out, columns=cols)
+                print(json.dumps(s))
             else:
                 from .pipelines.export import export_parquet
 
                 export_parquet(args.enc, args.out, columns=cols)
-            print(json.dumps({"out": args.out}))
+                print(json.dumps({"out": args.out}))
         elif args.cmd == "verify":
             from .pipelines.verify import verify_roundtrip
 

@@ -41,6 +41,90 @@ def export_parquet(
     return out_dir
 
 
+def export_parquet_resumable(
+    enc_dir: str,
+    out_dir: str,
+    columns: list[str] | None = None,
+    filesystem=None,
+) -> dict:
+    """Kill-resumable interop export: ONE Parquet file PER SHARD with
+    a deterministic name mirrored from the shard's relative path,
+    published atomically (tmp + rename) — a re-run skips shards whose
+    output already exists, so a killed export resumes from where it
+    died instead of rewriting the dataset (the encode manifest's
+    resume contract extended to the sink; `ds.write_parquet` names
+    files per run, so it cannot skip). Hive `key=value` subdirs are
+    mirrored verbatim: partition columns survive via the path, and
+    pyarrow/DuckDB reconstruct them exactly as they do for the native
+    layout."""
+    import io
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from ..container import decode_table
+    from ..state import fs as fsmod
+
+    manifest = Manifest(enc_dir, filesystem=filesystem)
+    tables = manifest.load_plan().tables if manifest.has_plan() else {}
+    out_fs, out_root = fsmod.get_fs(out_dir, filesystem)
+    out_fs.makedirs(out_root, exist_ok=True)
+    _, in_root = fsmod.get_fs(enc_dir, filesystem)
+    rootp = in_root.rstrip("/")
+    jobs: list[dict] = []
+    skipped = 0
+    for p in shard_files(enc_dir, filesystem=filesystem):
+        rel = fsmod.get_fs(p, filesystem)[1]
+        rel = (
+            rel[len(rootp):].lstrip("/")
+            if rel.startswith(rootp)
+            else os.path.basename(rel)
+        )
+        rel = rel[: -len(".fprs")] + ".parquet" if rel.endswith(".fprs") else rel + ".parquet"
+        dst = fsmod.join(out_fs, out_root, rel)
+        if out_fs.exists(dst):
+            skipped += 1
+            continue
+        jobs.append({"src": p, "dst": dst})
+    if not jobs:
+        return {"exported": 0, "skipped": skipped, "out_dir": out_dir}
+
+    tables_ref = ray.put(tables)
+    cols = columns
+    fs_for_tasks = filesystem  # fsspec filesystems pickle into tasks
+
+    def export_shards(batch: pd.DataFrame) -> pd.DataFrame:
+        tbls = ray.get(tables_ref)
+        rows = []
+        for src, dst in zip(batch["src"], batch["dst"]):
+            w_fs, w_path = fsmod.get_fs(dst, fs_for_tasks)
+            r_fs, r_path = fsmod.get_fs(src, fs_for_tasks)
+            t = decode_table(
+                fsmod.read_bytes(r_fs, r_path), tbls, columns=cols
+            )
+            parent = w_path.rsplit("/", 1)[0]
+            if parent:
+                w_fs.makedirs(parent, exist_ok=True)
+            buf = io.BytesIO()
+            pq.write_table(t, buf)
+            fsmod.atomic_write(w_fs, w_path, buf.getvalue())
+            rows.append({"dst": dst, "rows": t.num_rows})
+        return pd.DataFrame(rows)
+
+    done = (
+        ray.data.from_items(jobs)
+        .map_batches(export_shards, batch_format="pandas", batch_size=64)
+        .take_all()  # tiny: one row per shard
+    )
+    return {
+        "exported": len(done),
+        "skipped": skipped,
+        "rows": int(sum(r["rows"] for r in done)),
+        "out_dir": out_dir,
+    }
+
+
 def shard_statistics(enc_dir: str) -> pd.DataFrame:
     """Per-shard, per-column stats from headers only (cheap metadata
     scan — the reference reads footer Statistics the same way)."""

@@ -93,6 +93,61 @@ def test_export_parquet_interop(ray_session, tmp_path):
     )
 
 
+def test_export_parquet_resumable(ray_session, tmp_path):
+    """Per-shard deterministic parquet export: a re-run skips every
+    finished file; deleting one output re-exports exactly that shard;
+    the final dataset matches the source (north-star 'resumable
+    output' at the interop sink)."""
+    from fastparquet_ray.pipelines import encode_pipeline
+    from fastparquet_ray.pipelines.export import export_parquet_resumable
+
+    src = str(tmp_path / "src")
+    paths = write_tokens_dataset(src, 2000, n_fragments=4)
+    enc_dir = str(tmp_path / "enc")
+    encode_pipeline(paths, enc_dir)
+    out_dir = str(tmp_path / "pq")
+    s1 = export_parquet_resumable(enc_dir, out_dir)
+    assert s1["exported"] == 4 and s1["skipped"] == 0
+    # no-op resume
+    s2 = export_parquet_resumable(enc_dir, out_dir)
+    assert s2["exported"] == 0 and s2["skipped"] == 4
+    # delete one output -> exactly one shard re-exports
+    victim = sorted(glob.glob(out_dir + "/*.parquet"))[1]
+    os.remove(victim)
+    s3 = export_parquet_resumable(enc_dir, out_dir)
+    assert s3["exported"] == 1 and s3["skipped"] == 3
+    back = pq.read_table(out_dir)
+    orig = pa.concat_tables([pq.read_table(p) for p in paths])
+    assert back.num_rows == orig.num_rows
+    a = back.sort_by("doc_id").to_pandas()
+    b = orig.sort_by("doc_id").to_pandas()
+    assert (a["doc_id"].to_numpy() == b["doc_id"].to_numpy()).all()
+    assert all(
+        list(x) == list(y)
+        for x, y in zip(a["tokens"].tolist(), b["tokens"].tolist())
+    )
+
+
+def test_export_resumable_mirrors_hive_layout(ray_session, tmp_path):
+    """Hive `key=value` shard subdirs are mirrored into the parquet
+    output, so partition columns survive via the path and pyarrow
+    reconstructs them."""
+    from fastparquet_ray.pipelines import encode_pipeline
+    from fastparquet_ray.pipelines.export import export_parquet_resumable
+
+    src = str(tmp_path / "src")
+    paths = write_tokens_dataset(src, 1000, n_fragments=2)
+    enc_dir = str(tmp_path / "enc")
+    encode_pipeline(paths, enc_dir, hive_cols=["source"])
+    out_dir = str(tmp_path / "pq")
+    export_parquet_resumable(enc_dir, out_dir)
+    subdirs = {os.path.basename(p) for p in glob.glob(out_dir + "/*")}
+    assert any(s.startswith("source=") for s in subdirs)
+    back = pq.read_table(out_dir)  # hive columns from the path
+    assert back.num_rows == 1000
+    assert "source" in back.column_names
+
+
 def test_export_partitioned(ray_session, tmp_path):
     from fastparquet_ray.pipelines import encode_pipeline
     from fastparquet_ray.pipelines.export import export_parquet
