@@ -151,6 +151,25 @@ class EncodedDataset:
         return [c["name"] for c in hdr["columns"]]
 
     @property
+    def schema(self) -> pa.Schema:
+        """Arrow schema from the first shard header (no data read) —
+        reference ParquetFile.schema analog (api.py:529-536)."""
+        import base64
+
+        hdr = self._first_header()
+        return pa.ipc.read_schema(
+            pa.py_buffer(base64.b64decode(hdr["schema"]))
+        )
+
+    @property
+    def dtypes(self) -> dict:
+        """column -> pandas dtype, metadata-only — reference
+        ParquetFile.dtypes analog (api.py:538-555)."""
+        return {
+            f.name: f.type.to_pandas_dtype() for f in self.schema
+        }
+
+    @property
     def info(self) -> dict:
         recs = self.manifest.load_records()
         return {

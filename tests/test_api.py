@@ -29,6 +29,20 @@ def test_write_and_info(encoded):
     assert info["enc_bytes"] < info["raw_bytes"]
 
 
+def test_schema_and_dtypes_metadata_only(encoded):
+    """reference ParquetFile.schema/.dtypes analogs — resolved from
+    the first shard header, no data decode."""
+    paths, out, summary = encoded
+    ds = EncodedDataset(out)
+    sch = ds.schema
+    assert isinstance(sch, pa.Schema)
+    assert sch.field("tokens").type == pa.list_(pa.int32())
+    assert sch.field("doc_id").type in (pa.string(), pa.large_string())
+    dt = ds.dtypes
+    assert set(dt) == set(ds.columns)
+    assert dt["n_tok"] in (np.int32, np.dtype("int32"))
+
+
 def test_to_pandas_roundtrip(encoded, ray_session):
     paths, out, _ = encoded
     import pyarrow.parquet as pq
