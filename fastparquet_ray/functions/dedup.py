@@ -283,7 +283,6 @@ def _pairs_in_buckets(ds, key_col: str, star_cap: int | None = None):
     None = exact all-pairs). Returns a Dataset of distinct
     (id_a, id_b); None when no bucket has 2 members."""
     import ray
-    from ray.data.aggregate import Count
 
     multi = _multi_bucket_keys(ds, key_col)
     if multi.size == 0:
@@ -320,14 +319,23 @@ def _pairs_in_buckets(ds, key_col: str, star_cap: int | None = None):
             pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
         return pd.DataFrame(pairs, columns=["id_a", "id_b"], dtype="int64")
 
+    # near-distinct across buckets: sort so duplicate pairs are
+    # contiguous, then per-block drop_duplicates. A pair can survive
+    # once per block it straddles (O(#blocks) residue, dropped by the
+    # caller's final driver-side drop_duplicates) — this avoids a
+    # per-group Aggregate at pair cardinality (see _multi_bucket_keys).
+    # materialize(): the verify tail consumes the candidate set twice
+    # (id-unique pass + pair verify); without it the whole bucket
+    # machinery above would lazily re-execute per consumption. The
+    # materialized set is candidate-bounded, object-store spillable.
     return (
         bucket_rows.groupby(key_col)
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])  # distinct across buckets
-        .aggregate(Count(alias_name="_nb"))
+        .sort(["id_a", "id_b"])
         .map_batches(
-            lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+            lambda df: df.drop_duplicates(), batch_format="pandas"
         )
+        .materialize()
     )
 
 
@@ -494,7 +502,11 @@ def _verify_candidate_pairs(
     )
     if verified.empty:
         return _empty_pairs()
-    return verified.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return (
+        verified.drop_duplicates(["id_a", "id_b"])  # block-straddle residue
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
 
 
 def ngram_jaccard_pairs(
