@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hive_partition_counts": flagship.hive_partition_counts,
         "token_topk": sketches.token_topk,
         "distinct_count_approx": sketches.distinct_count_approx,
+        "quantiles": sketches.quantiles,
         "codec_plan": flagship.codec_plan_report,
         "shard_stats": flagship.shard_stats_report,
         # --- dedup family ---
@@ -268,6 +269,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(tok AS BIGINT) AS tok, count(*) AS n FROM ("
             f"SELECT unnest(tokens) AS tok FROM read_parquet('{_TOKENS_GLOB}')"
             ") GROUP BY tok ORDER BY n DESC, tok LIMIT 20"
+        ),
+        "quantiles": (
+            "SELECT q, value FROM ("
+            "SELECT CAST(0.01 AS DOUBLE) AS q, "
+            "quantile_disc(o_totalprice, 0.01) AS value FROM orders "
+            "UNION ALL SELECT 0.25, quantile_disc(o_totalprice, 0.25) "
+            "FROM orders "
+            "UNION ALL SELECT 0.5, quantile_disc(o_totalprice, 0.5) "
+            "FROM orders "
+            "UNION ALL SELECT 0.75, quantile_disc(o_totalprice, 0.75) "
+            "FROM orders "
+            "UNION ALL SELECT 0.99, quantile_disc(o_totalprice, 0.99) "
+            "FROM orders) ORDER BY q"
         ),
         "events_roundtrip": (
             "SELECT event_type, min(ts) AS min_ts, max(ts) AS max_ts, "

@@ -127,3 +127,130 @@ def distinct_count_approx(sf_dir: str):
     return pd.DataFrame(
         {"n_part_approx": [out["l_partkey"]], "n_supp_approx": [out["l_suppkey"]]}
     )
+
+
+def quantiles(sf_dir: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99)):
+    """EXACT distributed quantiles (percentile_disc semantics: the
+    element at 1-based rank max(1, ceil(q*n)) of the sorted column —
+    verified to match DuckDB quantile_disc) over orders.o_totalprice,
+    WITHOUT a global sort. Rank-selection via histogram partition:
+
+      pass 1: per-block (count, min, max) partials -> driver scalars
+      pass 2: per-block 4096-bucket histogram over the global range ->
+              driver cumsum locates the bucket holding each target rank
+      pass 3: per-block (value, count) uniques restricted to the
+              candidate buckets -> driver merges and indexes the exact
+              element by within-bucket rank
+
+    Each pass is a streaming column scan with O(buckets)-sized block
+    outputs; the driver never sees raw rows, only per-bucket distinct
+    values of the ~|qs| candidate buckets. Three cheap column scans
+    beat one all-to-all sort at any scale (the select_k pattern of
+    sort_topk, generalized to interior ranks). Heavy value repetition
+    collapses in the np.unique partials, so skewed columns cost the
+    driver one row per distinct candidate value, not per row."""
+    import ray
+    import ray.data
+
+    col = "o_totalprice"
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=[col]
+    )
+
+    def minmax_partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return pa.table(
+                {"n": pa.array([], pa.int64()),
+                 "mn": pa.array([], pa.float64()),
+                 "mx": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {"n": [int(v.size)], "mn": [float(v.min())], "mx": [float(v.max())]}
+        )
+
+    p1 = ds.map_batches(minmax_partial, batch_format="pyarrow").to_pandas()
+    qs = list(qs)
+    if p1.empty:
+        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                             "value": pd.Series([np.nan] * len(qs))})
+    n = int(p1["n"].sum())
+    mn, mx = float(p1["mn"].min()), float(p1["mx"].max())
+    ranks = [max(1, int(np.ceil(q * n))) for q in qs]  # 1-based
+    if mn == mx:
+        return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
+                             "value": np.full(len(qs), mn)})
+
+    B = 4096
+    scale = B / (mx - mn)
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        # identical float math in passes 2 and 3 keeps binning stable
+        idx = np.floor((v - mn) * scale).astype(np.int64)
+        return np.clip(idx, 0, B - 1)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        cnt = np.bincount(bucket_of(v), minlength=B) if v.size else np.zeros(B, np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {"bucket": pa.array(nz, pa.int64()),
+             "cnt": pa.array(cnt[nz].astype(np.int64), pa.int64())}
+        )
+
+    p2 = ds.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    hist = np.zeros(B, dtype=np.int64)
+    np.add.at(hist, p2["bucket"].to_numpy(), p2["cnt"].to_numpy())
+    cum = np.concatenate([[0], np.cumsum(hist)])  # cum[b] = rows below bucket b
+    # bucket holding rank r = first b with cum[b+1] >= r
+    cand = sorted({int(np.searchsorted(cum[1:], r)) for r in ranks})
+    cand_arr = np.asarray(cand, dtype=np.int64)
+    cand_ref = ray.put(cand_arr)
+
+    class CandValues:
+        def __init__(self, ref):
+            self.cand = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
+            b = bucket_of(v)
+            keep = np.isin(b, self.cand)
+            u, c = np.unique(v[keep], return_counts=True)
+            return pa.table(
+                {"value": pa.array(u, pa.float64()),
+                 "cnt": pa.array(c.astype(np.int64), pa.int64())}
+            )
+
+    p3 = (
+        ds.map_batches(
+            CandValues,
+            fn_constructor_kwargs={"ref": cand_ref},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .groupby("value", sort=True)["cnt"]
+        .sum()
+    )
+    vals = p3.index.to_numpy()
+    vcum = np.cumsum(p3.to_numpy())
+    out = []
+    for r in ranks:
+        b = int(np.searchsorted(cum[1:], r))
+        # within the merged candidate values, rows below bucket b that
+        # are OUTSIDE candidate buckets must be re-added: global rank r
+        # = (rows in candidate values strictly below bucket b) + cum of
+        # non-candidate buckets below b ... simpler: global cumulative
+        # of value x = cum[bucket(x)] + rank of x within its bucket.
+        below = cum[b]  # rows in buckets < b (from the exact histogram)
+        in_bucket = (bucket_of(vals) == b)
+        bvals = vals[in_bucket]
+        bcnt = p3.to_numpy()[in_bucket]
+        bcum = np.cumsum(bcnt)
+        k = int(np.searchsorted(bcum, r - below))
+        out.append(float(bvals[k]))
+    return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
+                         "value": np.asarray(out, dtype=np.float64)})
