@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_checksum": flagship.tokens_checksum,
         "tokens_roundtrip": flagship.tokens_roundtrip_summary,
         "clustered_lookup": flagship.clustered_lookup,
+        "bloom_lookup": flagship.bloom_lookup,
         "tokens_export_parquet": flagship.tokens_export_roundtrip,
         "nested_roundtrip": flagship.nested_roundtrip,
         "events_roundtrip": flagship.events_roundtrip,
@@ -255,6 +256,12 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_TOKENS_GLOB}'))"
         ),
         "clustered_lookup": (
+            "SELECT doc_id, n_tok, source "
+            f"FROM read_parquet('{_TOKENS_GLOB}') "
+            "WHERE doc_id = (SELECT min(doc_id) "
+            f"FROM read_parquet('{_TOKENS_GLOB}'))"
+        ),
+        "bloom_lookup": (
             "SELECT doc_id, n_tok, source "
             f"FROM read_parquet('{_TOKENS_GLOB}') "
             "WHERE doc_id = (SELECT min(doc_id) "

@@ -97,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
         '{"codec": "zrank"}}}\' (reference per-column compression= '
         "dicts, writer.py:829-860)",
     )
+    enc.add_argument(
+        "--bloom",
+        default=None,
+        help="comma-separated columns to write per-shard bloom "
+        "filters for (equality/IN shard pruning on point lookups)",
+    )
 
     dec = sub.add_parser("decode")
     dec.add_argument("enc")
@@ -179,6 +185,7 @@ def main(argv: list[str] | None = None) -> int:
                     if args.column_codecs
                     else None
                 ),
+                bloom_cols=args.bloom.split(",") if args.bloom else None,
             )
             print(json.dumps(summary))
         elif args.cmd == "decode":

@@ -184,7 +184,7 @@ class EncodedDataset:
         from .state import fs as fsmod
 
         fs, rp = fsmod.get_fs(self._paths[0], self.filesystem)
-        return read_header(fsmod.read_bytes(fs, rp, 256 * 1024))
+        return read_header(fsmod.read_header_bytes(fs, rp))
 
     def count(self) -> int:
         recs = self.manifest.load_records()
@@ -195,7 +195,7 @@ class EncodedDataset:
         total = 0
         for p in self._paths:
             fs, rp = fsmod.get_fs(p, self.filesystem)
-            total += read_header(fsmod.read_bytes(fs, rp, 256 * 1024))["num_rows"]
+            total += read_header(fsmod.read_header_bytes(fs, rp))["num_rows"]
         return total
 
     def statistics(self) -> pd.DataFrame:

@@ -32,6 +32,7 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from .bloom import bloom_build
 from .codecs import intcodec as ic
 from .codecs import strcodec as sc
 from .codecs.fsst import FsstTable, train_fsst
@@ -355,7 +356,12 @@ class ShardEncoder:
                 mm = pa.compute.min_max(src)
                 info["min"] = mm["min"].as_py()
                 info["max"] = mm["max"].as_py()
-                info["distinct"] = pa.compute.count_distinct(src).as_py()
+                uniq = pa.compute.unique(src)
+                info["distinct"] = len(uniq)
+                if (spec or {}).get("bloom"):
+                    info["bloom"] = bloom_build(
+                        uniq.to_numpy(zero_copy_only=False)
+                    )
         elif kind == "list":
             arr = arr.cast(pa.list_(t.value_type)) if pa.types.is_large_list(t) else arr
             offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
@@ -460,7 +466,13 @@ class ShardEncoder:
                 vv = vnp[valid_mask] if null_count else vnp
                 info["min"] = int(vv.min())
                 info["max"] = int(vv.max())
-                info["distinct"] = int(np.unique(vv).size)
+                uniq = np.unique(vv)
+                info["distinct"] = int(uniq.size)
+                if (spec or {}).get("bloom"):
+                    # temporal ints are in the column unit; filter-time
+                    # values pass through the same _coerce_stat_value
+                    # unit conversion before hashing (decode.py)
+                    info["bloom"] = bloom_build(uniq)
         return bufs, info
 
     # ---- recursive nested encoding (list<any>, nullable lists, struct,

@@ -69,6 +69,23 @@ def _coerce_stat_value(ltype: str | None, val):
     return None
 
 
+def _bloom_may_match(s: dict, vals: list) -> bool:
+    """Point-lookup pruning past min/max: consult the shard's
+    per-column bloom filter when one was written
+    (encode_pipeline(bloom_cols=[...]) -> container stats path).
+    Temporal values were already unit-coerced by the caller, matching
+    the encode-side hash domain. Absent/failed bloom -> True."""
+    bloom = s.get("bloom")
+    if not bloom:
+        return True
+    try:
+        from ..bloom import bloom_may_contain
+
+        return bloom_may_contain(bloom, vals)
+    except Exception:
+        return True
+
+
 def _stats_may_match(stats: dict, col: str, op: str, val) -> bool:
     """Can a shard whose `col` spans [min, max] contain matches?
     Unknown stats -> conservatively True."""
@@ -96,11 +113,16 @@ def _stats_may_match(stats: dict, col: str, op: str, val) -> bool:
     if op == "<=":
         return lo <= val
     if op == "==":
-        return lo <= val <= hi
+        if not lo <= val <= hi:
+            return False
+        return _bloom_may_match(s, [val])
     if op == "!=":
         return not (lo == hi == val)
     if op == "in":
-        return any(lo <= v <= hi for v in val)
+        vals = [v for v in val if lo <= v <= hi]
+        if not vals:
+            return False
+        return _bloom_may_match(s, vals)
     if op == "not in":
         return not (lo == hi and lo in val)
     return True
@@ -119,12 +141,13 @@ def prune_shards(
     kept = []
     for p in paths:
         fs, rp = fsmod.get_fs(p, filesystem)
-        hdr = read_header(fsmod.read_bytes(fs, rp, 256 * 1024))
+        hdr = read_header(fsmod.read_header_bytes(fs, rp))
         stats = {
             c["name"]: {
                 "min": c.get("min"),
                 "max": c.get("max"),
                 "ltype": c.get("ltype"),
+                "bloom": c.get("bloom"),
             }
             for c in hdr["columns"]
         }

@@ -80,6 +80,7 @@ def encode_pipeline(
     key_column: str = "doc_id",
     outer: str | None = None,
     column_codecs: dict | None = None,
+    bloom_cols: list[str] | None = None,
     hive_cols: list[str] | None = None,
     cluster_by: str | None = None,
     retrain_on_drift: float | None = None,
@@ -176,6 +177,11 @@ def encode_pipeline(
         # per-column user override, reference analog: the per-column
         # compression dict incl. '_default' (writer.py:829-860)
         plan.specs.update(column_codecs)
+    if bloom_cols:
+        # opt-in equality-pruning bloom filters: flag rides in the
+        # column spec, built in the container stats path per shard
+        for c in bloom_cols:
+            plan.specs.setdefault(c, {})["bloom"] = True
     manifest.write_plan(plan)
 
     finished = manifest.finished_ids() if resume else set()

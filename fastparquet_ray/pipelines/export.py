@@ -133,7 +133,7 @@ def shard_statistics(enc_dir: str) -> pd.DataFrame:
     rows = []
     for path in shard_files(enc_dir):
         fs, rp = fsmod.get_fs(path)
-        hdr = read_header(fsmod.read_bytes(fs, rp, 256 * 1024))
+        hdr = read_header(fsmod.read_header_bytes(fs, rp))
         for c in hdr["columns"]:
             rows.append(
                 {

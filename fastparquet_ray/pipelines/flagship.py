@@ -43,6 +43,7 @@ def ensure_encoded(
     sf_dir: str,
     partition_by_source: bool = False,
     cluster_by: str | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> tuple[list[str], str]:
     """Generate (cached) + encode (resumable, cached) the tokens table
     for the scale factor implied by sf_dir. Returns (src_paths, enc_dir).
@@ -58,10 +59,14 @@ def ensure_encoded(
     sf = sf_from_dir(sf_dir)
     paths = ensure_tokens_dataset(sf, base=TOKENS_BASE)
     out = encoded_dir_for(sf) + ("_clustered" if cluster_by else "")
+    if bloom_cols:
+        out += "_bloom"
     marker = os.path.join(out, "_inputs.json")
     fp = _input_fingerprint(paths, partition_by_source)
     if cluster_by:
         fp = [["cluster_by", cluster_by], fp]
+    if bloom_cols:
+        fp = [["bloom_cols", sorted(bloom_cols)], fp]
     try:
         with open(marker) as f:
             if json.load(f) == fp:
@@ -74,6 +79,7 @@ def ensure_encoded(
         resume=True,
         partition_by_source=partition_by_source,
         cluster_by=cluster_by,
+        bloom_cols=bloom_cols,
     )
     tmp = marker + ".tmp"
     with open(tmp, "w") as f:
@@ -142,6 +148,39 @@ def clustered_lookup(sf_dir: str):
     _, out = ensure_encoded(sf_dir, cluster_by="doc_id")
     recs = Manifest(out).load_records()
     key = min(r["key_min"] for r in recs.values())
+    df = (
+        decode_dataset(
+            out,
+            columns=["doc_id", "n_tok", "source"],
+            filters=[("doc_id", "==", key)],
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return df
+
+
+def bloom_lookup(sf_dir: str):
+    """Point lookup over an UNCLUSTERED layout with per-shard bloom
+    filters on doc_id (encode_pipeline(bloom_cols=['doc_id'])):
+    doc_id ranges overlap across shards so min/max stats cannot prune
+    an equality probe, but the blooms drop every shard that provably
+    lacks the key. Asserts real pruning happened (false-positive
+    shards tolerated), then decodes the match. Oracle: the same row
+    from the source parquet by min(doc_id)."""
+    from .decode import prune_shards, shard_files
+    from ..state.manifest import Manifest
+
+    _, out = ensure_encoded(sf_dir, bloom_cols=["doc_id"])
+    recs = Manifest(out).load_records()
+    key = min(r["key_min"] for r in recs.values())
+    shards = shard_files(out)
+    kept = prune_shards(shards, [("doc_id", "==", key)])
+    if len(shards) > 1 and not len(kept) < len(shards):
+        raise AssertionError(
+            f"bloom pruned nothing: {len(kept)}/{len(shards)} shards"
+        )
     df = (
         decode_dataset(
             out,

@@ -127,7 +127,7 @@ class EncodeShard:
         shard = f"{subdir}/shard-{pid}.fprs" if subdir else f"shard-{pid}.fprs"
         path = fsmod.join(self.fs, self.root, shard)
         if pid in self.finished and self.fs.exists(path):
-            hdr = read_header(fsmod.read_bytes(self.fs, path, 256 * 1024))
+            hdr = read_header(fsmod.read_header_bytes(self.fs, path))
             return _manifest_batch(
                 pid, shard, batch.num_rows, hdr, "skipped", key_range
             )

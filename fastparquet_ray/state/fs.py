@@ -79,6 +79,17 @@ def read_bytes(fs: Any, path: str, length: int | None = None) -> bytes:
         return f.read() if length is None else f.read(length)
 
 
+def read_header_bytes(fs: Any, path: str, probe: int = 256 * 1024) -> bytes:
+    """Complete shard-header blob: one probe read, re-read at the
+    length the prefix declares when the header outgrows the probe
+    (bloom-filter columns can push headers past 256 KB)."""
+    head = read_bytes(fs, path, probe)
+    need = 9 + int.from_bytes(head[5:9], "little")
+    if len(head) < need:
+        head = read_bytes(fs, path, need)
+    return head
+
+
 def to_pyarrow_fs(fs: Any):
     """Wrap an fsspec filesystem for APIs that want pyarrow.fs (Ray
     Data's FileBasedDatasource). Local filesystems pass through as
