@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": relational.anti_join,
         "groupby_having": relational.groupby_having,
         "multi_join": relational.multi_join,
+        "hash_join": relational.hash_join,
         "union_all": relational.union_all,
         "case_expr": relational.case_expr,
         "sorted_detect": relational.sorted_detect,
@@ -202,6 +203,12 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(c_acctbal), 3) AS sum_bal "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "hash_join": (
+            "SELECT d.source, e.label, count(*) AS n, "
+            "CAST(sum(d.n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id "
+            "GROUP BY d.source, e.label"
         ),
         "union_all": (
             "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45 "

@@ -517,3 +517,49 @@ def sorted_detect(sf_dir: str):
             }
         )
     return pd.DataFrame(out).sort_values("column").reset_index(drop=True)
+
+
+def hash_join(sf_dir: str):
+    """Distributed SHUFFLE hash join — both sides large, neither
+    broadcastable (completes the join family: broadcast / semi / anti
+    joins in this module key a small side via ray.put; here Ray Data's
+    native hash-shuffle join partitions BOTH inputs by key hash across
+    aggregator actors, the 100 TB-correct shape when the build side
+    no longer fits one worker). documents ⋈ embeddings on
+    doc_id = vec_id, then per-(source, label) counts/sums via Arrow
+    partials + a tiny final groupby (group count = sources × labels).
+
+    num_partitions scales with session CPUs — on a real cluster size
+    it to total cores (each partition is an independent build+probe
+    unit); skewed keys want the salted-shuffle pattern from
+    encode_salted instead."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    d = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    e = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    nparts = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    j = d.join(
+        e,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("doc_id",),
+        right_on=("vec_id",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "label"]).aggregate(
+            [("doc_id", "count"), ("n_chars", "sum")]
+        )
+        g = g.rename_columns(["source", "label", "n", "sum_chars"])
+        return g.set_column(
+            3, "sum_chars", g.column("sum_chars").cast(pa.int64())
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "label"])
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sum_chars", alias_name="sum_chars")
+        )
+    )
