@@ -33,6 +33,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from fastparquet_ray.functions import (
+        analytics,
         dedup,
         multimodal,
         relational,
@@ -72,6 +73,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": windows.asof_join,
         "range_join": windows.range_join,
         "session_windows": windows.session_windows,
+        # --- windowed analytics / OLAP (analytics.py) ---
+        "window_rank": analytics.window_rank,
+        "window_lag": analytics.window_lag,
+        "rollup_agg": analytics.rollup_agg,
+        "pivot_counts": analytics.pivot_counts,
+        "stats_moments": analytics.stats_moments,
+        "grouped_quantiles": analytics.grouped_quantiles,
+        "left_outer_join": analytics.left_outer_join,
         # --- flagship encode engine (tokens table) ---
         "tokens_groupby_source": flagship.tokens_groupby_source,
         "tokens_checksum": flagship.tokens_checksum,
@@ -249,6 +258,55 @@ def oracle_sql() -> dict[str, str]:
             "  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
             "SELECT user_id, min(ts) AS session_start, count(*) AS n_events "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "window_rank": (
+            "SELECT event_id, user_id, rn FROM ("
+            "SELECT event_id, user_id, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) WHERE rn <= 3"
+        ),
+        "window_lag": (
+            "SELECT event_id, user_id, ROUND(value - prev, 6) AS delta "
+            "FROM (SELECT event_id, user_id, value, lag(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events) WHERE prev IS NOT NULL"
+        ),
+        "rollup_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "ROUND(sum(l_quantity), 3) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "pivot_counts": (
+            "SELECT source, "
+            + ", ".join(
+                "CAST(sum(CASE WHEN lang = '{0}' THEN 1 ELSE 0 END)"
+                " AS BIGINT) AS n_{0}".format(lang)
+                for lang in ["de", "en", "es", "fr", "zh"]
+            )
+            + " FROM documents GROUP BY source"
+        ),
+        "stats_moments": (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "ROUND(stddev_samp(l_extendedprice), 3) AS std_price, "
+            "ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "grouped_quantiles": (
+            "SELECT o_orderpriority, q, value FROM ("
+            "SELECT o_orderpriority, CAST(0.5 AS DOUBLE) AS q, "
+            "quantile_disc(o_totalprice, 0.5) AS value FROM orders "
+            "GROUP BY o_orderpriority "
+            "UNION ALL "
+            "SELECT o_orderpriority, CAST(0.9 AS DOUBLE) AS q, "
+            "quantile_disc(o_totalprice, 0.9) AS value FROM orders "
+            "GROUP BY o_orderpriority)"
+        ),
+        "left_outer_join": (
+            "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders, "
+            "ROUND(COALESCE(sum(o_totalprice), 0), 3) AS total "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey"
         ),
         # flagship: oracle reads the ORIGINAL parquet; the Ray side
         # answers from decoded shards -> equality proves the roundtrip

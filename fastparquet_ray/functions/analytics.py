@@ -1,0 +1,478 @@
+"""Windowed-analytics and OLAP operators Ray Data lacks natively,
+composed from map_batches partials + small groupbys per the documented
+composition rules (ray_guide: pre-aggregate before the exchange; keep
+the driver to scalar/merge work only).
+
+Partitioning assumptions (documented per the build brief):
+- window_rank / window_lag: co-location by user_id — ONE hash exchange
+  via groupby(user_id); window_rank additionally prunes each block to
+  its per-user top-k BEFORE the exchange, so the shuffle carries at
+  most k rows per (block, user) regardless of corpus size.
+- rollup / pivot / moments: grouping keys are low-cardinality, so the
+  exchange after the per-batch partials is a few-hundred-row groupby;
+  all subtotal/pivot/variance math happens on the tiny merged result.
+- grouped_quantiles: zero all-to-all — three streaming column scans
+  (count/min-max, per-group histogram, candidate-bucket uniques), the
+  rank-partition selection of sketches.quantiles generalized to a
+  group key. Driver state is O(groups x buckets), never rows.
+- left_outer_join: Ray Data's native hash-shuffle join partitions both
+  sides by key hash; preserved-but-unmatched left rows surface as NULL
+  right columns and aggregate to zero counts downstream.
+
+Reference analogs: the reference engine exposes filtering + groupby
+through pandas after materialization (fastparquet api.py:356-475
+to_pandas surface); these operators are the distributed counterparts a
+100 TB corpus needs, with the same user-visible semantics DuckDB/SQL
+defines (each has an oracle_sql entry).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+# --------------------------------------------------------------------
+# window functions: row_number / lag over a partition key
+# --------------------------------------------------------------------
+
+def window_rank(sf_dir: str, k: int = 3):
+    """row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+    event_id DESC), keeping each user's k most recent events.
+
+    Scale shape: a per-batch partial first prunes every block to its
+    own per-user top-k (a block can contribute at most k rows per user
+    to the exchange), then ONE groupby(user_id) co-locates the
+    survivors and a final per-group sort assigns ranks. The shuffle
+    payload is bounded by k x users x blocks-touching-that-user, not by
+    the event count — the select_k-before-exchange pattern of
+    sketches.token_topk applied to a window function."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        return df.groupby("user_id", sort=False).head(k)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["ts", "event_id"], ascending=[False, False], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").to_numpy(),
+                "user_id": g["user_id"].astype("int64").to_numpy(),
+                "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(prune, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def window_lag(sf_dir: str):
+    """lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id):
+    per-user delta between consecutive event values (rows with no
+    predecessor are dropped, matching SQL's NULL-lag filter).
+
+    Unlike window_rank there is no lossless pre-prune (every row needs
+    its in-order predecessor), so this is the canonical ONE-exchange
+    window: groupby(user_id) co-locates, per-group sort + vectorized
+    diff computes the lag. Skewed users would be salted by coarse time
+    range with one overlap row per salt boundary (same note as
+    windows.asof_join)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "delta": pd.Series([], dtype="float64"),
+                }
+            )
+        delta = v[1:] - v[:-1]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[1:].astype("int64"),
+                "user_id": g["user_id"].to_numpy()[1:].astype("int64"),
+                "delta": np.round(delta, 6),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# --------------------------------------------------------------------
+# OLAP: rollup / pivot / statistical moments
+# --------------------------------------------------------------------
+
+def rollup_agg(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): count + sum(qty)
+    at three granularities (flag+status, flag, grand total).
+
+    Only the FINEST level touches data (per-batch pandas partials ->
+    one tiny groupby); the coarser subtotal levels are derived from
+    the finest result on the driver — count/sum are algebraic, so the
+    rollup costs one exchange of ~|flag x status| rows total."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+        )
+        return g
+
+    fine = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_qty", alias_name="sum_qty"))
+        .to_pandas()  # |flags| x |statuses| rows — scalar-sized
+    )
+    lvl1 = fine.groupby("l_returnflag", as_index=False).agg(
+        n=("n", "sum"), sum_qty=("sum_qty", "sum")
+    )
+    lvl1["l_linestatus"] = None
+    total = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "n": [fine["n"].sum()],
+            "sum_qty": [fine["sum_qty"].sum()],
+        }
+    )
+    out = pd.concat([fine, lvl1, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "n", "sum_qty"]
+    ]
+    out["n"] = out["n"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].astype("float64").round(3)
+    return out
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def pivot_counts(sf_dir: str):
+    """Pivot: document count per source, one column per language
+    (wide layout from a long groupby). Per-batch (source, lang) count
+    partials -> one tiny groupby-sum -> driver-side pivot of the
+    |sources| x |langs| result. The pivoted column set is the fixed
+    language vocabulary, so schema is deterministic."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    long = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    wide = long.pivot_table(
+        index="source", columns="lang", values="n", fill_value=0
+    ).reset_index()
+    for lang in _PIVOT_LANGS:
+        if lang not in wide.columns:
+            wide[lang] = 0
+    out = pd.DataFrame({"source": wide["source"]})
+    for lang in _PIVOT_LANGS:
+        out[f"n_{lang}"] = wide[lang].astype("int64")
+    return out
+
+
+def stats_moments(sf_dir: str):
+    """Per-group sample stddev and Pearson correlation via algebraic
+    sufficient statistics: per-batch partials (n, Σx, Σx², Σy, Σy²,
+    Σxy) per l_returnflag -> groupby-sum of six scalars per group ->
+    closed-form finish on the driver. ONE exchange of |groups| x
+    |blocks| six-number rows — the textbook one-pass shape for
+    variance/correlation at any scale (float64 is safe here: Σx² ~
+    3e14 at sf0.01 carries ~8 guard digits past the rounding)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_extendedprice"].to_numpy()
+        y = df["l_quantity"].to_numpy()
+        g = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "n": 1.0,
+                "sx": x,
+                "sxx": x * x,
+                "sy": y,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(
+            *[
+                Sum(c, alias_name=c)
+                for c in ["n", "sx", "sxx", "sy", "syy", "sxy"]
+            ]
+        )
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy()
+    vx = (agg["sxx"] - agg["sx"] ** 2 / n) / (n - 1)
+    vy = (agg["syy"] - agg["sy"] ** 2 / n) / (n - 1)
+    cov = (agg["sxy"] - agg["sx"] * agg["sy"] / n) / (n - 1)
+    return pd.DataFrame(
+        {
+            "l_returnflag": agg["l_returnflag"],
+            "n": n.astype(np.int64),
+            "std_price": np.round(np.sqrt(vx), 3),
+            "corr_pq": np.round(cov / np.sqrt(vx * vy), 6),
+        }
+    )
+
+
+# --------------------------------------------------------------------
+# grouped exact quantiles (rank-partition selection per group)
+# --------------------------------------------------------------------
+
+def grouped_quantiles(sf_dir: str, qs=(0.5, 0.9)):
+    """EXACT per-group quantiles (quantile_disc semantics) of
+    orders.o_totalprice grouped by o_orderpriority, WITHOUT a sort and
+    WITHOUT materializing any group: sketches.quantiles' histogram
+    rank-partition selection, keyed by a low-cardinality group column.
+
+      pass 1: per-(block, group) count/min/max partials
+      pass 2: per-(block, group) 2048-bucket histograms over each
+              group's own range
+      pass 3: per-(block, group) (value, count) uniques restricted to
+              that group's candidate buckets
+
+    Every pass is a streaming scan emitting O(groups x buckets) rows
+    per block; the driver merges per-group scalars only. Groups never
+    co-locate, so a 20 TB group costs the same driver memory as a 2 MB
+    one."""
+    import ray
+
+    gcol, vcol = "o_orderpriority", "o_totalprice"
+    ds = _read(sf_dir, "orders", [gcol, vcol])
+    qs = list(qs)
+
+    def p1(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(gcol, as_index=False)[vcol].agg(["count", "min", "max"])
+        return g.rename(columns={"count": "n", "min": "mn", "max": "mx"})
+
+    stats = (
+        ds.map_batches(p1, batch_format="pandas")
+        .to_pandas()
+        .groupby(gcol)
+        .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+    )
+    groups = list(stats.index)
+    B = 2048
+    # per-group binning params, broadcast once to the histogram actors
+    params = {
+        g: (float(stats.loc[g, "mn"]), float(stats.loc[g, "mx"]))
+        for g in groups
+    }
+    ranks = {
+        g: [max(1, int(np.ceil(q * int(stats.loc[g, "n"])))) for q in qs]
+        for g in groups
+    }
+
+    def bucket_of(v: np.ndarray, mn: float, mx: float) -> np.ndarray:
+        if mx == mn:
+            return np.zeros(v.shape, dtype=np.int64)
+        idx = np.floor((v - mn) * (B / (mx - mn))).astype(np.int64)
+        return np.clip(idx, 0, B - 1)
+
+    params_ref = ray.put(params)
+
+    class Hist:
+        def __init__(self, ref):
+            self.params = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for g, sub in df.groupby(gcol, sort=False):
+                mn, mx = self.params[g]
+                v = sub[vcol].to_numpy()
+                v = v[~np.isnan(v)]
+                cnt = np.bincount(bucket_of(v, mn, mx), minlength=B)
+                nz = np.nonzero(cnt)[0]
+                outs.append(
+                    pd.DataFrame(
+                        {gcol: g, "bucket": nz, "cnt": cnt[nz].astype(np.int64)}
+                    )
+                )
+            if not outs:
+                return pd.DataFrame(
+                    {
+                        gcol: pd.Series([], dtype="object"),
+                        "bucket": pd.Series([], dtype="int64"),
+                        "cnt": pd.Series([], dtype="int64"),
+                    }
+                )
+            return pd.concat(outs, ignore_index=True)
+
+    p2 = ds.map_batches(
+        Hist,
+        fn_constructor_kwargs={"ref": params_ref},
+        batch_format="pandas",
+        concurrency=(1, 2),
+    ).to_pandas()
+
+    cums, cands = {}, {}
+    for g in groups:
+        hist = np.zeros(B, dtype=np.int64)
+        sub = p2[p2[gcol] == g]
+        np.add.at(hist, sub["bucket"].to_numpy(), sub["cnt"].to_numpy())
+        cum = np.concatenate([[0], np.cumsum(hist)])
+        cums[g] = cum
+        cands[g] = sorted(
+            {int(np.searchsorted(cum[1:], r)) for r in ranks[g]}
+        )
+
+    cand_ref = ray.put({g: np.asarray(c, dtype=np.int64) for g, c in cands.items()})
+
+    class CandValues:
+        def __init__(self, pref, cref):
+            self.params = ray.get(pref)
+            self.cands = ray.get(cref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for g, sub in df.groupby(gcol, sort=False):
+                mn, mx = self.params[g]
+                v = sub[vcol].to_numpy()
+                v = v[~np.isnan(v)]
+                b = bucket_of(v, mn, mx)
+                keep = np.isin(b, self.cands[g])
+                u, c = np.unique(v[keep], return_counts=True)
+                outs.append(
+                    pd.DataFrame({gcol: g, "value": u, "cnt": c.astype(np.int64)})
+                )
+            if not outs:
+                return pd.DataFrame(
+                    {
+                        gcol: pd.Series([], dtype="object"),
+                        "value": pd.Series([], dtype="float64"),
+                        "cnt": pd.Series([], dtype="int64"),
+                    }
+                )
+            return pd.concat(outs, ignore_index=True)
+
+    p3 = (
+        ds.map_batches(
+            CandValues,
+            fn_constructor_kwargs={"pref": params_ref, "cref": cand_ref},
+            batch_format="pandas",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .groupby([gcol, "value"], sort=True)["cnt"]
+        .sum()
+        .reset_index()
+    )
+
+    rows = []
+    for g in groups:
+        sub = p3[p3[gcol] == g]
+        vals = sub["value"].to_numpy()
+        cnts = sub["cnt"].to_numpy()
+        mn, mx = params[g]
+        cum = cums[g]
+        for q, r in zip(qs, ranks[g]):
+            b = int(np.searchsorted(cum[1:], r))
+            in_bucket = bucket_of(vals, mn, mx) == b
+            bvals = vals[in_bucket]
+            bcum = np.cumsum(cnts[in_bucket])
+            k = int(np.searchsorted(bcum, r - cum[b]))
+            rows.append((g, float(q), float(bvals[k])))
+    return pd.DataFrame(rows, columns=[gcol, "q", "value"])
+
+
+# --------------------------------------------------------------------
+# left outer join (native hash-shuffle, unmatched rows preserved)
+# --------------------------------------------------------------------
+
+def left_outer_join(sf_dir: str):
+    """Per-customer order count + revenue INCLUDING zero-order
+    customers: customer LEFT OUTER JOIN orders via Ray Data's native
+    hash-shuffle join (both sides partitioned by key hash across
+    aggregator actors; unmatched left rows surface with NULL right
+    columns), then per-batch count/sum partials -> groupby-sum.
+    count() over the NULL o_orderkey of an unmatched customer is 0 and
+    its revenue coalesces to 0, matching SQL LEFT JOIN + GROUP BY."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    nparts = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    j = cust.join(
+        orders,
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_custkey", as_index=False).agg(
+            n_orders=("o_orderkey", "count"),
+            total=("o_totalprice", "sum"),
+        )
+        g["total"] = g["total"].fillna(0.0)
+        return g
+
+    agg = (
+        j.map_batches(partial, batch_format="pandas")
+        .groupby("c_custkey")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total", alias_name="total_raw"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].astype("int64"),
+                "n_orders": df["n_orders"].astype("int64"),
+                "total": df["total_raw"].astype("float64").round(3),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

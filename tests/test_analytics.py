@@ -1,0 +1,231 @@
+"""Windowed analytics / OLAP operators vs DuckDB + pandas oracles on
+adversarial synthetic tables: ts ties, single-event users, constant
+groups (mn == mx histogram degenerate), zero-order customers, and
+multi-block inputs (small row groups force the per-block pre-prune and
+per-block partials to actually merge)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fastparquet_ray.functions.analytics import (
+    grouped_quantiles,
+    left_outer_join,
+    pivot_counts,
+    rollup_agg,
+    stats_moments,
+    window_lag,
+    window_rank,
+)
+
+
+@pytest.fixture(scope="module")
+def sf_dir(tmp_path_factory):
+    """Synthetic tables with the testdata schemas, written with tiny
+    row groups so every operator sees multiple Ray blocks."""
+    d = tmp_path_factory.mktemp("analytics_sf")
+    rng = np.random.default_rng(11)
+
+    n_ev = 3000
+    ts_base = pd.Timestamp("2024-03-01")
+    # deliberate ts ties: quantized to 90-second grid across 40 users
+    ts = ts_base + pd.to_timedelta(
+        rng.integers(0, 2000, n_ev) * 90, unit="s"
+    )
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n_ev, dtype=np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": np.concatenate(
+                [
+                    rng.integers(0, 40, n_ev - 3),
+                    np.array([900, 901, 902]),  # single-event users
+                ]
+            ).astype(np.int64),
+            "event_type": rng.choice(["view", "click"], n_ev),
+            "value": np.round(rng.normal(50, 20, n_ev), 4),
+            "props": ["{}"] * n_ev,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(events), d / "events.parquet", row_group_size=256
+    )
+
+    n_li = 5000
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": rng.integers(0, 1000, n_li).astype(np.int64),
+            "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(900, 90000, n_li), 2),
+            "l_returnflag": rng.choice(["A", "N", "R"], n_li),
+            "l_linestatus": rng.choice(["F", "O"], n_li),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(lineitem), d / "lineitem.parquet",
+        row_group_size=512,
+    )
+
+    n_o = 2000
+    price = np.round(rng.lognormal(10, 1, n_o), 2)
+    prio = rng.choice(
+        ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], n_o
+    )
+    # one group constant-valued: the mn == mx degenerate histogram
+    price[prio == "5-LOW"] = 1234.56
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n_o, dtype=np.int64),
+            # customers 150+ get no orders
+            "o_custkey": rng.integers(0, 150, n_o).astype(np.int64),
+            "o_totalprice": price,
+            "o_orderpriority": prio,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(orders), d / "orders.parquet", row_group_size=256
+    )
+
+    customer = pd.DataFrame(
+        {"c_custkey": np.arange(0, 180, dtype=np.int64)}  # 30 orderless
+    )
+    pq.write_table(pa.Table.from_pandas(customer), d / "customer.parquet")
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(600, dtype=np.int64),
+            "source": rng.choice(["web", "book", "code"], 600),
+            # 'zh' never occurs: pivot must still emit the n_zh column
+            "lang": rng.choice(["de", "en", "es", "fr"], 600),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs), d / "documents.parquet", row_group_size=128
+    )
+    return str(d)
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in ["events", "lineitem", "orders", "customer", "documents"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_window_rank(ray_session, sf_dir):
+    got = _norm(window_rank(sf_dir).to_pandas())
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT event_id, user_id, rn FROM (SELECT event_id, user_id, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, "
+            "event_id DESC) AS rn FROM events) WHERE rn <= 3"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # single-event users appear exactly once with rn=1
+    for uid in (900, 901, 902):
+        assert got[got["user_id"] == uid]["rn"].tolist() == [1]
+
+
+def test_window_lag(ray_session, sf_dir):
+    got = _norm(window_lag(sf_dir).to_pandas())
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT event_id, user_id, ROUND(value - prev, 6) AS delta "
+            "FROM (SELECT event_id, user_id, value, lag(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events) WHERE prev IS NOT NULL"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-6)
+    assert not got["user_id"].isin([900, 901, 902]).any()
+
+
+def test_rollup_agg(ray_session, sf_dir):
+    got = _norm(rollup_agg(sf_dir))
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, "
+            "ROUND(sum(l_quantity), 3) AS sum_qty FROM lineitem "
+            "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ).df()
+    )
+    assert len(got) == 3 * 2 + 3 + 1
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-6)
+
+
+def test_pivot_counts(ray_session, sf_dir):
+    got = _norm(pivot_counts(sf_dir))
+    assert "n_zh" in got.columns and (got["n_zh"] == 0).all()
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT source, "
+            + ", ".join(
+                "CAST(sum(CASE WHEN lang = '{0}' THEN 1 ELSE 0 END) AS BIGINT)"
+                " AS n_{0}".format(lang)
+                for lang in ["de", "en", "es", "fr", "zh"]
+            )
+            + " FROM documents GROUP BY source"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_stats_moments(ray_session, sf_dir):
+    got = _norm(stats_moments(sf_dir))
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "ROUND(stddev_samp(l_extendedprice), 3) AS std_price, "
+            "ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq "
+            "FROM lineitem GROUP BY l_returnflag"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-5)
+
+
+def test_grouped_quantiles(ray_session, sf_dir):
+    got = _norm(grouped_quantiles(sf_dir))
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT o_orderpriority, q, value FROM ("
+            "SELECT o_orderpriority, CAST(0.5 AS DOUBLE) AS q, "
+            "quantile_disc(o_totalprice, 0.5) AS value FROM orders "
+            "GROUP BY o_orderpriority UNION ALL "
+            "SELECT o_orderpriority, CAST(0.9 AS DOUBLE) AS q, "
+            "quantile_disc(o_totalprice, 0.9) AS value FROM orders "
+            "GROUP BY o_orderpriority)"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the constant group resolved through the mn == mx degenerate path
+    low = got[got["o_orderpriority"] == "5-LOW"]
+    assert (low["value"] == 1234.56).all()
+
+
+def test_left_outer_join(ray_session, sf_dir):
+    got = _norm(left_outer_join(sf_dir).to_pandas())
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders, "
+            "ROUND(COALESCE(sum(o_totalprice), 0), 3) AS total "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey"
+        ).df()
+    )
+    assert len(got) == 180  # every customer kept
+    orderless = got[got["c_custkey"] >= 150]
+    assert (orderless["n_orders"] == 0).all()
+    assert (orderless["total"] == 0.0).all()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-6)
