@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rank": analytics.window_rank,
         "window_lag": analytics.window_lag,
         "rollup_agg": analytics.rollup_agg,
+        "cube_agg": analytics.cube_agg,
         "pivot_counts": analytics.pivot_counts,
         "stats_moments": analytics.stats_moments,
         "grouped_quantiles": analytics.grouped_quantiles,
@@ -92,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_roundtrip": flagship.events_roundtrip,
         "hive_partition_counts": flagship.hive_partition_counts,
         "token_topk": sketches.token_topk,
+        "token_docfreq": sketches.token_docfreq,
         "distinct_count_approx": sketches.distinct_count_approx,
         "quantiles": sketches.quantiles,
         "codec_plan": flagship.codec_plan_report,
@@ -277,6 +279,12 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sum(l_quantity), 3) AS sum_qty "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
+        "cube_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "ROUND(sum(l_quantity), 3) AS sum_qty "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
         "pivot_counts": (
             "SELECT source, "
             + ", ".join(
@@ -341,6 +349,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(tok AS BIGINT) AS tok, count(*) AS n FROM ("
             f"SELECT unnest(tokens) AS tok FROM read_parquet('{_TOKENS_GLOB}')"
             ") GROUP BY tok ORDER BY n DESC, tok LIMIT 20"
+        ),
+        "token_docfreq": (
+            "SELECT CAST(tok AS BIGINT) AS tok, count(*) AS df FROM ("
+            "SELECT DISTINCT doc_id, unnest(tokens) AS tok "
+            f"FROM read_parquet('{_TOKENS_GLOB}')"
+            ") GROUP BY tok ORDER BY df DESC, tok LIMIT 20"
         ),
         "quantiles": (
             "SELECT q, value FROM ("

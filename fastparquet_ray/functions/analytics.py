@@ -127,14 +127,10 @@ def window_lag(sf_dir: str):
 # OLAP: rollup / pivot / statistical moments
 # --------------------------------------------------------------------
 
-def rollup_agg(sf_dir: str):
-    """GROUP BY ROLLUP(l_returnflag, l_linestatus): count + sum(qty)
-    at three granularities (flag+status, flag, grand total).
-
-    Only the FINEST level touches data (per-batch pandas partials ->
-    one tiny groupby); the coarser subtotal levels are derived from
-    the finest result on the driver — count/sum are algebraic, so the
-    rollup costs one exchange of ~|flag x status| rows total."""
+def _flag_status_fine(sf_dir: str) -> pd.DataFrame:
+    """Finest-granularity (l_returnflag, l_linestatus) count + sum(qty)
+    aggregate: per-batch pandas partials -> one tiny groupby. The ONLY
+    level that touches data; rollup/cube subtotals derive from it."""
     from ray.data.aggregate import Sum
 
     ds = _read(
@@ -147,30 +143,71 @@ def rollup_agg(sf_dir: str):
         )
         return g
 
-    fine = (
+    return (
         ds.map_batches(partial, batch_format="pandas")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("n", alias_name="n"), Sum("sum_qty", alias_name="sum_qty"))
         .to_pandas()  # |flags| x |statuses| rows — scalar-sized
     )
-    lvl1 = fine.groupby("l_returnflag", as_index=False).agg(
-        n=("n", "sum"), sum_qty=("sum_qty", "sum")
-    )
-    lvl1["l_linestatus"] = None
-    total = pd.DataFrame(
-        {
-            "l_returnflag": [None],
-            "l_linestatus": [None],
-            "n": [fine["n"].sum()],
-            "sum_qty": [fine["sum_qty"].sum()],
-        }
-    )
-    out = pd.concat([fine, lvl1, total], ignore_index=True)[
-        ["l_returnflag", "l_linestatus", "n", "sum_qty"]
-    ]
+
+
+def _subtotal(fine: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    """One CUBE/ROLLUP level from the finest result (algebraic sums);
+    grouped-out key columns become SQL-style NULLs."""
+    all_keys = ["l_returnflag", "l_linestatus"]
+    if keys:
+        lvl = fine.groupby(keys, as_index=False).agg(
+            n=("n", "sum"), sum_qty=("sum_qty", "sum")
+        )
+    else:
+        lvl = pd.DataFrame(
+            {"n": [fine["n"].sum()], "sum_qty": [fine["sum_qty"].sum()]}
+        )
+    for k in all_keys:
+        if k not in keys:
+            lvl[k] = None
+    return lvl[all_keys + ["n", "sum_qty"]]
+
+
+def _finish_levels(levels: list[pd.DataFrame]) -> pd.DataFrame:
+    out = pd.concat(levels, ignore_index=True)
     out["n"] = out["n"].astype("int64")
     out["sum_qty"] = out["sum_qty"].astype("float64").round(3)
     return out
+
+
+def rollup_agg(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): count + sum(qty)
+    at three granularities (flag+status, flag, grand total).
+
+    Only the FINEST level touches data (per-batch pandas partials ->
+    one tiny groupby); the coarser subtotal levels are derived from
+    the finest result on the driver — count/sum are algebraic, so the
+    rollup costs one exchange of ~|flag x status| rows total."""
+    fine = _flag_status_fine(sf_dir)
+    return _finish_levels(
+        [
+            _subtotal(fine, ["l_returnflag", "l_linestatus"]),
+            _subtotal(fine, ["l_returnflag"]),
+            _subtotal(fine, []),
+        ]
+    )
+
+
+def cube_agg(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping
+    sets, derived from the same single-exchange finest aggregate as
+    rollup_agg (the extra status-only level is another driver-side
+    fold of the tiny result)."""
+    fine = _flag_status_fine(sf_dir)
+    return _finish_levels(
+        [
+            _subtotal(fine, ["l_returnflag", "l_linestatus"]),
+            _subtotal(fine, ["l_returnflag"]),
+            _subtotal(fine, ["l_linestatus"]),
+            _subtotal(fine, []),
+        ]
+    )
 
 
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]

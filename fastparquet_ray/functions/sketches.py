@@ -67,6 +67,66 @@ def token_topk(sf_dir: str, k: int = 20):
     return out.reset_index(drop=True)
 
 
+def token_docfreq(sf_dir: str, k: int = 20):
+    """Top-k token ids by DOCUMENT frequency (number of documents
+    containing the token at least once) — the inverted-index posting
+    sizes a retrieval pipeline needs, answered from decoded shards.
+
+    Per batch: each row is one document; (row << 32 | token) keys are
+    np.unique'd to collapse within-doc repeats, then a bincount yields
+    the block's per-token df partial. One groupby-sum over (token, df)
+    rows (vocabulary-sized, not corpus-sized) + the select_k merge of
+    token_topk — no all-to-all sort, shuffle bounded by
+    blocks x distinct-tokens-per-block."""
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+
+    _, enc = ensure_encoded(sf_dir)
+    ds = decode_dataset(enc, columns=["tokens"])
+
+    empty = pa.table(
+        {"tok": pa.array([], pa.int64()), "df": pa.array([], pa.int64())}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if flat.size == 0:
+            return empty
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        row = np.repeat(
+            np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs)
+        )
+        # token ids are vocabulary-bounded (< 2^32): pack (row, tok)
+        # into one int64 key so the pair-dedup is a single np.unique
+        uk = np.unique((row << np.int64(32)) | flat)
+        tok = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
+        cnt = np.bincount(tok)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"tok": pa.array(nz, pa.int64()),
+             "df": pa.array(cnt[nz], pa.int64())}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "tok"
+    ).aggregate(Sum("df", alias_name="df"))
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.select_k_unstable(
+            t, k, [("df", "descending"), ("tok", "ascending")]
+        )
+        return t.take(idx)
+
+    parts = agg.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["df", "tok"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
 _HLL_P = 12  # 4096 registers; relative error ~ 1.04/sqrt(m) ~ 1.6%
 
 

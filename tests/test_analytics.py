@@ -12,6 +12,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from fastparquet_ray.functions.analytics import (
+    cube_agg,
     grouped_quantiles,
     left_outer_join,
     pivot_counts,
@@ -163,6 +164,40 @@ def test_rollup_agg(ray_session, sf_dir):
     )
     assert len(got) == 3 * 2 + 3 + 1
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-6)
+
+
+def test_cube_agg(ray_session, sf_dir):
+    got = _norm(cube_agg(sf_dir))
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, "
+            "ROUND(sum(l_quantity), 3) AS sum_qty FROM lineitem "
+            "GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ).df()
+    )
+    assert len(got) == 3 * 2 + 3 + 2 + 1
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-6)
+
+
+def test_token_docfreq_vs_duckdb(ray_session):
+    """Document frequency over the flagship tokens corpus (sf0.001):
+    Ray's per-row unique + bincount partials vs DuckDB's
+    DISTINCT (doc, token) unnest count."""
+    from fastparquet_ray.functions.sketches import token_docfreq
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    sf_dir = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf_dir)
+    got = token_docfreq(sf_dir, k=15)
+    glob = paths[0].rsplit("/", 1)[0] + "/*.parquet"
+    exp = duckdb.connect().execute(
+        "SELECT CAST(tok AS BIGINT) AS tok, count(*) AS df FROM ("
+        "SELECT DISTINCT doc_id, unnest(tokens) AS tok "
+        f"FROM read_parquet('{glob}')) "
+        "GROUP BY tok ORDER BY df DESC, tok LIMIT 15"
+    ).df()
+    assert got["tok"].tolist() == exp["tok"].tolist()
+    assert got["df"].tolist() == exp["df"].tolist()
 
 
 def test_pivot_counts(ray_session, sf_dir):
