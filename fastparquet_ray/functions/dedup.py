@@ -306,35 +306,141 @@ def _pairs_in_buckets(ds, key_col: str, star_cap: int | None = None):
         concurrency=(1, 2),
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype="int64"),
-                 "id_b": pd.Series([], dtype="int64")}
-            )
-        if star_cap is not None and len(ids) > star_cap:
-            pairs = [(ids[0], b) for b in ids[1:]]
-        else:
-            pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"], dtype="int64")
+    def _run_pairs(run_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        run = np.unique(run_ids)
+        m = run.size
+        if m < 2:
+            e = np.empty(0, np.int64)
+            return e, e
+        if star_cap is not None and m > star_cap:
+            return np.full(m - 1, run[0], dtype=np.int64), run[1:]
+        iu = np.triu_indices(m, 1)
+        return run[iu[0]], run[iu[1]]
 
-    # near-distinct across buckets: sort so duplicate pairs are
-    # contiguous, then per-block drop_duplicates. A pair can survive
-    # once per block it straddles (O(#blocks) residue, dropped by the
-    # caller's final driver-side drop_duplicates) — this avoids a
-    # per-group Aggregate at pair cardinality (see _multi_bucket_keys).
-    # materialize(): the verify tail consumes the candidate set twice
-    # (id-unique pass + pair verify); without it the whole bucket
-    # machinery above would lazily re-execute per consumption. The
-    # materialized set is candidate-bounded, object-store spillable.
-    return (
-        bucket_rows.groupby(key_col)
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .sort(["id_a", "id_b"])
-        .map_batches(
-            lambda df: df.drop_duplicates(), batch_format="pandas"
+    # Pair expansion WITHOUT a per-group apply: after the range sort a
+    # bucket's rows are contiguous, so each block expands its INTERIOR
+    # runs (keys that are neither the block's first nor last key — such
+    # a key lives entirely in this block) with vectorized triu combos,
+    # and routes first/last-key rows to a driver fix-up bounded by
+    # 2 keys x bucket-size per block. A key interior anywhere is never
+    # a block edge anywhere (equal keys are globally contiguous), so
+    # each bucket is expanded exactly once — replacing the former
+    # groupby().map_groups whose ~0.7 ms/group apply dominated the
+    # pipeline at 10k+ bucket cardinality (measured 12 s -> <1 s at
+    # sf0.1), and removing the cross-block duplicate residue with it.
+    def block_pair_expand(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "bkey": pa.array([], pa.int64()),
+             "bid": pa.array([], pa.int64()),
+             "is_bnd": pa.array([], pa.int8())}
         )
+        if keys.size == 0:
+            return empty
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], keys[1:] != keys[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [keys.size]])
+        edge = (keys[starts] == keys[0]) | (keys[starts] == keys[-1])
+        pa_l, pb_l = [], []
+        for s, e in zip(starts[~edge], ends[~edge]):
+            a, b = _run_pairs(ids[s:e])
+            if a.size:
+                pa_l.append(a)
+                pb_l.append(b)
+        bmask = np.zeros(keys.size, dtype=bool)
+        for s, e in zip(starts[edge], ends[edge]):
+            bmask[s:e] = True
+        id_a = np.concatenate(pa_l) if pa_l else np.empty(0, np.int64)
+        id_b = np.concatenate(pb_l) if pb_l else np.empty(0, np.int64)
+        nb = int(bmask.sum())
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    np.concatenate([id_a, np.full(nb, -1, np.int64)]),
+                    pa.int64(),
+                ),
+                "id_b": pa.array(
+                    np.concatenate([id_b, np.full(nb, -1, np.int64)]),
+                    pa.int64(),
+                ),
+                "bkey": pa.array(
+                    np.concatenate(
+                        [np.full(id_a.size, -1, np.int64), keys[bmask]]
+                    ),
+                    pa.int64(),
+                ),
+                "bid": pa.array(
+                    np.concatenate(
+                        [np.full(id_a.size, -1, np.int64), ids[bmask]]
+                    ),
+                    pa.int64(),
+                ),
+                # explicit marker: bucket keys span the full int64
+                # range (hash views), so no key value can be a sentinel
+                "is_bnd": pa.array(
+                    np.concatenate(
+                        [np.zeros(id_a.size, np.int8), np.ones(nb, np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+            }
+        )
+
+    # materialize(): consumed twice (pair split + boundary gather) and
+    # again twice by the verify tail; candidate-bounded, spillable.
+    expanded = (
+        bucket_rows.sort(key_col)
+        .map_batches(block_pair_expand, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # boundary fix-up: rows of block-edge keys, bounded by
+    # 2 keys/block x bucket size — scalar-sized next to the pair set
+    bnd = (
+        expanded.filter(expr="is_bnd == 1")
+        .select_columns(["bkey", "bid"])
+        .to_pandas()
+    )
+    fix_a, fix_b = [], []
+    if not bnd.empty:
+        bk = bnd["bkey"].to_numpy()
+        bi = bnd["bid"].to_numpy()
+        o = np.lexsort((bi, bk))
+        bk, bi = bk[o], bi[o]
+        st = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+        en = np.concatenate([st[1:], [bk.size]])
+        for s, e in zip(st, en):
+            a, b = _run_pairs(bi[s:e])
+            if a.size:
+                fix_a.append(a)
+                fix_b.append(b)
+    import ray.data
+
+    pairs_ds = expanded.filter(expr="is_bnd == 0").select_columns(
+        ["id_a", "id_b"]
+    )
+    if fix_a:
+        fix = pa.table(
+            {
+                "id_a": pa.array(np.concatenate(fix_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(fix_b), pa.int64()),
+            }
+        )
+        pairs_ds = pairs_ds.union(ray.data.from_arrow(fix))
+
+    # near-distinct across buckets (a pair sharing 2+ bucket keys):
+    # sort so duplicates are contiguous, per-block drop_duplicates;
+    # block-straddle residue is dropped by the caller's final
+    # driver-side drop_duplicates.
+    return (
+        pairs_ds.sort(["id_a", "id_b"])
+        .map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
         .materialize()
     )
 
@@ -483,9 +589,16 @@ def _verify_candidate_pairs(
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             jac = []
+            smap = self.smap
             for a, b in zip(df["id_a"], df["id_b"]):
-                sa, sb = self.smap[int(a)], self.smap[int(b)]
-                inter = np.intersect1d(sa, sb).size
+                sa, sb = smap[int(a)], smap[int(b)]
+                if sb.size < sa.size:
+                    sa, sb = sb, sa
+                # both sides are np.unique-sorted: one searchsorted
+                # beats intersect1d's concat+sort per pair
+                idx = np.searchsorted(sb, sa)
+                idx[idx == sb.size] = 0
+                inter = int(np.count_nonzero(sb[idx] == sa))
                 union = sa.size + sb.size - inter
                 jac.append(inter / union if union else 1.0)
             return df.assign(jaccard=jac)
@@ -495,7 +608,8 @@ def _verify_candidate_pairs(
             VerifyJaccard,
             fn_constructor_kwargs={"ref": smap_ref},
             batch_format="pandas",
-            concurrency=(1, 2),
+            batch_size=16384,
+            concurrency=(1, 8),
         )
         .filter(expr=f"jaccard >= {jaccard_threshold}")
         .to_pandas()  # OUTPUT-bounded: verified near-dup pairs only
@@ -513,7 +627,7 @@ def ngram_jaccard_pairs(
     sf_dir: str,
     k: int = 3,
     jaccard_threshold: float = 0.5,
-    df_table_size: int = 4096,
+    df_table_size: int = 32768,
 ):
     """EXACT n-gram (word k-shingle) Jaccard similarity join via
     prefix filtering — the AllPairs/PPJoin family (Bayardo et al.
