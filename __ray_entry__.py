@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hive_partition_counts": flagship.hive_partition_counts,
         "token_topk": sketches.token_topk,
         "token_docfreq": sketches.token_docfreq,
+        "tfidf_topk": sketches.tfidf_topk,
         "distinct_count_approx": sketches.distinct_count_approx,
         "quantiles": sketches.quantiles,
         "codec_plan": flagship.codec_plan_report,
@@ -355,6 +356,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT doc_id, unnest(tokens) AS tok "
             f"FROM read_parquet('{_TOKENS_GLOB}')"
             ") GROUP BY tok ORDER BY df DESC, tok LIMIT 20"
+        ),
+        "tfidf_topk": (
+            "WITH nn AS (SELECT count(*) AS nd FROM "
+            f"read_parquet('{_TOKENS_GLOB}')), "
+            "tf AS (SELECT source, tok, count(*) AS tf FROM ("
+            "SELECT source, unnest(tokens) AS tok FROM "
+            f"read_parquet('{_TOKENS_GLOB}')) GROUP BY source, tok), "
+            "dfq AS (SELECT tok, count(*) AS df FROM ("
+            "SELECT DISTINCT doc_id, unnest(tokens) AS tok FROM "
+            f"read_parquet('{_TOKENS_GLOB}')) GROUP BY tok), "
+            "s AS (SELECT tf.source, CAST(tf.tok AS BIGINT) AS tok, "
+            "ROUND(tf.tf * ln((SELECT nd FROM nn) / dfq.df), 6) AS score "
+            "FROM tf JOIN dfq ON tf.tok = dfq.tok), "
+            "r AS (SELECT source, tok, score, CAST(row_number() OVER ("
+            "PARTITION BY source ORDER BY score DESC, tok) AS BIGINT) AS rn "
+            "FROM s) "
+            "SELECT source, tok, score, rn FROM r WHERE rn <= 3"
         ),
         "quantiles": (
             "SELECT q, value FROM ("

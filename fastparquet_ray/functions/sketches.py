@@ -127,6 +127,133 @@ def token_docfreq(sf_dir: str, k: int = 20):
     return out.reset_index(drop=True)
 
 
+def tfidf_topk(sf_dir: str, top: int = 3):
+    """Top-`top` tokens per source by TF-IDF (tf x ln(N/df)) over the
+    decoded token corpus — the term-weighting pass a retrieval /
+    data-curation pipeline runs after token counting.
+
+    Scale shape: two independent streaming scans produce the
+    vocabulary-sized sufficient statistics — per-(source, token) term
+    counts (packed source-code<<32|tok np.unique partials -> one
+    groupby-sum) and per-token document frequency (token_docfreq's
+    partial) — then the df table is BROADCAST (token vocabularies are
+    bounded, ~100k-1M entries; an unbounded key space would use the
+    native hash join instead, see relational.hash_join) and scoring +
+    per-(block, source) top-k run map-side; the driver merges
+    top x sources x blocks rows. Ranking uses the ROUNDED score (6 dp)
+    with token-id tiebreak so the order is reproducible across engines
+    (float log differences live ~10 orders below the rounding)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..api import EncodedDataset
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+
+    _, enc = ensure_encoded(sf_dir)
+    n_docs = EncodedDataset(enc).count()  # metadata-only
+    ds = decode_dataset(enc, columns=["source", "tokens"])
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if flat.size == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "tok": pa.array([], pa.int64()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        src = t.column("source").to_pandas().to_numpy(dtype=object)
+        codes_u, codes = np.unique(src, return_inverse=True)
+        row_code = np.repeat(codes.astype(np.int64), np.diff(offs))
+        key, cnt = np.unique(
+            (row_code << np.int64(32)) | flat, return_counts=True
+        )
+        return pa.table(
+            {
+                "source": pa.array(
+                    codes_u[(key >> np.int64(32))], pa.string()
+                ),
+                "tok": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
+                "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tf_ds = ds.map_batches(tf_partial, batch_format="pyarrow").groupby(
+        ["source", "tok"]
+    ).aggregate(Sum("tf", alias_name="tf"))
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if flat.size == 0:
+            return pa.table(
+                {"tok": pa.array([], pa.int64()),
+                 "df": pa.array([], pa.int64())}
+            )
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        row = np.repeat(
+            np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs)
+        )
+        uk = np.unique((row << np.int64(32)) | flat)
+        tok = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
+        cnt = np.bincount(tok)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"tok": pa.array(nz, pa.int64()),
+             "df": pa.array(cnt[nz], pa.int64())}
+        )
+
+    df_tbl = (
+        decode_dataset(enc, columns=["tokens"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()  # vocabulary-bounded
+        .sort_values("tok")
+    )
+    df_ref = ray.put(
+        (df_tbl["tok"].to_numpy(np.int64), df_tbl["df"].to_numpy(np.int64))
+    )
+
+    class ScoreTopk:
+        def __init__(self, ref, n):
+            self.keys, self.dfs = ray.get(ref)
+            self.n = n
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            tok = df["tok"].to_numpy(np.int64)
+            idx = np.searchsorted(self.keys, tok)
+            score = np.round(
+                df["tf"].to_numpy(np.float64)
+                * np.log(self.n / self.dfs[idx]),
+                6,
+            )
+            out = pd.DataFrame(
+                {"source": df["source"], "tok": tok, "score": score}
+            )
+            out = out.sort_values(
+                ["source", "score", "tok"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            return out.groupby("source", sort=False).head(top)
+
+    parts = tf_ds.map_batches(
+        ScoreTopk,
+        fn_constructor_kwargs={"ref": df_ref, "n": n_docs},
+        batch_format="pandas",
+        concurrency=(1, 2),
+    ).to_pandas()  # top x sources x blocks — scalar-sized
+    parts = parts.sort_values(
+        ["source", "score", "tok"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out = parts.groupby("source", sort=False).head(top).reset_index(drop=True)
+    out["rn"] = out.groupby("source").cumcount().astype(np.int64) + 1
+    return out
+
+
 _HLL_P = 12  # 4096 registers; relative error ~ 1.04/sqrt(m) ~ 1.6%
 
 

@@ -200,6 +200,39 @@ def test_token_docfreq_vs_duckdb(ray_session):
     assert got["df"].tolist() == exp["df"].tolist()
 
 
+def test_tfidf_topk_vs_duckdb(ray_session):
+    """TF-IDF per source over the flagship tokens corpus (sf0.001) vs
+    the full SQL formulation (tf x ln(N/df), rounded-score ranking)."""
+    from fastparquet_ray.functions.sketches import tfidf_topk
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    sf_dir = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf_dir)
+    got = tfidf_topk(sf_dir, top=3)
+    glob = paths[0].rsplit("/", 1)[0] + "/*.parquet"
+    exp = duckdb.connect().execute(
+        f"WITH nn AS (SELECT count(*) AS nd FROM read_parquet('{glob}')), "
+        "tf AS (SELECT source, tok, count(*) AS tf FROM ("
+        f"SELECT source, unnest(tokens) AS tok FROM read_parquet('{glob}')"
+        ") GROUP BY source, tok), "
+        "dfq AS (SELECT tok, count(*) AS df FROM ("
+        "SELECT DISTINCT doc_id, unnest(tokens) AS tok FROM "
+        f"read_parquet('{glob}')) GROUP BY tok), "
+        "s AS (SELECT tf.source, CAST(tf.tok AS BIGINT) AS tok, "
+        "ROUND(tf.tf * ln((SELECT nd FROM nn) / dfq.df), 6) AS score "
+        "FROM tf JOIN dfq ON tf.tok = dfq.tok), "
+        "r AS (SELECT source, tok, score, row_number() OVER ("
+        "PARTITION BY source ORDER BY score DESC, tok) AS rn FROM s) "
+        "SELECT source, tok, score, rn FROM r WHERE rn <= 3 "
+        "ORDER BY source, rn"
+    ).df()
+    got = got.sort_values(["source", "rn"]).reset_index(drop=True)
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["tok"].tolist() == exp["tok"].tolist()
+    assert got["rn"].tolist() == exp["rn"].tolist()
+    np.testing.assert_allclose(got["score"], exp["score"], atol=1e-6)
+
+
 def test_pivot_counts(ray_session, sf_dir):
     got = _norm(pivot_counts(sf_dir))
     assert "n_zh" in got.columns and (got["n_zh"] == 0).all()
