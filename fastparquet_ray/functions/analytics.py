@@ -475,9 +475,11 @@ def left_outer_join(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
+    from .relational import join_partitions
+
     cust = _read(sf_dir, "customer", ["c_custkey"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-    nparts = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    nparts = join_partitions(cust, orders)
     j = cust.join(
         orders,
         join_type="left_outer",

