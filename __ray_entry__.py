@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": similarity.ann_topk,
         "ann_topk_ivf": similarity.ann_topk_ivf,
+        "embedding_centroids": similarity.embedding_centroids,
+        "dup_ngram_spans": dedup.dup_ngram_spans,
         # --- multimodal plumbing (stubbed decode) ---
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_pipeline": multimodal.multimodal_pipeline,
@@ -310,6 +312,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderpriority, CAST(0.9 AS DOUBLE) AS q, "
             "quantile_disc(o_totalprice, 0.9) AS value FROM orders "
             "GROUP BY o_orderpriority)"
+        ),
+        "embedding_centroids": (
+            "SELECT CAST(label AS BIGINT) AS label, pos, "
+            "ROUND(avg(val), 6) AS mean FROM ("
+            "SELECT label, generate_subscripts(embedding, 1) AS pos, "
+            "unnest(embedding) AS val FROM embeddings"
+            ") GROUP BY label, pos"
+        ),
+        "dup_ngram_spans": (
+            "WITH w AS (SELECT doc_id, list_slice(tokens, g, g + 7) AS win "
+            "FROM (SELECT doc_id, tokens, "
+            "unnest(generate_series(1, len(tokens) - 7)) AS g "
+            f"FROM read_parquet('{_TOKENS_GLOB}') WHERE len(tokens) >= 8)), "
+            "d AS (SELECT win FROM w GROUP BY win "
+            "HAVING count(DISTINCT doc_id) >= 2) "
+            "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows, "
+            "CAST(count(d.win) AS BIGINT) AS n_dup "
+            "FROM w LEFT JOIN d ON w.win = d.win GROUP BY w.doc_id"
         ),
         "left_outer_join": (
             "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders, "

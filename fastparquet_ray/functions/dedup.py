@@ -915,3 +915,135 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.0, top_k: int = 10):
         ["sim", "id_a", "id_b"], ascending=[False, True, True]
     ).head(top_k)
     return df[["id_a", "id_b"]].reset_index(drop=True)
+
+
+_NGRAM_P = np.uint64(1099511628211)  # FNV prime, odd -> equal-content
+_NGRAM_MIX = np.uint64(0xBF58476D1CE4E5B9)  # splitmix64 finalizer step
+
+
+def _window_hashes(flat: np.ndarray, offs: np.ndarray, w: int):
+    """Vectorized w-token window hashes over a ragged token stream:
+    one sliding_window_view across the WHOLE flat array, then a mask
+    keeps positions whose window stays inside a single document
+    (doc-of(p) == doc-of(p+w-1) via two searchsorted passes). Returns
+    (hashes uint64, doc_index int64 per valid window position).
+    Equal windows always hash equal (polynomial in an odd multiplier
+    mod 2^64 + splitmix mixing); distinct-window collisions are
+    ~#windows^2 / 2^64 — negligible against the oracle at test scale."""
+    if flat.size < w:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    pows = np.ones(w, dtype=np.uint64)
+    for j in range(1, w):
+        pows[j] = pows[j - 1] * _NGRAM_P
+    view = np.lib.stride_tricks.sliding_window_view(
+        flat.astype(np.uint64), w
+    )
+    h = (view * pows).sum(axis=1, dtype=np.uint64)
+    h = (h ^ (h >> np.uint64(31))) * _NGRAM_MIX
+    h ^= h >> np.uint64(27)
+    pos = np.arange(h.size, dtype=np.int64)
+    d0 = np.searchsorted(offs, pos, side="right")
+    d1 = np.searchsorted(offs, pos + w - 1, side="right")
+    keep = d0 == d1
+    return h[keep], (d0[keep] - 1).astype(np.int64)
+
+
+def dup_ngram_spans(sf_dir: str, w: int = 8):
+    """Cross-document duplicated n-gram span detection over the token
+    corpus — the windowed approximation of exact substring dedup (the
+    suffix-array method of Lee et al. 2021, public literature; windows
+    of w tokens at stride 1 catch every duplicated span of length
+    >= w). Per document: total window count and how many of its window
+    positions carry content that also appears in ANOTHER document.
+
+    Scale shape: window hashing is one vectorized sliding pass per
+    block (no per-doc loop); pass A emits per-doc-UNIQUE (hash, doc)
+    rows — the corpus x w exchange every substring-dedup method pays —
+    and the sort-based _multi_bucket_keys finds hashes with >= 2
+    distinct docs; pass B recomputes window hashes per block
+    (recompute beats materializing corpus x w hash bytes) and counts
+    membership in the broadcast duplicated-hash set. The broadcast is
+    bounded by truly-duplicated content; a corpus where duplicated
+    spans themselves are object-store-sized would join distributedly
+    instead (relational.hash_join shape)."""
+    import ray
+    import ray.data
+
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+
+    _, enc = ensure_encoded(sf_dir)
+    ds = decode_dataset(enc, columns=["doc_id", "tokens"])
+
+    def _flat(t: pa.Table):
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return flat, offs, ids
+
+    def hash_doc_pairs(t: pa.Table) -> pa.Table:
+        flat, offs, ids = _flat(t)
+        h, di = _window_hashes(flat, offs, w)
+        if h.size == 0:
+            return pa.table(
+                {"h": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        # per-doc UNIQUE (hash, doc) rows: row counts in
+        # _multi_bucket_keys then equal DISTINCT-doc counts (each doc
+        # contributes a given hash at most once). doc_id is a STRING in
+        # the tokens schema — dedupe on the int64 (block-row, hash)
+        # pair, then emit a collision-free int64 doc key (hash128 of
+        # the id string's first lane) purely for distinct counting.
+        key = np.unique(np.stack([di, h.view(np.int64)], axis=1), axis=0)
+        dkey = pd.util.hash_array(
+            np.asarray(ids, dtype=object)
+        ).view(np.int64)
+        return pa.table(
+            {"h": pa.array(key[:, 1], pa.int64()),
+             "doc_id": pa.array(dkey[key[:, 0]], pa.int64())}
+        )
+
+    pairs = ds.map_batches(hash_doc_pairs, batch_format="pyarrow")
+    dup_keys = _multi_bucket_keys(pairs, "h")  # >= 2 distinct docs
+    dup_ref = ray.put(np.sort(dup_keys))
+
+    class CountDups:
+        def __init__(self, ref):
+            self.dups = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flat, offs, ids = _flat(t)
+            h, di = _window_hashes(flat, offs, w)
+            nwin = np.maximum(np.diff(offs) - w + 1, 0).astype(np.int64)
+            keep_doc = nwin > 0
+            if h.size == 0:
+                return pa.table(
+                    {"doc_id": pa.array(ids[keep_doc]),
+                     "n_windows": pa.array(nwin[keep_doc], pa.int64()),
+                     "n_dup": pa.array(
+                         np.zeros(int(keep_doc.sum()), np.int64), pa.int64()
+                     )}
+                )
+            hs = h.view(np.int64)
+            isdup = np.zeros(hs.size, dtype=bool)
+            if self.dups.size:
+                idx = np.searchsorted(self.dups, hs)
+                idx[idx == self.dups.size] = 0
+                isdup = self.dups[idx] == hs
+            ndup = np.bincount(
+                di[isdup], minlength=len(ids)
+            ).astype(np.int64)
+            return pa.table(
+                {"doc_id": pa.array(ids[keep_doc]),
+                 "n_windows": pa.array(nwin[keep_doc], pa.int64()),
+                 "n_dup": pa.array(ndup[keep_doc], pa.int64())}
+            )
+
+    return ds.map_batches(
+        CountDups,
+        fn_constructor_kwargs={"ref": dup_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

@@ -156,3 +156,74 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8, n_probe: int = 
     df = partials.to_pandas()
     df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
     return df.reset_index(drop=True)
+
+
+def embedding_centroids(sf_dir: str):
+    """Per-label mean embedding (the vector aggregate behind k-means /
+    class prototypes), returned LONG — one (label, pos, mean) row per
+    vector dimension — so the result is plain scalars the SQL oracle
+    can cross-check (unnest + generate_subscripts per position).
+
+    Scale shape: per-batch scatter-add partials (np.add.at of the
+    (rows x dim) float64 matrix onto per-label accumulators) emit
+    labels x dim sum rows per block; ONE groupby-sum over
+    (label, pos) — labels x dim cardinality, never rows — and a
+    closed-form mean finish. The canonical sufficient-statistic
+    aggregate, same family as analytics.stats_moments."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        if flat.size == 0:
+            return pa.table(
+                {"label": pa.array([], pa.int64()),
+                 "pos": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.float64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        dim = int(offs[1] - offs[0])
+        mat = flat.astype(np.float64).reshape(-1, dim)
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((uniq.size, dim), dtype=np.float64)
+        np.add.at(sums, codes, mat)
+        cnt = np.bincount(codes).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.repeat(uniq.astype(np.int64), dim), pa.int64()
+                ),
+                "pos": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64), uniq.size),
+                    pa.int64(),
+                ),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(cnt, dim), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["label", "pos"]
+    ).aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "label": df["label"].astype("int64"),
+                "pos": df["pos"].astype("int64"),
+                "mean": np.round(
+                    df["s"].to_numpy() / df["n"].to_numpy(), 6
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
