@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": relational.hash_join,
         "union_all": relational.union_all,
         "case_expr": relational.case_expr,
+        "json_field_agg": relational.json_field_agg,
         "sorted_detect": relational.sorted_detect,
         "windowed_agg": windows.windowed_agg,
         "asof_join": windows.asof_join,
@@ -233,6 +234,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CASE WHEN o_totalprice > 200000 THEN 'large' "
             "WHEN o_totalprice > 100000 THEN 'medium' ELSE 'small' END "
             "AS bucket, count(*) AS n FROM orders GROUP BY 1"
+        ),
+        "json_field_agg": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) "
+            "AS BIGINT)) AS BIGINT) AS sum_k, "
+            "CAST(max(CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) "
+            "AS BIGINT)) AS BIGINT) AS max_k "
+            "FROM events GROUP BY event_type"
         ),
         "windowed_agg": (
             "SELECT event_type, date_trunc('hour', ts) AS win, "

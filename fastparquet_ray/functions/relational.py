@@ -509,6 +509,47 @@ def case_expr(sf_dir: str):
     )
 
 
+def json_field_agg(sf_dir: str):
+    """Semi-structured column extraction + aggregate (the JSON-column
+    surface of reference M5, writer.py object encoding, lifted to
+    query level): pull the integer field k out of the events.props
+    JSON string with ONE vectorized RE2 pass (pc.extract_regex — no
+    per-row json.loads), then per-event_type count/sum/max via
+    per-batch Arrow partials and a tiny final groupby."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k":\s*(?P<v>\d+)')
+        k = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        tt = pa.table({"event_type": t["event_type"], "k": k})
+        g = tt.group_by(["event_type"]).aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "max")]
+        )
+        return g.rename_columns(["event_type", "n", "sum_k", "max_k"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_k", alias_name="sum_k"),
+        Max("max_k", alias_name="max_k"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": t.column("n").cast(pa.int64()),
+                "sum_k": t.column("sum_k").cast(pa.int64()),
+                "max_k": t.column("max_k").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def sorted_detect(sf_dir: str):
     """Detect globally-sorted columns from per-block min/max (reference
     A4: sorted_partitioned_columns, api.py:905-945). rows-only check

@@ -297,3 +297,27 @@ def test_left_outer_join(ray_session, sf_dir):
     assert (orderless["n_orders"] == 0).all()
     assert (orderless["total"] == 0.0).all()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-6)
+
+
+def test_json_field_agg_missing_keys(ray_session, tmp_path):
+    """Rows whose props lack the field contribute to neither count nor
+    sum (NULL-skipping aggregate semantics)."""
+    from fastparquet_ray.functions.relational import json_field_agg
+
+    events = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "a", "b", "b"],
+            "props": ['{"k": 3}', '{"x": 9}', '{"k": 5}', "{}", '{"k": 7}'],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(events), tmp_path / "events.parquet")
+    got = (
+        json_field_agg(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got["event_type"].tolist() == ["a", "b"]
+    assert got["n"].tolist() == [2, 1]
+    assert got["sum_k"].tolist() == [8, 7]
+    assert got["max_k"].tolist() == [5, 7]
