@@ -192,6 +192,8 @@ def run_bench() -> dict:
         for name in [
             "groupby_agg", "dedup_exact", "token_count", "ann_topk",
             "corpus_clean", "token_topk", "ngram_jaccard_pairs",
+            "minhash_lsh_pairs", "tfidf_topk", "window_lag",
+            "left_outer_join", "dup_ngram_spans",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)

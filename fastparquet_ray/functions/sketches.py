@@ -154,6 +154,11 @@ def tfidf_topk(sf_dir: str, top: int = 3):
     n_docs = EncodedDataset(enc).count()  # metadata-only
     ds = decode_dataset(enc, columns=["source", "tokens"])
 
+    # ONE decode + ONE (source, tok) groupby carries BOTH sufficient
+    # statistics: tf (occurrences) and dfp (docs-in-block containing
+    # tok). A doc has exactly one source, so df(tok) = sum over sources
+    # of dfp — derived from the already-aggregated vocabulary-sized
+    # result, not a second corpus scan (halves decode + exchange work).
     def tf_partial(t: pa.Table) -> pa.Table:
         col = t.column("tokens").combine_chunks()
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -161,15 +166,29 @@ def tfidf_topk(sf_dir: str, top: int = 3):
             return pa.table(
                 {"source": pa.array([], pa.string()),
                  "tok": pa.array([], pa.int64()),
-                 "tf": pa.array([], pa.int64())}
+                 "tf": pa.array([], pa.int64()),
+                 "dfp": pa.array([], pa.int64())}
             )
         offs = col.offsets.to_numpy(zero_copy_only=False)
         src = t.column("source").to_pandas().to_numpy(dtype=object)
         codes_u, codes = np.unique(src, return_inverse=True)
-        row_code = np.repeat(codes.astype(np.int64), np.diff(offs))
+        lens = np.diff(offs)
+        row = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        row_code = codes.astype(np.int64)[row]
         key, cnt = np.unique(
             (row_code << np.int64(32)) | flat, return_counts=True
         )
+        # per-doc-unique (row, tok) pairs -> per-(source, tok) doc count
+        urt = np.unique((row << np.int64(32)) | flat)
+        ucode = codes.astype(np.int64)[(urt >> np.int64(32))]
+        dkey, dcnt = np.unique(
+            (ucode << np.int64(32)) | (urt & np.int64(0xFFFFFFFF)),
+            return_counts=True,
+        )
+        # dkey aligns with key (same packing); scatter dfp onto key rows
+        dfp = np.zeros(key.size, dtype=np.int64)
+        pos = np.searchsorted(key, dkey)
+        dfp[pos] = dcnt
         return pa.table(
             {
                 "source": pa.array(
@@ -177,39 +196,19 @@ def tfidf_topk(sf_dir: str, top: int = 3):
                 ),
                 "tok": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
                 "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+                "dfp": pa.array(dfp, pa.int64()),
             }
         )
 
     tf_ds = ds.map_batches(tf_partial, batch_format="pyarrow").groupby(
         ["source", "tok"]
-    ).aggregate(Sum("tf", alias_name="tf"))
-
-    def df_partial(t: pa.Table) -> pa.Table:
-        col = t.column("tokens").combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        if flat.size == 0:
-            return pa.table(
-                {"tok": pa.array([], pa.int64()),
-                 "df": pa.array([], pa.int64())}
-            )
-        offs = col.offsets.to_numpy(zero_copy_only=False)
-        row = np.repeat(
-            np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs)
-        )
-        uk = np.unique((row << np.int64(32)) | flat)
-        tok = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
-        cnt = np.bincount(tok)
-        nz = np.flatnonzero(cnt)
-        return pa.table(
-            {"tok": pa.array(nz, pa.int64()),
-             "df": pa.array(cnt[nz], pa.int64())}
-        )
+    ).aggregate(
+        Sum("tf", alias_name="tf"), Sum("dfp", alias_name="dfp")
+    ).materialize()  # consumed twice: df derivation + scoring
 
     df_tbl = (
-        decode_dataset(enc, columns=["tokens"])
-        .map_batches(df_partial, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(Sum("df", alias_name="df"))
+        tf_ds.groupby("tok")
+        .aggregate(Sum("dfp", alias_name="df"))
         .to_pandas()  # vocabulary-bounded
         .sort_values("tok")
     )
