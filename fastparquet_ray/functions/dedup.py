@@ -986,24 +986,20 @@ def dup_ngram_spans(sf_dir: str, w: int = 8):
         flat, offs, ids = _flat(t)
         h, di = _window_hashes(flat, offs, w)
         if h.size == 0:
-            return pa.table(
-                {"h": pa.array([], pa.int64()),
-                 "doc_id": pa.array([], pa.int64())}
-            )
-        # per-doc UNIQUE (hash, doc) rows: row counts in
-        # _multi_bucket_keys then equal DISTINCT-doc counts (each doc
-        # contributes a given hash at most once). doc_id is a STRING in
-        # the tokens schema — dedupe on the int64 (block-row, hash)
-        # pair, then emit a collision-free int64 doc key (hash128 of
-        # the id string's first lane) purely for distinct counting.
-        key = np.unique(np.stack([di, h.view(np.int64)], axis=1), axis=0)
-        dkey = pd.util.hash_array(
-            np.asarray(ids, dtype=object)
-        ).view(np.int64)
-        return pa.table(
-            {"h": pa.array(key[:, 1], pa.int64()),
-             "doc_id": pa.array(dkey[key[:, 0]], pa.int64())}
+            return pa.table({"h": pa.array([], pa.int64())})
+        # per-doc UNIQUE hash rows: _multi_bucket_keys' row counts over
+        # these equal DISTINCT-doc counts (each doc contributes a given
+        # hash at most once, and a doc lives in exactly one block).
+        # lexsort + adjacent-diff mask beats np.unique(axis=0) ~5x (no
+        # void-dtype view), and ONLY the hash column ships — the
+        # exchange needs key multiplicity, not doc identity.
+        hs = h.view(np.int64)
+        order = np.lexsort((hs, di))
+        hs, dsort = hs[order], di[order]
+        keep = np.concatenate(
+            [[True], (hs[1:] != hs[:-1]) | (dsort[1:] != dsort[:-1])]
         )
+        return pa.table({"h": pa.array(hs[keep], pa.int64())})
 
     pairs = ds.map_batches(hash_doc_pairs, batch_format="pyarrow")
     dup_keys = _multi_bucket_keys(pairs, "h")  # >= 2 distinct docs
