@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_moments": analytics.stats_moments,
         "grouped_quantiles": analytics.grouped_quantiles,
         "left_outer_join": analytics.left_outer_join,
+        "argmax_per_group": analytics.argmax_per_group,
+        "quantiles_cont": sketches.quantiles_cont,
         # --- flagship encode engine (tokens table) ---
         "tokens_groupby_source": flagship.tokens_groupby_source,
         "tokens_checksum": flagship.tokens_checksum,
@@ -339,6 +341,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows, "
             "CAST(count(d.win) AS BIGINT) AS n_dup "
             "FROM w LEFT JOIN d ON w.win = d.win GROUP BY w.doc_id"
+        ),
+        "argmax_per_group": (
+            "SELECT l_returnflag, price, l_orderkey FROM ("
+            "SELECT l_returnflag, l_extendedprice AS price, l_orderkey, "
+            "row_number() OVER (PARTITION BY l_returnflag "
+            "ORDER BY l_extendedprice DESC, l_orderkey) AS rn "
+            "FROM lineitem) WHERE rn = 1"
+        ),
+        "quantiles_cont": (
+            "SELECT q, value FROM ("
+            "SELECT CAST(0.01 AS DOUBLE) AS q, "
+            "ROUND(quantile_cont(o_totalprice, 0.01), 6) AS value FROM orders "
+            "UNION ALL SELECT 0.25, ROUND(quantile_cont(o_totalprice, 0.25), 6) "
+            "FROM orders "
+            "UNION ALL SELECT 0.5, ROUND(quantile_cont(o_totalprice, 0.5), 6) "
+            "FROM orders "
+            "UNION ALL SELECT 0.75, ROUND(quantile_cont(o_totalprice, 0.75), 6) "
+            "FROM orders "
+            "UNION ALL SELECT 0.99, ROUND(quantile_cont(o_totalprice, 0.99), 6) "
+            "FROM orders)"
         ),
         "left_outer_join": (
             "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders, "

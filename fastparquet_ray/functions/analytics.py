@@ -515,3 +515,43 @@ def left_outer_join(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def argmax_per_group(sf_dir: str):
+    """max_by / arg-max surface: for each l_returnflag, the row holding
+    the maximum l_extendedprice (smallest l_orderkey on price ties —
+    the deterministic tiebreak both engines can state). Per-block
+    candidate rows (one per group per block, a vectorized sort + head)
+    merge on the driver at |groups| x |blocks| rows — the select_k
+    shape with k=1 per group, no exchange at all."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_orderkey"]
+    )
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(
+            ["l_returnflag", "l_extendedprice", "l_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return s.groupby("l_returnflag", sort=False).head(1)
+
+    parts = ds.map_batches(candidates, batch_format="pandas").to_pandas()
+    out = (
+        parts.sort_values(
+            ["l_returnflag", "l_extendedprice", "l_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .groupby("l_returnflag", sort=False)
+        .head(1)
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "price": out["l_extendedprice"].astype("float64"),
+            "l_orderkey": out["l_orderkey"].astype("int64"),
+        }
+    )

@@ -335,12 +335,59 @@ def quantiles(sf_dir: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99)):
     sort_topk, generalized to interior ranks). Heavy value repetition
     collapses in the np.unique partials, so skewed columns cost the
     driver one row per distinct candidate value, not per row."""
+    qs = list(qs)
+    n, rank_value = _rank_select(
+        sf_dir, "orders", "o_totalprice",
+        lambda n: [max(1, int(np.ceil(q * n))) for q in qs],
+    )
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                             "value": pd.Series([np.nan] * len(qs))})
+    vals = [rank_value[max(1, int(np.ceil(q * n)))] for q in qs]
+    return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
+                         "value": np.asarray(vals, dtype=np.float64)})
+
+
+def quantiles_cont(sf_dir: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99)):
+    """Interpolated quantiles (percentile_cont / DuckDB quantile_cont
+    semantics: linear interpolation at position (n-1)*q of the sorted
+    column) — the same zero-sort histogram rank-selection as
+    quantiles(), fetching the TWO bracketing order statistics per q
+    and lerping on the driver."""
+    qs = list(qs)
+
+    def ranks_of(n: int) -> list[int]:
+        out = []
+        for q in qs:
+            pos = (n - 1) * q
+            out.append(int(np.floor(pos)) + 1)
+            out.append(int(np.ceil(pos)) + 1)
+        return out
+
+    n, rank_value = _rank_select(sf_dir, "orders", "o_totalprice", ranks_of)
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                             "value": pd.Series([np.nan] * len(qs))})
+    vals = []
+    for q in qs:
+        pos = (n - 1) * q
+        lo, hi = int(np.floor(pos)) + 1, int(np.ceil(pos)) + 1
+        vlo, vhi = rank_value[lo], rank_value[hi]
+        vals.append(round(vlo + (pos - np.floor(pos)) * (vhi - vlo), 6))
+    return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
+                         "value": np.asarray(vals, dtype=np.float64)})
+
+
+def _rank_select(sf_dir: str, table: str, col: str, ranks_fn):
+    """Exact order statistics at arbitrary 1-based ranks over one
+    column, by the 3-pass histogram rank-partition selection (see
+    quantiles() docstring). ``ranks_fn(n)`` maps the column's non-NaN
+    count to the requested ranks. Returns (n, {rank: value})."""
     import ray
     import ray.data
 
-    col = "o_totalprice"
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=[col]
+        os.path.join(sf_dir, f"{table}.parquet"), columns=[col]
     )
 
     def minmax_partial(t: pa.Table) -> pa.Table:
@@ -357,16 +404,13 @@ def quantiles(sf_dir: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99)):
         )
 
     p1 = ds.map_batches(minmax_partial, batch_format="pyarrow").to_pandas()
-    qs = list(qs)
     if p1.empty:
-        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
-                             "value": pd.Series([np.nan] * len(qs))})
+        return 0, {}
     n = int(p1["n"].sum())
     mn, mx = float(p1["mn"].min()), float(p1["mx"].max())
-    ranks = [max(1, int(np.ceil(q * n))) for q in qs]  # 1-based
+    ranks = sorted(set(ranks_fn(n)))  # 1-based
     if mn == mx:
-        return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
-                             "value": np.full(len(qs), mn)})
+        return n, {r: mn for r in ranks}
 
     B = 4096
     scale = B / (mx - mn)
@@ -422,21 +466,16 @@ def quantiles(sf_dir: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99)):
         .sum()
     )
     vals = p3.index.to_numpy()
-    vcum = np.cumsum(p3.to_numpy())
-    out = []
+    out = {}
     for r in ranks:
         b = int(np.searchsorted(cum[1:], r))
-        # within the merged candidate values, rows below bucket b that
-        # are OUTSIDE candidate buckets must be re-added: global rank r
-        # = (rows in candidate values strictly below bucket b) + cum of
-        # non-candidate buckets below b ... simpler: global cumulative
-        # of value x = cum[bucket(x)] + rank of x within its bucket.
-        below = cum[b]  # rows in buckets < b (from the exact histogram)
+        # global cumulative of value x = cum[bucket(x)] (exact rows in
+        # buckets below, from the histogram) + rank of x within bucket
+        below = cum[b]
         in_bucket = (bucket_of(vals) == b)
         bvals = vals[in_bucket]
         bcnt = p3.to_numpy()[in_bucket]
         bcum = np.cumsum(bcnt)
         k = int(np.searchsorted(bcum, r - below))
-        out.append(float(bvals[k]))
-    return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
-                         "value": np.asarray(out, dtype=np.float64)})
+        out[r] = float(bvals[k])
+    return n, out

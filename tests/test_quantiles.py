@@ -51,3 +51,23 @@ def test_quantiles_ignore_nan(ray_session, tmp_path):
     sf_dir = _write(tmp_path, v)
     got = quantiles(sf_dir, qs=(0.5,))
     assert got["value"].tolist() == [3.0]
+
+
+def test_quantiles_cont_vs_numpy(ray_session, tmp_path):
+    from fastparquet_ray.functions.sketches import quantiles_cont
+
+    rng = np.random.default_rng(3)
+    v = rng.lognormal(8, 2, 3000)
+    sf_dir = _write(tmp_path, v)
+    got = quantiles_cont(sf_dir, qs=QS)
+    exp = [round(float(np.quantile(v, q, method="linear")), 6) for q in QS]
+    np.testing.assert_allclose(got["value"].to_numpy(), exp, atol=1e-6)
+
+
+def test_quantiles_cont_constant(ray_session, tmp_path):
+    from fastparquet_ray.functions.sketches import quantiles_cont
+
+    v = np.full(123, 7.5)
+    sf_dir = _write(tmp_path, v)
+    got = quantiles_cont(sf_dir, qs=(0.5,))
+    assert got["value"].tolist() == [7.5]
