@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_join": relational.multi_join,
         "hash_join": relational.hash_join,
         "union_all": relational.union_all,
+        "union_distinct": relational.union_distinct,
+        "intersect_keys": relational.intersect_keys,
+        "except_keys": relational.except_keys,
+        "mode_per_group": relational.mode_per_group,
         "case_expr": relational.case_expr,
         "json_field_agg": relational.json_field_agg,
         "sorted_detect": relational.sorted_detect,
@@ -231,6 +235,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45 "
             "UNION ALL "
             "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 5"
+        ),
+        "union_distinct": (
+            "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45 "
+            "UNION "
+            "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 5"
+        ),
+        "intersect_keys": (
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+            "INTERSECT "
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+        ),
+        "except_keys": (
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+            "EXCEPT "
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+        ),
+        "mode_per_group": (
+            "SELECT l_returnflag, mode_qty, n FROM ("
+            "SELECT l_returnflag, l_quantity AS mode_qty, "
+            "CAST(count(*) AS BIGINT) AS n, row_number() OVER ("
+            "PARTITION BY l_returnflag ORDER BY count(*) DESC, l_quantity"
+            ") AS rn FROM lineitem GROUP BY l_returnflag, l_quantity"
+            ") WHERE rn = 1"
         ),
         "case_expr": (
             "SELECT CASE WHEN o_totalprice > 200000 THEN 'large' "

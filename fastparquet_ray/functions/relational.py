@@ -624,3 +624,143 @@ def hash_join(sf_dir: str):
             Sum("n", alias_name="n"), Sum("sum_chars", alias_name="sum_chars")
         )
     )
+
+
+def mode_per_group(sf_dir: str):
+    """Per-group MODE (most frequent l_quantity per l_returnflag,
+    smallest value on frequency ties — the deterministic tiebreak both
+    engines can state). Per-batch (flag, value) count partials -> one
+    groupby-sum at |flags| x |distinct values| cardinality -> per-block
+    top-1 per flag -> |flags| x |blocks| driver merge (token_topk's
+    select_k shape with k=1 per group)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_quantity"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby(
+        ["l_returnflag", "l_quantity"]
+    ).aggregate(Sum("n", alias_name="n"))
+
+    def block_top1(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(
+            ["l_returnflag", "n", "l_quantity"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return s.groupby("l_returnflag", sort=False).head(1)
+
+    parts = agg.map_batches(block_top1, batch_format="pandas").to_pandas()
+    out = (
+        parts.sort_values(
+            ["l_returnflag", "n", "l_quantity"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .groupby("l_returnflag", sort=False)
+        .head(1)
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "mode_qty": out["l_quantity"].astype("float64"),
+            "n": out["n"].astype("int64"),
+        }
+    )
+
+
+def _status_key_flags(sf_dir: str):
+    """Shared partial for the INTERSECT/EXCEPT pair: per o_custkey,
+    whether it has any 'F' and any 'O' order — per-batch Arrow Max
+    partials collapse to one row per (block, custkey), then one
+    groupby-max at customer cardinality."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = pc.cast(pc.equal(t["o_orderstatus"], "F"), pa.int64())
+        o = pc.cast(pc.equal(t["o_orderstatus"], "O"), pa.int64())
+        tt = pa.table(
+            {"o_custkey": t["o_custkey"], "has_f": f, "has_o": o}
+        )
+        g = tt.group_by(["o_custkey"]).aggregate(
+            [("has_f", "max"), ("has_o", "max")]
+        )
+        return g.rename_columns(["o_custkey", "has_f", "has_o"])
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_custkey"
+    ).aggregate(
+        Max("has_f", alias_name="has_f"), Max("has_o", alias_name="has_o")
+    )
+
+
+def intersect_keys(sf_dir: str):
+    """SQL INTERSECT (SURVEY §2.8 set ops): customers having BOTH an
+    'F' and an 'O' order — distinct-key set intersection via one
+    boolean-flag aggregate instead of two scans + a set exchange."""
+    flags = _status_key_flags(sf_dir)
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(t["has_f"], 0), pc.greater(t["has_o"], 0)
+        )
+        return pa.table(
+            {"o_custkey": t.column("o_custkey").cast(pa.int64())}
+        ).filter(keep)
+
+    return flags.map_batches(finish, batch_format="pyarrow")
+
+
+def except_keys(sf_dir: str):
+    """SQL EXCEPT (SURVEY §2.8): customers with an 'F' order and NO
+    'O' order — same one-aggregate shape as intersect_keys."""
+    flags = _status_key_flags(sf_dir)
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(t["has_f"], 0), pc.equal(t["has_o"], 0)
+        )
+        return pa.table(
+            {"o_custkey": t.column("o_custkey").cast(pa.int64())}
+        ).filter(keep)
+
+    return flags.map_batches(finish, batch_format="pyarrow")
+
+
+def union_distinct(sf_dir: str):
+    """UNION (DISTINCT) — union_all's sibling with the dedup exchange
+    (SURVEY §2.8): extreme-quantity lineitem keys, one row per
+    distinct (l_orderkey, l_quantity). Per-block local dedup first
+    (Arrow group_by) shrinks the exchange; one groupby on the pair
+    emits each key once."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.greater(t["l_quantity"], 45.0), pc.less(t["l_quantity"], 5.0)
+        )
+        f = t.filter(keep)
+        return f.group_by(["l_orderkey", "l_quantity"]).aggregate([])
+
+    dedup = ds.map_batches(pick, batch_format="pyarrow").groupby(
+        ["l_orderkey", "l_quantity"]
+    ).aggregate(Count(alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "l_quantity": t.column("l_quantity").cast(pa.float64()),
+            }
+        )
+
+    return dedup.map_batches(finish, batch_format="pyarrow")

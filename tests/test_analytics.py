@@ -321,3 +321,73 @@ def test_json_field_agg_missing_keys(ray_session, tmp_path):
     assert got["n"].tolist() == [2, 1]
     assert got["sum_k"].tolist() == [8, 7]
     assert got["max_k"].tolist() == [5, 7]
+
+
+def test_set_ops_and_mode(ray_session, sf_dir):
+    """INTERSECT / EXCEPT / mode over the synthetic orders/lineitem
+    fixture vs DuckDB (orders here have statuses via o_orderpriority?
+    no — construct from lineitem/orders fixture columns)."""
+    from fastparquet_ray.functions.relational import (
+        except_keys,
+        intersect_keys,
+        mode_per_group,
+        union_distinct,
+    )
+
+    con = _duck(sf_dir)
+    # the fixture's orders table has no o_orderstatus; build one
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    orders = con.execute("SELECT * FROM orders").df()
+    orders["o_orderstatus"] = rng.choice(["F", "O", "P"], len(orders))
+    pq.write_table(
+        pa.Table.from_pandas(orders), f"{sf_dir}/orders.parquet",
+        row_group_size=256,
+    )
+    con = _duck(sf_dir)
+
+    got = _norm(intersect_keys(sf_dir).to_pandas())
+    exp = _norm(
+        con.execute(
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='F' "
+            "INTERSECT SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderstatus='O'"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    got = _norm(except_keys(sf_dir).to_pandas())
+    exp = _norm(
+        con.execute(
+            "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='F' "
+            "EXCEPT SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderstatus='O'"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    got = _norm(union_distinct(sf_dir).to_pandas())
+    exp = _norm(
+        con.execute(
+            "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45 "
+            "UNION SELECT l_orderkey, l_quantity FROM lineitem "
+            "WHERE l_quantity < 5"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    got = _norm(mode_per_group(sf_dir))
+    exp = _norm(
+        con.execute(
+            "SELECT l_returnflag, mode_qty, n FROM ("
+            "SELECT l_returnflag, l_quantity AS mode_qty, "
+            "CAST(count(*) AS BIGINT) AS n, row_number() OVER ("
+            "PARTITION BY l_returnflag ORDER BY count(*) DESC, l_quantity"
+            ") AS rn FROM lineitem GROUP BY l_returnflag, l_quantity"
+            ") WHERE rn = 1"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
