@@ -283,7 +283,7 @@ def test_grouped_quantiles(ray_session, sf_dir):
 
 
 def test_left_outer_join(ray_session, sf_dir):
-    got = _norm(left_outer_join(sf_dir).to_pandas())
+    got = _norm(left_outer_join(sf_dir))
     exp = _norm(
         _duck(sf_dir).execute(
             "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders, "
@@ -349,7 +349,7 @@ def test_set_ops_and_mode(ray_session, sf_dir):
     )
     con = _duck(sf_dir)
 
-    got = _norm(intersect_keys(sf_dir).to_pandas())
+    got = _norm(intersect_keys(sf_dir))
     exp = _norm(
         con.execute(
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='F' "
@@ -359,7 +359,7 @@ def test_set_ops_and_mode(ray_session, sf_dir):
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
-    got = _norm(except_keys(sf_dir).to_pandas())
+    got = _norm(except_keys(sf_dir))
     exp = _norm(
         con.execute(
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='F' "
