@@ -72,16 +72,104 @@ def windowed_agg(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def asof_join(sf_dir: str):
+def asof_join(sf_dir: str, salt_days: int = 7):
     """As-of join: for every 'click' event, the most recent strictly
-    earlier 'view' event of the same user. groupby(user_id) co-locates
-    each user's events; merge_asof runs per group on ts-sorted frames.
-    Returns (event_id, user_id, view_event_id, gap_seconds)."""
-    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    earlier 'view' event of the same user.
+    Returns (event_id, user_id, view_event_id, gap_seconds).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    Skew-bounded composition (the grouped-windowed-join shape): the
+    exchange key is the COMPOSITE (user_id, coarse time bucket of
+    ``salt_days``), so a pathologically hot user's events split across
+    buckets instead of landing in one unbounded group — per-group work
+    is capped by the user's traffic per bucket. As-of lookback across
+    bucket borders is restored by a carry-in: a tiny per-(user, bucket)
+    summary (that bucket's latest view) is prefix-filled per user on
+    the driver — per-bucket latest views are monotone in ts, so the
+    nearest earlier bucket's summary IS the best strictly-earlier
+    candidate — and broadcast; each group prepends its carry-in row
+    before merge_asof. Driver state is O(users x buckets) summary rows
+    (the same footprint as any grouped-aggregate output), never events.
+    """
+    import ray
+
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    bucket_ns = np.int64(salt_days) * 86_400 * 1_000_000_000
+
+    # per-(user, bucket) latest view: one candidate row per block via a
+    # vectorized sort+tail partial, resolved driver-side at summary
+    # cardinality
+    def view_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[df["event_type"] == "view"]
+        if v.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "bkt": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "event_id": pd.Series([], dtype="int64"),
+                }
+            )
+        bkt = v["ts"].astype("int64") * (
+            1000 if v["ts"].dtype == "datetime64[us]" else 1
+        ) // bucket_ns
+        cand = pd.DataFrame(
+            {
+                "user_id": v["user_id"].astype("int64"),
+                "bkt": bkt.astype("int64"),
+                "ts": v["ts"],
+                "event_id": v["event_id"].astype("int64"),
+            }
+        ).sort_values(["user_id", "bkt", "ts", "event_id"])
+        return cand.groupby(["user_id", "bkt"], sort=False).tail(1)
+
+    summ = (
+        ds.map_batches(view_partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "bkt", "ts", "event_id"])
+        .groupby(["user_id", "bkt"], as_index=False, sort=True)
+        .tail(1)
+    )
+    # carry-in for bucket b = the user's latest view in any bucket < b:
+    # shift the (sorted, one-row-per-bucket) summaries down one slot —
+    # later buckets always dominate earlier ones in ts, so no cummax
+    # is needed — then forward-fill over the user's click buckets
+    carry = {}
+    for uid, sub in summ.groupby("user_id", sort=False):
+        bkts = sub["bkt"].to_numpy()
+        tss = sub["ts"].to_numpy()
+        ids = sub["event_id"].to_numpy()
+        carry[int(uid)] = (bkts, tss, ids)
+    carry_ref = ray.put(carry)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
         clicks = g[g["event_type"] == "click"].sort_values("ts")
         views = g[g["event_type"] == "view"].sort_values("ts")
+        if not clicks.empty:
+            uid = int(g["user_id"].iloc[0])
+            bkt = int(g["bkt"].iloc[0])
+            cu = ray.get(carry_ref).get(uid)
+            if cu is not None:
+                bkts, tss, ids = cu
+                # latest view in a strictly earlier bucket
+                pos = np.searchsorted(bkts, bkt) - 1
+                if pos >= 0:
+                    prev = pd.DataFrame(
+                        {
+                            "event_id": pd.array(
+                                [ids[pos]], dtype="int64"
+                            ),
+                            "user_id": pd.array([uid], dtype="int64"),
+                            "event_type": ["view"],
+                            "ts": pd.Series(
+                                [tss[pos]], dtype=views["ts"].dtype
+                            ),
+                        }
+                    )
+                    views = pd.concat([prev, views], ignore_index=True)
+                    views = views.sort_values("ts")
+        return _asof_user(clicks, views)
+
+    def _asof_user(clicks: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "event_id": pd.Series([], dtype="int64"),
@@ -115,10 +203,23 @@ def asof_join(sf_dir: str):
             }
         )
 
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df["ts"].astype("int64") * (
+            1000 if df["ts"].dtype == "datetime64[us]" else 1
+        )
+        df = df.copy()
+        df["bkt"] = (ns // bucket_ns).astype("int64")
+        return df
+
     # stays a Dataset: the result is O(clicks) — data-sized, so the
     # driver never collects it (row order is irrelevant; the
-    # correctness comparator is order-insensitive)
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    # correctness comparator is order-insensitive); per_group emits
+    # only the output columns, so no bkt strip is needed
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby(["user_id", "bkt"])
+        .map_groups(per_group, batch_format="pandas")
+    )
 
 
 def session_windows(sf_dir: str, gap_minutes: int = 30):

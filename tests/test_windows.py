@@ -1,0 +1,127 @@
+"""asof_join's composite (user, time-bucket) salt: a hot user's events
+split across buckets must still resolve cross-bucket lookback through
+the carry-in summaries — including clicks whose nearest earlier view
+lies several empty buckets back."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fastparquet_ray.functions.windows import asof_join
+
+
+def _write_events(d, events: pd.DataFrame):
+    events = events.copy()
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events["value"] = 0.0
+    events["props"] = "{}"
+    pq.write_table(
+        pa.Table.from_pandas(events), d / "events.parquet",
+        row_group_size=128,
+    )
+    return str(d)
+
+
+def _reference(events: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for uid, g in events.groupby("user_id"):
+        clicks = g[g["event_type"] == "click"].sort_values("ts")
+        views = g[g["event_type"] == "view"].sort_values("ts")
+        if clicks.empty or views.empty:
+            continue
+        m = pd.merge_asof(
+            clicks,
+            views[["event_id", "ts"]].rename(
+                columns={"event_id": "view_event_id", "ts": "view_ts"}
+            ),
+            left_on="ts", right_on="view_ts",
+            allow_exact_matches=False, direction="backward",
+        ).dropna(subset=["view_event_id"])
+        if m.empty:
+            continue
+        out.append(
+            pd.DataFrame(
+                {
+                    "event_id": m["event_id"].astype("int64"),
+                    "user_id": m["user_id"].astype("int64"),
+                    "view_event_id": m["view_event_id"].astype("int64"),
+                    "gap_seconds": (m["ts"] - m["view_ts"])
+                    .dt.total_seconds()
+                    .round(6),
+                }
+            )
+        )
+    return (
+        pd.concat(out, ignore_index=True)
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values("event_id").reset_index(drop=True)[
+        ["event_id", "user_id", "view_event_id", "gap_seconds"]
+    ]
+
+
+def test_asof_hot_user_across_buckets(ray_session, tmp_path):
+    """One user owns 80% of a 60-day corpus (spans ~9 weekly buckets);
+    unique per-user ts so the reference is deterministic."""
+    rng = np.random.default_rng(7)
+    n = 4000
+    base = pd.Timestamp("2024-01-01")
+    # unique second offsets over 60 days
+    offs = rng.choice(60 * 86400, size=n, replace=False)
+    user = np.where(rng.random(n) < 0.8, 1, rng.integers(2, 6, n))
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": base + pd.to_timedelta(np.sort(offs), unit="s"),
+            "user_id": user.astype(np.int64),
+            "event_type": rng.choice(
+                ["click", "view", "error"], n, p=[0.4, 0.4, 0.2]
+            ),
+        }
+    )
+    sf = _write_events(tmp_path, events)
+    got = _norm(asof_join(sf).to_pandas())
+    want = _reference(events)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_carry_across_empty_buckets(ray_session, tmp_path):
+    """Clicks whose nearest earlier view sits several buckets back
+    (intervening buckets have no views at all), plus a click with no
+    earlier view anywhere (must be dropped)."""
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: view day 1, clicks on days 2 (same bucket),
+        # 20 and 40 (two and five buckets later, no views between)
+        (0, base + pd.Timedelta(days=1), 1, "view"),
+        (1, base + pd.Timedelta(days=2), 1, "click"),
+        (2, base + pd.Timedelta(days=20), 1, "click"),
+        (3, base + pd.Timedelta(days=40), 1, "click"),
+        # user 2: click BEFORE any view -> no match; later click matches
+        (4, base + pd.Timedelta(days=3), 2, "click"),
+        (5, base + pd.Timedelta(days=4), 2, "view"),
+        (6, base + pd.Timedelta(days=30), 2, "click"),
+        # user 3: two views same bucket, later click takes the latest
+        (7, base + pd.Timedelta(days=1, hours=1), 3, "view"),
+        (8, base + pd.Timedelta(days=1, hours=2), 3, "view"),
+        (9, base + pd.Timedelta(days=15), 3, "click"),
+    ]
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    sf = _write_events(tmp_path, events)
+    got = _norm(asof_join(sf).to_pandas())
+    want = _reference(events)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the no-earlier-view click must be absent
+    assert 4 not in set(got["event_id"])
+    # day-40 click resolved through the carry chain to the day-1 view
+    assert got.loc[got["event_id"] == 3, "view_event_id"].iloc[0] == 0
+    # latest of the two same-bucket views wins
+    assert got.loc[got["event_id"] == 9, "view_event_id"].iloc[0] == 8
