@@ -234,7 +234,9 @@ class MinHasher:
 MAX_BUCKET_ALL_PAIRS = 64
 
 
-def _multi_bucket_keys(ds, key_col: str) -> np.ndarray:
+def _multi_bucket_keys(
+    ds, key_col: str, weight_col: str | None = None
+) -> np.ndarray:
     """EXACT multi-member bucket discovery WITHOUT a per-group
     aggregate. Ray's groupby().aggregate() pays ~0.7 ms of per-group
     apply overhead (measured: 60k distinct keys = 40 s on 16 CPUs),
@@ -245,7 +247,12 @@ def _multi_bucket_keys(ds, key_col: str) -> np.ndarray:
     bucket can span blocks, since sorted runs are contiguous). The
     driver receives only candidate multi-keys plus 2 keys per block
     and resolves boundary counts by summation — exact. ~100x faster
-    than the aggregate at sf0.1 cardinalities."""
+    than the aggregate at sf0.1 cardinalities.
+
+    ``weight_col``: rows are pre-collapsed (key, count) partials
+    rather than one row per member — membership counts are the SUM of
+    weights, shrinking the sort exchange by the input's per-block
+    duplication factor."""
     srt = ds.sort(key_col)
 
     def summarize(t: pa.Table) -> pa.Table:
@@ -255,7 +262,12 @@ def _multi_bucket_keys(ds, key_col: str) -> np.ndarray:
                 {"key": pa.array([], pa.int64()),
                  "n": pa.array([], pa.int64())}
             )
-        u, c = np.unique(keys, return_counts=True)
+        if weight_col is None:
+            u, c = np.unique(keys, return_counts=True)
+        else:
+            w = t.column(weight_col).to_numpy(zero_copy_only=False)
+            u, inv = np.unique(keys, return_inverse=True)
+            c = np.bincount(inv, weights=w).astype(np.int64)
         keep = (c >= 2) | (u == keys[0]) | (u == keys[-1])
         return pa.table(
             {"key": pa.array(u[keep], pa.int64()),
@@ -986,23 +998,42 @@ def dup_ngram_spans(sf_dir: str, w: int = 8):
         flat, offs, ids = _flat(t)
         h, di = _window_hashes(flat, offs, w)
         if h.size == 0:
-            return pa.table({"h": pa.array([], pa.int64())})
-        # per-doc UNIQUE hash rows: _multi_bucket_keys' row counts over
-        # these equal DISTINCT-doc counts (each doc contributes a given
-        # hash at most once, and a doc lives in exactly one block).
-        # lexsort + adjacent-diff mask beats np.unique(axis=0) ~5x (no
-        # void-dtype view), and ONLY the hash column ships — the
-        # exchange needs key multiplicity, not doc identity.
+            return pa.table(
+                {"h": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        # per-doc UNIQUE hash rows: weights over these equal
+        # DISTINCT-doc counts (each doc contributes a given hash at
+        # most once, and a doc lives in exactly one block). lexsort +
+        # adjacent-diff mask beats np.unique(axis=0) ~5x (no
+        # void-dtype view); the (doc, hash) pairs then pre-collapse to
+        # per-block (hash, n_docs) partials so in-block duplication
+        # never reaches the sort exchange — only key multiplicity
+        # ships, never doc identity.
         hs = h.view(np.int64)
-        order = np.lexsort((hs, di))
+        # hash-PRIMARY lexsort: the (hash, doc) dedup mask and the
+        # per-hash run-length counts are then both adjacent-diff
+        # passes over the same single sort — no second sort for the
+        # (hash, n_docs) collapse
+        order = np.lexsort((di, hs))
         hs, dsort = hs[order], di[order]
         keep = np.concatenate(
             [[True], (hs[1:] != hs[:-1]) | (dsort[1:] != dsort[:-1])]
         )
-        return pa.table({"h": pa.array(hs[keep], pa.int64())})
+        hk = hs[keep]
+        starts = np.flatnonzero(
+            np.concatenate([[True], hk[1:] != hk[:-1]])
+        )
+        return pa.table(
+            {"h": pa.array(hk[starts], pa.int64()),
+             "n": pa.array(
+                 np.diff(np.append(starts, hk.size)).astype(np.int64),
+                 pa.int64(),
+             )}
+        )
 
     pairs = ds.map_batches(hash_doc_pairs, batch_format="pyarrow")
-    dup_keys = _multi_bucket_keys(pairs, "h")  # >= 2 distinct docs
+    dup_keys = _multi_bucket_keys(pairs, "h", weight_col="n")  # >= 2 docs
     dup_ref = ray.put(np.sort(dup_keys))
 
     class CountDups:
