@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_agg": windows.windowed_agg,
         "asof_join": windows.asof_join,
         "range_join": windows.range_join,
+        "rolling_avg": windows.rolling_avg,
         "session_windows": windows.session_windows,
         # --- windowed analytics / OLAP (analytics.py) ---
         "window_rank": analytics.window_rank,
@@ -88,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": analytics.grouped_quantiles,
         "left_outer_join": analytics.left_outer_join,
         "argmax_per_group": analytics.argmax_per_group,
+        "regression_by_group": analytics.regression_by_group,
+        "langs_per_source": relational.langs_per_source,
         "quantiles_cont": sketches.quantiles_cont,
         # --- flagship encode engine (tokens table) ---
         "tokens_groupby_source": flagship.tokens_groupby_source,
@@ -283,6 +286,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'click') a "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') b "
             "ON a.user_id = b.user_id AND a.ts > b.ts"
+        ),
+        "rolling_avg": (
+            "SELECT event_id, user_id, "
+            "ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW), 6) "
+            "AS avg_win FROM events"
+        ),
+        "regression_by_group": (
+            "SELECT l_returnflag, "
+            "ROUND(regr_slope(l_quantity, l_extendedprice), 6) AS slope, "
+            "ROUND(regr_intercept(l_quantity, l_extendedprice), 6) "
+            "AS intercept, "
+            "ROUND(covar_pop(l_extendedprice, l_quantity), 6) AS covar_pq "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "langs_per_source": (
+            "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) "
+            "AS langs FROM documents GROUP BY source"
         ),
         "range_join": (
             "SELECT a.event_id, a.user_id, "

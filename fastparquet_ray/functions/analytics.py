@@ -513,6 +513,58 @@ def left_outer_join(sf_dir: str):
     ).sort_values("c_custkey").reset_index(drop=True)
 
 
+def regression_by_group(sf_dir: str):
+    """SQL linear-regression aggregates per group (regr_slope /
+    regr_intercept of l_quantity on l_extendedprice, plus covar_pop)
+    — the two-column fit a data-quality pass runs to spot degenerate
+    feature relationships. Mergeable sufficient statistics: per-batch
+    sums of (n, x, y, xy, x^2) collapse each block to one row per
+    group, merged by groupagg, and the closed-form fit runs on the
+    tiny merged frame. Raw float64 sums agree with the oracle at the
+    6-dp rounding on this data (verified); corpora with extreme
+    dynamic range would center on a broadcast first-pass mean
+    instead."""
+    from .groupagg import merge_partials
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_extendedprice"].to_numpy(np.float64)
+        y = df["l_quantity"].to_numpy(np.float64)
+        g = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "n": 1.0,
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    ops = {c: "sum" for c in ["n", "sx", "sy", "sxy", "sxx"]}
+    m = merge_partials(
+        ds.map_batches(partial, batch_format="pandas"), ["l_returnflag"], ops
+    ).sort_values("l_returnflag")
+    n = m["n"].to_numpy()
+    sx, sy = m["sx"].to_numpy(), m["sy"].to_numpy()
+    sxy, sxx = m["sxy"].to_numpy(), m["sxx"].to_numpy()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = sy / n - slope * (sx / n)
+    covar = (sxy - sx * sy / n) / n
+    return pd.DataFrame(
+        {
+            "l_returnflag": m["l_returnflag"].to_numpy(),
+            "slope": np.round(slope, 6),
+            "intercept": np.round(intercept, 6),
+            "covar_pq": np.round(covar, 6),
+        }
+    ).reset_index(drop=True)
+
+
 def argmax_per_group(sf_dir: str):
     """max_by / arg-max surface: for each l_returnflag, the row holding
     the maximum l_extendedprice (smallest l_orderkey on price ties —

@@ -730,6 +730,32 @@ def except_keys(sf_dir: str):
     ).sort_values("o_custkey").reset_index(drop=True)
 
 
+def langs_per_source(sf_dir: str):
+    """Ordered string aggregation (SQL string_agg DISTINCT ... ORDER
+    BY): the comma-joined sorted set of langs seen per source over the
+    documents table. Per-block Arrow distinct partials collapse each
+    block to its (source, lang) pairs, the driver merges at
+    sources x langs cardinality, and the join/ordering happens on that
+    scalar-sized frame — the corpus never ships, only pair sets."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["source", "lang"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+        .sort_values(["source", "lang"])
+    )
+    out = (
+        pairs.groupby("source", as_index=False)["lang"]
+        .agg(",".join)
+        .rename(columns={"lang": "langs"})
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def union_distinct(sf_dir: str):
     """UNION (DISTINCT) — union_all's sibling with the dedup exchange
     (SURVEY §2.8): extreme-quantity lineitem keys, one row per

@@ -247,6 +247,39 @@ def session_windows(sf_dir: str, gap_minutes: int = 30):
     return out
 
 
+def rolling_avg(sf_dir: str, window_minutes: int = 10):
+    """Moving time-window average per user: for every event, the mean
+    of `value` over the user's events in the preceding
+    ``window_minutes`` RANGE frame (inclusive of the current row and
+    of ts ties on both frame edges — SQL RANGE semantics, not ROWS).
+    Composition: groupby(user_id) co-locates, then ONE sorted
+    prefix-sum + two searchsorteds per group — O(n log n) in the
+    user's events with no pairwise expansion (range_join's shape,
+    generalized from counting to a windowed mean)."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    win = np.timedelta64(window_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].to_numpy()
+        vals = g["value"].to_numpy(np.float64)
+        cs = np.concatenate([[0.0], np.cumsum(vals)])
+        # RANGE frame: every row with ts in [t - win, t], including
+        # equal-ts rows positioned after the current one
+        lo = np.searchsorted(ts, ts - win, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        avg = (cs[hi] - cs[lo]) / (hi - lo)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64"),
+                "user_id": g["user_id"].astype("int64"),
+                "avg_win": np.round(avg, 6),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
 def range_join(sf_dir: str):
     """Range (band) join: pair each 'error' event with the count of
     events of the same user within the preceding 5 minutes. Composition:

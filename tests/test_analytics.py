@@ -391,3 +391,51 @@ def test_set_ops_and_mode(ray_session, sf_dir):
         ).df()
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_rolling_avg_range_ties(ray_session, sf_dir):
+    """RANGE-frame semantics under ts ties: equal-ts rows of a user
+    must all see the same window (including tied rows positioned
+    after themselves in any ordering)."""
+    from fastparquet_ray.functions.windows import rolling_avg
+
+    got = _norm(rolling_avg(sf_dir).to_pandas())
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT event_id, user_id, "
+            "ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW), 6)"
+            " AS avg_win FROM events"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_regression_by_group(ray_session, sf_dir):
+    from fastparquet_ray.functions.analytics import regression_by_group
+
+    got = _norm(regression_by_group(sf_dir))
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT l_returnflag, "
+            "ROUND(regr_slope(l_quantity, l_extendedprice), 6) AS slope, "
+            "ROUND(regr_intercept(l_quantity, l_extendedprice), 6) "
+            "AS intercept, "
+            "ROUND(covar_pop(l_extendedprice, l_quantity), 6) AS covar_pq "
+            "FROM lineitem GROUP BY l_returnflag"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_langs_per_source(ray_session, sf_dir):
+    from fastparquet_ray.functions.relational import langs_per_source
+
+    got = _norm(langs_per_source(sf_dir))
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) "
+            "AS langs FROM documents GROUP BY source"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
