@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "argmax_per_group": analytics.argmax_per_group,
         "regression_by_group": analytics.regression_by_group,
         "langs_per_source": relational.langs_per_source,
+        "unpivot_metrics": relational.unpivot_metrics,
+        "cross_join_small": relational.cross_join_small,
         "quantiles_cont": sketches.quantiles_cont,
         # --- flagship encode engine (tokens table) ---
         "tokens_groupby_source": flagship.tokens_groupby_source,
@@ -304,6 +306,15 @@ def oracle_sql() -> dict[str, str]:
         "langs_per_source": (
             "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) "
             "AS langs FROM documents GROUP BY source"
+        ),
+        "unpivot_metrics": (
+            "SELECT l_orderkey, metric, CAST(val AS DOUBLE) AS val FROM "
+            "(SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem) "
+            "UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice))"
+        ),
+        "cross_join_small": (
+            "SELECT r_regionkey, r_name, n_nationkey, n_name "
+            "FROM region CROSS JOIN nation"
         ),
         "range_join": (
             "SELECT a.event_id, a.user_id, "

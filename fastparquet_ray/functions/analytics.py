@@ -4,10 +4,13 @@ composition rules (ray_guide: pre-aggregate before the exchange; keep
 the driver to scalar/merge work only).
 
 Partitioning assumptions (documented per the build brief):
-- window_rank / window_lag: co-location by user_id — ONE hash exchange
-  via groupby(user_id); window_rank additionally prunes each block to
-  its per-user top-k BEFORE the exchange, so the shuffle carries at
-  most k rows per (block, user) regardless of corpus size.
+- window_rank: co-location by user_id — ONE hash exchange via
+  groupby(user_id); a per-batch partial prunes every block to its
+  per-user top-k BEFORE the exchange, so the shuffle carries at most
+  k rows per (block, user) regardless of corpus size.
+- window_lag: composite (user_id, coarse time bucket) exchange key
+  with a per-bucket predecessor carry-in (windows.asof_join's salt
+  recipe), so hot users split across groups.
 - rollup / pivot / moments: grouping keys are low-cardinality, so the
   exchange after the per-batch partials is a few-hundred-row groupby;
   all subtotal/pivot/variance math happens on the tiny merged result.
@@ -87,21 +90,79 @@ def window_rank(sf_dir: str, k: int = 3):
     )
 
 
-def window_lag(sf_dir: str):
+def window_lag(sf_dir: str, salt_days: int = 7):
     """lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id):
     per-user delta between consecutive event values (rows with no
     predecessor are dropped, matching SQL's NULL-lag filter).
 
-    Unlike window_rank there is no lossless pre-prune (every row needs
-    its in-order predecessor), so this is the canonical ONE-exchange
-    window: groupby(user_id) co-locates, per-group sort + vectorized
-    diff computes the lag. Skewed users would be salted by coarse time
-    range with one overlap row per salt boundary (same note as
-    windows.asof_join)."""
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    Skew-bounded like windows.asof_join: the exchange keys on the
+    COMPOSITE (user_id, coarse ``salt_days`` bucket), so a hot user's
+    events never land in one unbounded group. The in-order predecessor
+    of a bucket's first row is restored by a carry-in: each block
+    contributes its last (ts, event_id, value) candidate per
+    (user, bucket); the driver resolves the true per-bucket last rows
+    (O(users x buckets), the grouped-aggregate footprint) and each
+    group prepends its nearest earlier bucket's last row, whose own
+    delta is NOT emitted (it belongs to the earlier bucket)."""
+    import ray
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    bucket_ns = np.int64(salt_days) * 86_400 * 1_000_000_000
+
+    def _with_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df["ts"].astype("int64") * (
+            1000 if df["ts"].dtype == "datetime64[us]" else 1
+        )
+        df = df.copy()
+        df["bkt"] = (ns // bucket_ns).astype("int64")
+        return df
+
+    def last_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = _with_bkt(df).sort_values(["ts", "event_id"], kind="mergesort")
+        return df.groupby(["user_id", "bkt"], sort=False).tail(1)[
+            ["user_id", "bkt", "ts", "event_id", "value"]
+        ]
+
+    summ = (
+        ds.map_batches(last_partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "bkt", "ts", "event_id"])
+        .groupby(["user_id", "bkt"], as_index=False, sort=True)
+        .tail(1)
+    )
+    carry = {}
+    for uid, sub in summ.groupby("user_id", sort=False):
+        carry[int(uid)] = (
+            sub["bkt"].to_numpy(),
+            sub["ts"].to_numpy(),
+            sub["event_id"].to_numpy(),
+            sub["value"].to_numpy(),
+        )
+    carry_ref = ray.put(carry)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        uid = int(g["user_id"].iloc[0])
+        bkt = int(g["bkt"].iloc[0])
+        cu = ray.get(carry_ref).get(uid)
+        if cu is not None:
+            bkts, tss, ids, vals = cu
+            pos = np.searchsorted(bkts, bkt) - 1
+            if pos >= 0:
+                prev = pd.DataFrame(
+                    {
+                        "event_id": pd.array([ids[pos]], dtype="int64"),
+                        "user_id": pd.array([uid], dtype="int64"),
+                        "ts": pd.Series([tss[pos]], dtype=g["ts"].dtype),
+                        "value": pd.array(
+                            [vals[pos]], dtype="float64"
+                        ),
+                        "bkt": pd.array([bkt], dtype="int64"),
+                    }
+                )
+                # carry row sits at position 0; its own delta is never
+                # emitted because outputs are attributed to rows 1..n
+                g = pd.concat([prev, g], ignore_index=True)
         v = g["value"].to_numpy()
         if len(g) < 2:
             return pd.DataFrame(
@@ -120,7 +181,11 @@ def window_lag(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(_with_bkt, batch_format="pandas")
+        .groupby(["user_id", "bkt"])
+        .map_groups(per_group, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------------

@@ -730,6 +730,65 @@ def except_keys(sf_dir: str):
     ).sort_values("o_custkey").reset_index(drop=True)
 
 
+def unpivot_metrics(sf_dir: str):
+    """UNPIVOT / melt (wide -> long reshaping): each lineitem row's
+    (l_quantity, l_extendedprice) pair becomes two (metric, val) rows.
+    Stateless per-batch Arrow reshape — column concat + a repeated
+    dictionary metric column, zero exchange, output streams."""
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"]
+    )
+    metrics = ["l_quantity", "l_extendedprice"]
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys = pa.concat_arrays(
+            [t.column("l_orderkey").combine_chunks()] * len(metrics)
+        )
+        metric = pa.concat_arrays(
+            [
+                pa.array([m] * n, pa.string())
+                for m in metrics
+            ]
+        )
+        val = pa.concat_arrays(
+            [
+                t.column(m).combine_chunks().cast(pa.float64())
+                for m in metrics
+            ]
+        )
+        return pa.table(
+            {"l_orderkey": keys, "metric": metric, "val": val}
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def cross_join_small(sf_dir: str):
+    """CROSS JOIN of two small dimension tables (region x nation):
+    the broadcast product shape — one side is ray.put once and the
+    product is emitted per-batch of the other side; no exchange. A
+    large x large cross product is refused by design (it is never the
+    right query at corpus scale)."""
+    import ray
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n_ref = ray.put(nation)
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+
+    class Product:
+        def __init__(self, ref):
+            self.n = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.n, how="cross")
+
+    return region.map_batches(
+        Product, fn_constructor_kwargs={"ref": n_ref},
+        batch_format="pandas", concurrency=(1, 2),
+    )
+
+
 def langs_per_source(sf_dir: str):
     """Ordered string aggregation (SQL string_agg DISTINCT ... ORDER
     BY): the comma-joined sorted set of langs seen per source over the

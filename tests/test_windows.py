@@ -15,7 +15,8 @@ from fastparquet_ray.functions.windows import asof_join
 def _write_events(d, events: pd.DataFrame):
     events = events.copy()
     events["ts"] = events["ts"].astype("datetime64[us]")
-    events["value"] = 0.0
+    if "value" not in events.columns:
+        events["value"] = 0.0
     events["props"] = "{}"
     pq.write_table(
         pa.Table.from_pandas(events), d / "events.parquet",
@@ -125,3 +126,50 @@ def test_asof_carry_across_empty_buckets(ray_session, tmp_path):
     assert got.loc[got["event_id"] == 3, "view_event_id"].iloc[0] == 0
     # latest of the two same-bucket views wins
     assert got.loc[got["event_id"] == 9, "view_event_id"].iloc[0] == 8
+
+
+def test_window_lag_hot_user_salted(ray_session, tmp_path):
+    """window_lag's composite salt: deltas across bucket borders must
+    come from the carry-in predecessor, verified against DuckDB's
+    lag() on a corpus where one user dominates and spans ~9 buckets."""
+    import duckdb
+
+    from fastparquet_ray.functions.analytics import window_lag
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    base = pd.Timestamp("2024-01-01")
+    offs = rng.choice(60 * 86400, size=n, replace=False)
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": base + pd.to_timedelta(np.sort(offs), unit="s"),
+            "user_id": np.where(
+                rng.random(n) < 0.7, 1, rng.integers(2, 5, n)
+            ).astype(np.int64),
+            "event_type": rng.choice(["click", "view"], n),
+        }
+    )
+    events["value"] = np.round(rng.normal(0, 10, n), 4)
+    d = tmp_path / "lag"
+    d.mkdir()
+    sf = _write_events(d, events)
+    got = (
+        window_lag(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT event_id, user_id, ROUND(value - lag(value) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+        FROM read_parquet('{sf}/events.parquet')
+        QUALIFY delta IS NOT NULL
+        ORDER BY event_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got, want.reset_index(drop=True), check_dtype=False
+    )
