@@ -247,19 +247,55 @@ def session_windows(sf_dir: str, gap_minutes: int = 30):
     return out
 
 
-def rolling_avg(sf_dir: str, window_minutes: int = 10):
+def _salted_lookback(ds, win, salt_days: int, per_group):
+    """Shared skew bound for bounded-lookback window operators
+    (rolling_avg, range_join): rows are assigned to a composite
+    (user_id, coarse ``salt_days`` bucket) key, and every row within
+    ``win`` of the NEXT bucket's start is REPLICATED there as a ghost
+    (ghost rows feed the window math but emit no output). Because
+    win << bucket, the replication overhead is ~win/bucket (0.1% at
+    10 min / 7 days) and the composition is fully distributed — no
+    driver-held carry state at all, unlike the unbounded-lookback
+    asof_join. ``per_group`` receives the sorted group WITH ghosts and
+    a boolean 'ghost' column."""
+    bucket_ns = np.int64(salt_days) * 86_400 * 1_000_000_000
+    win_ns = np.int64(win // np.timedelta64(1, "ns"))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df["ts"].astype("int64") * (
+            1000 if df["ts"].dtype == "datetime64[us]" else 1
+        )
+        bkt = (ns // bucket_ns).to_numpy()
+        own = df.copy()
+        own["bkt"] = bkt.astype("int64")
+        own["ghost"] = False
+        tail = ((ns % bucket_ns) >= bucket_ns - win_ns).to_numpy()
+        gh = df[tail].copy()
+        gh["bkt"] = (bkt[tail] + 1).astype("int64")
+        gh["ghost"] = True
+        return pd.concat([own, gh], ignore_index=True)
+
+    return (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby(["user_id", "bkt"])
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+def rolling_avg(sf_dir: str, window_minutes: int = 10, salt_days: int = 7):
     """Moving time-window average per user: for every event, the mean
     of `value` over the user's events in the preceding
     ``window_minutes`` RANGE frame (inclusive of the current row and
     of ts ties on both frame edges — SQL RANGE semantics, not ROWS).
-    Composition: groupby(user_id) co-locates, then ONE sorted
-    prefix-sum + two searchsorteds per group — O(n log n) in the
-    user's events with no pairwise expansion (range_join's shape,
-    generalized from counting to a windowed mean)."""
+    Composition: the _salted_lookback composite-key exchange (hot
+    users split across time buckets; ghost-replicated boundary rows
+    supply cross-border lookback), then ONE sorted prefix-sum + two
+    searchsorteds per group — O(n log n) in the group's events with
+    no pairwise expansion."""
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
     win = np.timedelta64(window_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
         ts = g["ts"].to_numpy()
         vals = g["value"].to_numpy(np.float64)
@@ -269,27 +305,31 @@ def rolling_avg(sf_dir: str, window_minutes: int = 10):
         lo = np.searchsorted(ts, ts - win, side="left")
         hi = np.searchsorted(ts, ts, side="right")
         avg = (cs[hi] - cs[lo]) / (hi - lo)
+        keep = ~g["ghost"].to_numpy()
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].astype("int64"),
-                "user_id": g["user_id"].astype("int64"),
-                "avg_win": np.round(avg, 6),
+                "event_id": g["event_id"].astype("int64")[keep],
+                "user_id": g["user_id"].astype("int64")[keep],
+                "avg_win": np.round(avg, 6)[keep],
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _salted_lookback(ds, win, salt_days, per_group)
 
 
-def range_join(sf_dir: str):
+def range_join(sf_dir: str, salt_days: int = 7):
     """Range (band) join: pair each 'error' event with the count of
-    events of the same user within the preceding 5 minutes. Composition:
-    groupby(user_id) -> per-group sorted searchsorted (vectorized) —
-    no pairwise blowup."""
+    events of the same user within the preceding 5 minutes.
+    Composition: the _salted_lookback composite (user, bucket)
+    exchange with 5-minute ghost overlap, then a per-group sorted
+    searchsorted (vectorized) — no pairwise blowup, no driver state,
+    hot users bounded by their per-bucket traffic."""
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    win = np.timedelta64(300, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts").reset_index(drop=True)
-        errors = g[g["event_type"] == "error"]
+        errors = g[(g["event_type"] == "error") & ~g["ghost"]]
         if errors.empty:
             return pd.DataFrame(
                 {
@@ -299,7 +339,7 @@ def range_join(sf_dir: str):
                 }
             )
         ts = g["ts"].to_numpy()
-        lo = np.searchsorted(ts, errors["ts"].to_numpy() - np.timedelta64(300, "s"), side="left")
+        lo = np.searchsorted(ts, errors["ts"].to_numpy() - win, side="left")
         hi = np.searchsorted(ts, errors["ts"].to_numpy(), side="left")
         return pd.DataFrame(
             {
@@ -309,5 +349,4 @@ def range_join(sf_dir: str):
             }
         )
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    return out
+    return _salted_lookback(ds, win, salt_days, per_group)

@@ -173,3 +173,74 @@ def test_window_lag_hot_user_salted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got, want.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_salted_lookback_ghost_boundary(ray_session, tmp_path):
+    """rolling_avg and range_join across bucket borders: events sitting
+    just inside the previous bucket must feed the next bucket's window
+    through ghost replication — exact boundary ts included."""
+    import duckdb
+
+    from fastparquet_ray.functions.windows import range_join, rolling_avg
+
+    base = pd.Timestamp("2024-01-01")
+    week = pd.Timedelta(days=7)
+    rows = []
+    eid = 0
+    # cluster of events straddling each of three weekly boundaries,
+    # spaced 2 minutes apart (inside the 5/10-minute windows)
+    for k in (1, 2, 3):
+        b = base + k * week
+        for dm in (-9, -6, -3, -1, 0, 1, 4):
+            rows.append(
+                (eid, b + pd.Timedelta(minutes=dm), 1,
+                 "error" if dm in (0, 1, 4) else "view")
+            )
+            eid += 1
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    events["value"] = np.round(
+        np.random.default_rng(3).normal(5, 2, len(events)), 4
+    )
+    d = tmp_path / "ghost"
+    d.mkdir()
+    sf = _write_events(d, events)
+    con = duckdb.connect()
+
+    got = (
+        rolling_avg(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        f"""
+        SELECT event_id, user_id, ROUND(avg(value) OVER (
+          PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW
+        ), 6) AS avg_win
+        FROM read_parquet('{sf}/events.parquet') ORDER BY event_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    got = (
+        range_join(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = con.execute(
+        f"""
+        SELECT a.event_id, a.user_id,
+          CAST(count(b.event_id) AS BIGINT) AS preceding_5min
+        FROM (SELECT * FROM read_parquet('{sf}/events.parquet')
+              WHERE event_type = 'error') a
+        LEFT JOIN read_parquet('{sf}/events.parquet') b
+          ON a.user_id = b.user_id
+          AND b.ts >= a.ts - INTERVAL 5 MINUTE AND b.ts < a.ts
+        GROUP BY a.event_id, a.user_id ORDER BY a.event_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
