@@ -8,11 +8,15 @@ map_groups.
 Partitioning assumptions (documented per the build brief):
 - windowed_agg: none — window key is computed per row, aggregation is
   a partial-then-final groupby on (event_type, window).
-- asof_join: co-location by user_id via groupby(user_id); within a
-  group, events are sorted by ts before merge_asof. At 100 TB the
-  groupby is the one all-to-all exchange; skewed users would be salted
-  by coarse time range (each salt bucket overlaps one window of the
-  build side).
+- asof_join: composite (user_id, coarse time bucket) exchange key —
+  hot users split across buckets; unbounded lookback restored by a
+  driver-resolved per-(user, bucket) latest-view carry-in.
+- rolling_avg / range_join: same composite key; BOUNDED lookback is
+  restored by ghost-replicating boundary rows into the next bucket
+  (_salted_lookback) — fully distributed, ~win/bucket overhead.
+- session_windows: same composite key; interior sessions stream from
+  workers, border sessions (<= 2 per user-bucket) are stitched into
+  cross-bucket chains on the driver.
 """
 
 from __future__ import annotations
@@ -222,29 +226,104 @@ def asof_join(sf_dir: str, salt_days: int = 7):
     )
 
 
-def session_windows(sf_dir: str, gap_minutes: int = 30):
+def session_windows(sf_dir: str, gap_minutes: int = 30, salt_days: int = 7):
     """Session windows per user (gap > ``gap_minutes`` starts a new
-    session): per-session start time and event count. Composition:
-    groupby(user_id) co-locates, per-group sort + diff + cumsum builds
-    session ids — the standard sessionization without event-time
-    watermarks (Ray Data is batch; ordering within a user is explicit).
-    """
+    session): per-session start time and event count.
+
+    Skew-bounded sessionization: the exchange keys on the composite
+    (user_id, coarse ``salt_days`` bucket); each group sessionizes
+    locally (sort + diff + cumsum), emits its INTERIOR sessions
+    directly into the streaming output, and sends only its first/last
+    border sessions (<= 2 rows per (user, bucket)) to the driver,
+    which stitches cross-bucket chains by walking each user's border
+    candidates in time order and merging neighbors closer than the
+    gap. A session chain spanning k buckets costs k driver rows; an
+    empty bucket can never hide a mergeable pair (its width >> gap),
+    and the candidate walk compares real timestamps, not bucket
+    adjacency, so it is exact regardless. Driver state is
+    O(users x buckets); event rows never leave the workers."""
+    import ray
+    import ray.data
+
     ds = _events(sf_dir, ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
+    bucket_ns = np.int64(salt_days) * 86_400 * 1_000_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df["ts"].astype("int64") * (
+            1000 if df["ts"].dtype == "datetime64[us]" else 1
+        )
+        df = df.copy()
+        df["bkt"] = (ns // bucket_ns).astype("int64")
+        return df
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts").reset_index(drop=True)
         brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
         sid = brk.cumsum()
-        out = (
+        s = (
             pd.DataFrame({"user_id": g["user_id"], "ts": g["ts"], "sid": sid})
             .groupby(["user_id", "sid"], as_index=False)
-            .agg(session_start=("ts", "min"), n_events=("ts", "size"))
+            .agg(
+                session_start=("ts", "min"),
+                n_events=("ts", "size"),
+                last_ts=("ts", "max"),
+            )
         )
-        return out[["user_id", "session_start", "n_events"]]
+        border = (s["sid"] == s["sid"].iloc[0]) | (
+            s["sid"] == s["sid"].iloc[-1]
+        )
+        s = s.drop(columns=["sid"])
+        s["border"] = border.to_numpy()
+        return s[["user_id", "session_start", "n_events", "last_ts", "border"]]
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    return out
+    sessions = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby(["user_id", "bkt"])
+        .map_groups(per_group, batch_format="pandas")
+        .materialize()  # consumed twice: interior stream + border pull
+    )
+
+    def interior(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[~df["border"]]
+        return keep[["user_id", "session_start", "n_events"]]
+
+    cand = (
+        sessions.map_batches(
+            lambda df: df[df["border"]], batch_format="pandas"
+        )
+        .to_pandas()  # <= 2 per (user, bucket)
+        .sort_values(["user_id", "session_start"])
+    )
+    fixed = []
+    for uid, sub in cand.groupby("user_id", sort=False):
+        start = n = last = None
+        for row in sub.itertuples(index=False):
+            if start is not None and (
+                row.session_start - last
+            ) <= gap:
+                n += row.n_events
+                last = max(last, row.last_ts)
+                continue
+            if start is not None:
+                fixed.append((uid, start, n))
+            start, n, last = row.session_start, row.n_events, row.last_ts
+        if start is not None:
+            fixed.append((uid, start, n))
+    fixed_df = pd.DataFrame(
+        fixed, columns=["user_id", "session_start", "n_events"]
+    )
+    if not fixed_df.empty:
+        fixed_df["user_id"] = fixed_df["user_id"].astype("int64")
+        fixed_df["n_events"] = fixed_df["n_events"].astype("int64")
+        fixed_df["session_start"] = fixed_df["session_start"].astype(
+            cand["session_start"].dtype
+        )
+
+    out = sessions.map_batches(interior, batch_format="pandas")
+    if fixed_df.empty:
+        return out
+    return out.union(ray.data.from_pandas(fixed_df))
 
 
 def _salted_lookback(ds, win, salt_days: int, per_group):

@@ -244,3 +244,56 @@ def test_salted_lookback_ghost_boundary(ray_session, tmp_path):
         """
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session_windows_chain_across_buckets(ray_session, tmp_path):
+    """A session whose events straddle a weekly bucket border must be
+    stitched into ONE session by the border walk; independent sessions
+    on each side of a wide gap must stay separate."""
+    import duckdb
+
+    from fastparquet_ray.functions.windows import session_windows
+
+    base = pd.Timestamp("2024-01-01")
+    week = pd.Timedelta(days=7)
+    rows = []
+    eid = 0
+    # user 1: 5-event session straddling the boundary (10-min spacing),
+    # then an isolated later session
+    for dm in (-25, -15, -5, 5, 15):
+        rows.append((eid, base + week + pd.Timedelta(minutes=dm), 1)); eid += 1
+    rows.append((eid, base + week + pd.Timedelta(hours=9), 1)); eid += 1
+    # user 2: interior-only sessions far from borders
+    for dm in (0, 10, 500, 510):
+        rows.append((eid, base + pd.Timedelta(days=3, minutes=dm), 2)); eid += 1
+    events = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    events["event_type"] = "view"
+    d = tmp_path / "sess"
+    d.mkdir()
+    sf = _write_events(d, events)
+    got = (
+        session_windows(sf)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH d AS (SELECT user_id, ts,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+            > INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id
+            ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk FROM
+            read_parquet('{sf}/events.parquet')),
+        s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id
+          ORDER BY ts) AS sid FROM d)
+        SELECT user_id, min(ts) AS session_start,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the straddling session is one 5-event session
+    u1 = got[got["user_id"] == 1]
+    assert list(u1["n_events"]) == [5, 1]
