@@ -193,7 +193,8 @@ def run_bench() -> dict:
             "groupby_agg", "dedup_exact", "token_count", "ann_topk",
             "corpus_clean", "token_topk", "ngram_jaccard_pairs",
             "minhash_lsh_pairs", "tfidf_topk", "window_lag",
-            "left_outer_join", "dup_ngram_spans",
+            "left_outer_join", "dup_ngram_spans", "rolling_avg",
+            "session_windows", "regression_by_group",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)
