@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_outer_join": analytics.left_outer_join,
         "argmax_per_group": analytics.argmax_per_group,
         "regression_by_group": analytics.regression_by_group,
+        "running_sum": analytics.running_sum,
+        "histogram": analytics.histogram,
         "langs_per_source": relational.langs_per_source,
         "unpivot_metrics": relational.unpivot_metrics,
         "cross_join_small": relational.cross_join_small,
@@ -107,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": sketches.token_topk,
         "token_docfreq": sketches.token_docfreq,
         "tfidf_topk": sketches.tfidf_topk,
+        "entropy_by_source": sketches.entropy_by_source,
         "distinct_count_approx": sketches.distinct_count_approx,
         "quantiles": sketches.quantiles,
         "codec_plan": flagship.codec_plan_report,
@@ -116,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": dedup.corpus_clean,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         "simhash": dedup.simhash,
         # --- deterministic sampling / mixture assembly ---
         "sample_hash": sampling.sample_hash,
@@ -307,6 +311,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) "
             "AS langs FROM documents GROUP BY source"
         ),
+        "running_sum": (
+            "SELECT event_id, user_id, ROUND(sum(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) "
+            "AS run_sum FROM events"
+        ),
+        # bin edges are pure int64 arithmetic on both sides — no float
+        # boundary ambiguity between the engine and the oracle
+        "histogram": (
+            "WITH mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi "
+            "FROM documents) "
+            "SELECT (n_chars - lo) * 20 // (hi - lo + 1) AS bin, "
+            "count(*) AS n FROM documents, mm GROUP BY bin"
+        ),
         "unpivot_metrics": (
             "SELECT l_orderkey, metric, CAST(val AS DOUBLE) AS val FROM "
             "(SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem) "
@@ -484,6 +502,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM s) "
             "SELECT source, tok, score, rn FROM r WHERE rn <= 3"
         ),
+        # DuckDB's entropy() is log-base-2 — same formula the engine
+        # folds from its (source, tok) count partials
+        "entropy_by_source": (
+            "SELECT source, ROUND(entropy(tok), 6) AS ent FROM ("
+            "SELECT source, unnest(tokens) AS tok FROM "
+            f"read_parquet('{_TOKENS_GLOB}')) GROUP BY source"
+        ),
         "quantiles": (
             "SELECT q, value FROM ("
             "SELECT CAST(0.01 AS DOUBLE) AS q, "
@@ -573,6 +598,32 @@ def oracle_sql() -> dict[str, str]:
             "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) "
             "AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
             "WHERE jaccard >= 0.5"
+        ),
+        # connected components over the same exact all-pairs edge set:
+        # a recursive min-label closure (label L reaches node n iff a
+        # path L->...->n exists; the component min reaches every member
+        # and the < prune only drops labels that can never be the min)
+        "dedup_clusters": (
+            "WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') "
+            "AS ws FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN "
+            "[array_to_string(ws, ' ')] ELSE "
+            "list_distinct(list_transform(generate_series(1, len(ws) - 2), "
+            "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s "
+            "FROM w), "
+            "e AS (SELECT id_a, id_b FROM ("
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.s, b.s))::DOUBLE / "
+            "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) "
+            "AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            "WHERE jaccard >= 0.5), "
+            "ee AS (SELECT id_a AS u, id_b AS v FROM e "
+            "UNION SELECT id_b, id_a FROM e), "
+            "cc AS (SELECT DISTINCT u AS node, u AS label FROM ee "
+            "UNION SELECT ee.v, cc.label FROM cc "
+            "JOIN ee ON ee.u = cc.node WHERE cc.label < ee.v) "
+            "SELECT node AS doc_id, min(label) AS cluster_id "
+            "FROM cc GROUP BY node"
         ),
         # same exact all-pairs ground truth — but for ngram_jaccard_pairs
         # the oracle holds UNCONDITIONALLY: prefix filtering under a

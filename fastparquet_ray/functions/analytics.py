@@ -668,3 +668,109 @@ def argmax_per_group(sf_dir: str):
             "l_orderkey": out["l_orderkey"].astype("int64"),
         }
     )
+
+
+def running_sum(sf_dir: str, salt_days: int = 7):
+    """sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING): per-user cumulative sum — the running
+    balance / cumulative-exposure window every event pipeline needs.
+
+    Skew-bounded exactly like window_lag: the exchange keys on the
+    COMPOSITE (user_id, coarse salt_days bucket) so a hot user never
+    lands in one unbounded group. Unlike lag (which only needs the
+    PREVIOUS row), a cumulative sum needs the TOTAL of all earlier
+    buckets: each block contributes per-(user, bucket) partial sums,
+    the driver exclusive-prefix-sums the bucket subtotals per user
+    (O(users x buckets) — the grouped-aggregate footprint), and each
+    group adds its carry-in offset to an in-order local cumsum."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    bucket_ns = np.int64(salt_days) * 86_400 * 1_000_000_000
+
+    def _with_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df["ts"].astype("int64") * (
+            1000 if df["ts"].dtype == "datetime64[us]" else 1
+        )
+        df = df.copy()
+        df["bkt"] = (ns // bucket_ns).astype("int64")
+        return df
+
+    def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = _with_bkt(df)
+        g = df.groupby(["user_id", "bkt"], as_index=False, sort=False)[
+            "value"
+        ].sum()
+        return g
+
+    summ = (
+        ds.map_batches(sum_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["user_id", "bkt"], as_index=False, sort=True)["value"]
+        .sum()
+    )
+    carry = {}
+    for uid, sub in summ.groupby("user_id", sort=False):
+        tot = sub["value"].to_numpy()
+        excl = np.concatenate([[0.0], np.cumsum(tot)[:-1]])
+        carry[int(uid)] = (sub["bkt"].to_numpy(), excl)
+    carry_ref = ray.put(carry)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        uid = int(g["user_id"].iloc[0])
+        bkt = int(g["bkt"].iloc[0])
+        bkts, excl = ray.get(carry_ref)[uid]
+        off = excl[np.searchsorted(bkts, bkt)]
+        run = off + np.cumsum(g["value"].to_numpy())
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy().astype("int64"),
+                "user_id": g["user_id"].to_numpy().astype("int64"),
+                "run_sum": np.round(run, 6),
+            }
+        )
+
+    return (
+        ds.map_batches(_with_bkt, batch_format="pandas")
+        .groupby(["user_id", "bkt"])
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+def histogram(sf_dir: str, bins: int = 20):
+    """Fixed-width histogram of documents.n_chars over the GLOBAL
+    [min, max] range: pass 1 is the metadata-cheap min/max aggregate,
+    pass 2 streams integer bin assignment + per-block bincount
+    partials merged by a vocabulary-sized (= bins) final sum. Bin
+    edges use pure int64 arithmetic — (x - lo) * bins // (hi - lo + 1)
+    — so the oracle reproduces them exactly with no float edges."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    mm = ds.aggregate(Min("n_chars"), Max("n_chars"))
+    lo, hi = int(mm["min(n_chars)"]), int(mm["max(n_chars)"])
+    span = hi - lo + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("n_chars").to_numpy(zero_copy_only=False)
+        if x.size == 0:
+            return pa.table(
+                {"bin": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        b = (x - lo) * bins // span
+        counts = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"bin": pa.array(nz, pa.int64()),
+             "n": pa.array(counts[nz], pa.int64())}
+        )
+
+    from .groupagg import merge_partials
+
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin"], {"n": "sum"},
+    )
+    return out.sort_values("bin").reset_index(drop=True)

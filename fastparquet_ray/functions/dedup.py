@@ -1074,3 +1074,22 @@ def dup_ngram_spans(sf_dir: str, w: int = 8):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+def dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.5):
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash+LSH pair graph — the final step of a corpus dedup pass
+    (keep one representative per component, drop the rest). Returns
+    (doc_id, cluster_id = component-min doc_id) for every document in
+    at least one verified near-dup pair.
+
+    Scale shape: the pair graph is OUTPUT-bounded (star-capped LSH +
+    exact verify), so components resolve with the driver union-find;
+    graph.connected_components(mode="dist") is the drop-in
+    large-star/small-star path when the edge set must stay a Dataset
+    (tests assert both modes agree). Oracle: exact all-pairs Jaccard
+    edges + a recursive-CTE min-label closure in DuckDB."""
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
+    return connected_components(pairs, mode="driver")

@@ -439,3 +439,60 @@ def test_langs_per_source(ray_session, sf_dir):
         ).df()
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_running_sum(ray_session, sf_dir):
+    """Per-user cumulative sum vs DuckDB's running-window SUM on the
+    tie-heavy events fixture; a 1-day salt forces many carry-in
+    boundaries per user."""
+    from fastparquet_ray.functions.analytics import running_sum
+
+    got = _norm(running_sum(sf_dir, salt_days=1).to_pandas())
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT event_id, user_id, ROUND(sum(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) "
+            "AS run_sum FROM events"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_histogram_vs_duckdb(ray_session):
+    """Fixed-width int-arithmetic bins over the real documents table
+    (sf0.001) vs the identical SQL formulation."""
+    from fastparquet_ray.functions.analytics import histogram
+
+    sf = "/root/testdata/sf0.001"
+    got = _norm(histogram(sf, bins=20))
+    exp = _norm(
+        duckdb.connect().execute(
+            "WITH mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi "
+            f"FROM read_parquet('{sf}/documents.parquet')) "
+            "SELECT (n_chars - lo) * 20 // (hi - lo + 1) AS bin, "
+            "count(*) AS n "
+            f"FROM read_parquet('{sf}/documents.parquet'), mm GROUP BY bin"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["n"].sum() == 500  # every row binned exactly once
+
+
+def test_entropy_by_source_vs_duckdb(ray_session):
+    """Shannon entropy per source over the flagship tokens corpus
+    (sf0.001) vs DuckDB's entropy() (log2) aggregate."""
+    from fastparquet_ray.functions.sketches import entropy_by_source
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    sf_dir = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf_dir)
+    got = entropy_by_source(sf_dir)
+    glob = paths[0].rsplit("/", 1)[0] + "/*.parquet"
+    exp = duckdb.connect().execute(
+        "SELECT source, ROUND(entropy(tok), 6) AS ent FROM ("
+        f"SELECT source, unnest(tokens) AS tok FROM read_parquet('{glob}')"
+        ") GROUP BY source ORDER BY source"
+    ).df()
+    assert got["source"].tolist() == exp["source"].tolist()
+    np.testing.assert_allclose(got["ent"], exp["ent"], atol=2e-6)
