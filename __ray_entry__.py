@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regression_by_group": analytics.regression_by_group,
         "running_sum": analytics.running_sum,
         "histogram": analytics.histogram,
+        "ntile": analytics.ntile,
+        "funnel_conversion": windows.funnel_conversion,
+        "inverted_index": sketches.inverted_index,
         "langs_per_source": relational.langs_per_source,
         "unpivot_metrics": relational.unpivot_metrics,
         "cross_join_small": relational.cross_join_small,
@@ -317,6 +320,21 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) "
             "AS run_sum FROM events"
         ),
+        "ntile": (
+            "SELECT bucket, count(*) AS n, "
+            "ROUND(avg(o_totalprice), 6) AS avg_price FROM ("
+            "SELECT o_totalprice, CAST(NTILE(10) OVER ("
+            "ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket "
+            "FROM orders) GROUP BY bucket"
+        ),
+        # half-open window [click_ts - 30min, click_ts): matches the
+        # engine's searchsorted bounds exactly
+        "funnel_conversion": (
+            "SELECT count(DISTINCT c.user_id) AS converted_users "
+            "FROM events c JOIN events v ON v.user_id = c.user_id "
+            "AND v.event_type = 'view' AND c.event_type = 'click' "
+            "AND v.ts < c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE"
+        ),
         # bin edges are pure int64 arithmetic on both sides — no float
         # boundary ambiguity between the engine and the oracle
         "histogram": (
@@ -501,6 +519,19 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY source ORDER BY score DESC, tok) AS BIGINT) AS rn "
             "FROM s) "
             "SELECT source, tok, score, rn FROM r WHERE rn <= 3"
+        ),
+        # postings of the k rarest tokens (df >= 2, ties by token id)
+        "inverted_index": (
+            "WITH dfq AS (SELECT tok, count(*) AS df FROM ("
+            "SELECT DISTINCT doc_id, unnest(tokens) AS tok FROM "
+            f"read_parquet('{_TOKENS_GLOB}')) GROUP BY tok), "
+            "pick AS (SELECT tok FROM dfq WHERE df >= 2 "
+            "ORDER BY df, tok LIMIT 10) "
+            "SELECT CAST(t.tok AS BIGINT) AS tok, "
+            "string_agg(DISTINCT t.doc_id, ',' ORDER BY t.doc_id) "
+            "AS postings FROM (SELECT doc_id, unnest(tokens) AS tok FROM "
+            f"read_parquet('{_TOKENS_GLOB}')) t "
+            "JOIN pick USING (tok) GROUP BY t.tok"
         ),
         # DuckDB's entropy() is log-base-2 — same formula the engine
         # folds from its (source, tok) count partials

@@ -140,11 +140,16 @@ def window_lag(sf_dir: str, salt_days: int = 7):
         )
     carry_ref = ray.put(carry)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+    def per_group(g: pd.DataFrame, _memo={}) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         uid = int(g["user_id"].iloc[0])
         bkt = int(g["bkt"].iloc[0])
-        cu = ray.get(carry_ref).get(uid)
+        # ray.get deserializes the whole carry dict on EVERY call; the
+        # mutable-default memo caches it per unpickled task closure so
+        # each map_groups block pays one fetch, not one per group
+        if "c" not in _memo:
+            _memo["c"] = ray.get(carry_ref)
+        cu = _memo["c"].get(uid)
         if cu is not None:
             bkts, tss, ids, vals = cu
             pos = np.searchsorted(bkts, bkt) - 1
@@ -716,11 +721,13 @@ def running_sum(sf_dir: str, salt_days: int = 7):
         carry[int(uid)] = (sub["bkt"].to_numpy(), excl)
     carry_ref = ray.put(carry)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+    def per_group(g: pd.DataFrame, _memo={}) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         uid = int(g["user_id"].iloc[0])
         bkt = int(g["bkt"].iloc[0])
-        bkts, excl = ray.get(carry_ref)[uid]
+        if "c" not in _memo:  # one carry fetch per task, not per group
+            _memo["c"] = ray.get(carry_ref)
+        bkts, excl = _memo["c"][uid]
         off = excl[np.searchsorted(bkts, bkt)]
         run = off + np.cumsum(g["value"].to_numpy())
         return pd.DataFrame(
@@ -774,3 +781,97 @@ def histogram(sf_dir: str, bins: int = 20):
         ["bin"], {"n": "sum"},
     )
     return out.sort_values("bin").reset_index(drop=True)
+
+
+def ntile(sf_dir: str, k: int = 10):
+    """NTILE(k) OVER (ORDER BY o_totalprice, o_orderkey) folded to
+    per-bucket (count, avg) — equal-frequency bucketing WITHOUT a
+    global sort. The bucket boundaries are exact order statistics at
+    the SQL NTILE cumulative sizes (first n%k buckets one row larger),
+    found by the histogram rank-partition of sketches._rank_select;
+    one more streaming scan then bins every row against the boundary
+    VALUES. Rows tied WITH a boundary value can straddle buckets, so
+    they are emitted as (orderkey, value) residue rows — bounded by
+    the boundary values' multiplicity, never the corpus — and ranked
+    exactly on the driver from per-block count-below partials."""
+    from .sketches import _rank_select
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def ends_of(n: int) -> np.ndarray:
+        base, rem = divmod(n, k)
+        sizes = np.full(k, base, dtype=np.int64)
+        sizes[:rem] += 1
+        return np.cumsum(sizes)
+
+    n, rank_value = _rank_select(
+        sf_dir, "orders", "o_totalprice",
+        lambda n: [int(r) for r in ends_of(n)[:-1]],
+    )
+    if n == 0:
+        return pd.DataFrame(
+            {"bucket": pd.Series([], dtype="int64"),
+             "n": pd.Series([], dtype="int64"),
+             "avg_price": pd.Series([], dtype="float64")}
+        )
+    ends = ends_of(n)
+    vs = np.asarray([rank_value[int(r)] for r in ends[:-1]])  # sorted
+    uv = np.unique(vs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        left = np.searchsorted(vs, p, side="left")
+        right = np.searchsorted(vs, p, side="right")
+        clear = left == right
+        nb = np.bincount(left[clear], minlength=k)
+        sb = np.bincount(left[clear], weights=p[clear], minlength=k)
+        nz = np.flatnonzero(nb)
+        typ = [np.zeros(nz.size, np.int8)]
+        key = [nz.astype(np.int64)]
+        cnt = [nb[nz].astype(np.int64)]
+        val = [sb[nz]]
+        # count-below partials per distinct boundary value
+        less = np.searchsorted(np.sort(p), uv, side="left")
+        typ.append(np.ones(uv.size, np.int8))
+        key.append(np.arange(uv.size, dtype=np.int64))
+        cnt.append(less.astype(np.int64))
+        val.append(np.zeros(uv.size))
+        # boundary-tied residue rows
+        tied = ~clear
+        if tied.any():
+            vidx = np.searchsorted(uv, p[tied])
+            typ.append(np.full(tied.sum(), 2, np.int8))
+            key.append(okey[tied].astype(np.int64))
+            cnt.append(vidx.astype(np.int64))
+            val.append(p[tied].astype(np.float64))
+        return pa.table(
+            {"typ": pa.array(np.concatenate(typ), pa.int8()),
+             "key": pa.array(np.concatenate(key), pa.int64()),
+             "cnt": pa.array(np.concatenate(cnt), pa.int64()),
+             "val": pa.array(np.concatenate(val), pa.float64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    nbuck = np.zeros(k, dtype=np.int64)
+    sbuck = np.zeros(k, dtype=np.float64)
+    b0 = parts[parts["typ"] == 0]
+    np.add.at(nbuck, b0["key"].to_numpy(), b0["cnt"].to_numpy())
+    np.add.at(sbuck, b0["key"].to_numpy(), b0["val"].to_numpy())
+    b1 = parts[parts["typ"] == 1]
+    below = np.zeros(uv.size, dtype=np.int64)
+    np.add.at(below, b1["key"].to_numpy(), b1["cnt"].to_numpy())
+    b2 = parts[parts["typ"] == 2]
+    for vi, sub in b2.groupby("cnt", sort=False):
+        okeys = np.sort(sub["key"].to_numpy())
+        ranks = below[int(vi)] + 1 + np.arange(okeys.size, dtype=np.int64)
+        bk = np.searchsorted(ends, ranks, side="left")
+        np.add.at(nbuck, bk, 1)
+        # all rows share the tied value; accumulate once per row
+        np.add.at(sbuck, bk, float(sub["val"].iloc[0]))
+    keep = nbuck > 0
+    return pd.DataFrame(
+        {"bucket": (np.flatnonzero(keep) + 1).astype("int64"),
+         "n": nbuck[keep],
+         "avg_price": np.round(sbuck[keep] / nbuck[keep], 6)}
+    )

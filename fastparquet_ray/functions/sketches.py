@@ -492,3 +492,106 @@ def entropy_by_source(sf_dir: str):
     return pd.DataFrame(
         {"source": [s for s, _ in out], "ent": [e for _, e in out]}
     )
+
+
+def inverted_index(sf_dir: str, k: int = 10, min_df: int = 2):
+    """Posting lists for the k RAREST tokens (df >= min_df, ties by
+    token id) over the decoded corpus — the inverted-index build a
+    retrieval pipeline runs, restricted to a bounded slice so the
+    output (and the driver merge) stays postings-sized. Pass 1 is the
+    token_docfreq partial scan picking the target tokens; pass 2
+    re-scans with the broadcast token set and collects (tok, doc_id)
+    pairs deduped per document inside each block."""
+    import ray
+
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+
+    _, enc = ensure_encoded(sf_dir)
+    ds = decode_dataset(enc, columns=["doc_id", "tokens"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if flat.size == 0:
+            return pa.table(
+                {"tok": pa.array([], pa.int64()),
+                 "df": pa.array([], pa.int64())}
+            )
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        row = np.repeat(
+            np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs)
+        )
+        uk = np.unique((row << np.int64(32)) | flat)
+        tok = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
+        cnt = np.bincount(tok)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"tok": pa.array(nz, pa.int64()),
+             "df": pa.array(cnt[nz], pa.int64())}
+        )
+
+    from .groupagg import merge_partials
+
+    dfs = merge_partials(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["tok"], {"df": "sum"},
+    )
+    pick = (
+        dfs[dfs["df"] >= min_df]
+        .sort_values(["df", "tok"])
+        .head(k)["tok"]
+        .to_numpy(dtype=np.int64)
+    )
+    pick_sorted = np.sort(pick)
+    pick_ref = ray.put(pick_sorted)
+
+    class CollectPostings:
+        def __init__(self, ref):
+            self.toks = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t.column("tokens").combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            if flat.size == 0:
+                return pa.table(
+                    {"tok": pa.array([], pa.int64()),
+                     "doc_id": pa.array([], pa.string())}
+                )
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            row = np.repeat(
+                np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs)
+            )
+            hit = np.isin(flat, self.toks)
+            pairs = np.unique(
+                (row[hit] << np.int64(32)) | flat[hit]
+            )
+            docs = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"tok": pa.array(
+                    pairs & np.int64(0xFFFFFFFF), pa.int64()),
+                 "doc_id": pa.array(
+                     docs[pairs >> np.int64(32)], pa.string())}
+            )
+
+    posts = (
+        ds.map_batches(
+            CollectPostings,
+            fn_constructor_kwargs={"ref": pick_ref},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()  # postings-bounded: k rare tokens only
+        .drop_duplicates(["tok", "doc_id"])
+    )
+    out = (
+        posts.sort_values(["tok", "doc_id"])
+        .groupby("tok", sort=True)["doc_id"]
+        .agg(",".join)
+        .reset_index()
+        .rename(columns={"doc_id": "postings"})
+    )
+    out["tok"] = out["tok"].astype("int64")
+    return out

@@ -145,13 +145,15 @@ def asof_join(sf_dir: str, salt_days: int = 7):
         carry[int(uid)] = (bkts, tss, ids)
     carry_ref = ray.put(carry)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+    def per_group(g: pd.DataFrame, _memo={}) -> pd.DataFrame:
         clicks = g[g["event_type"] == "click"].sort_values("ts")
         views = g[g["event_type"] == "view"].sort_values("ts")
         if not clicks.empty:
             uid = int(g["user_id"].iloc[0])
             bkt = int(g["bkt"].iloc[0])
-            cu = ray.get(carry_ref).get(uid)
+            if "c" not in _memo:  # one carry fetch per task, not per group
+                _memo["c"] = ray.get(carry_ref)
+            cu = _memo["c"].get(uid)
             if cu is not None:
                 bkts, tss, ids = cu
                 # latest view in a strictly earlier bucket
@@ -429,3 +431,38 @@ def range_join(sf_dir: str, salt_days: int = 7):
         )
 
     return _salted_lookback(ds, win, salt_days, per_group)
+
+
+def funnel_conversion(sf_dir: str, window_minutes: int = 30,
+                      salt_days: int = 7):
+    """Event funnel: how many distinct users clicked within
+    ``window_minutes`` of a prior view — the conversion join every
+    product-analytics pipeline runs. Composition: the _salted_lookback
+    composite (user, bucket) exchange with a 30-minute ghost overlap
+    (views within the window before a bucket border replicate into the
+    next bucket), a per-group vectorized searchsorted view-before-click
+    test, then a distinct-user fold whose footprint is the converted
+    USER set, never the event stream."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    win = np.timedelta64(window_minutes * 60, "s")
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").reset_index(drop=True)
+        views = g[g["event_type"] == "view"]  # ghosts feed the window
+        clicks = g[(g["event_type"] == "click") & ~g["ghost"]]
+        if clicks.empty or views.empty:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+        vts = views["ts"].to_numpy()
+        cts = clicks["ts"].to_numpy()
+        lo = np.searchsorted(vts, cts - win, side="left")
+        hi = np.searchsorted(vts, cts, side="left")  # strictly earlier
+        conv = clicks[hi > lo]
+        return pd.DataFrame(
+            {"user_id": np.unique(conv["user_id"].to_numpy()).astype(
+                "int64"
+            )}
+        )
+
+    users = _salted_lookback(ds, win, salt_days, per_group)
+    n = len(users.unique("user_id"))
+    return pd.DataFrame({"converted_users": pd.array([n], dtype="int64")})

@@ -496,3 +496,67 @@ def test_entropy_by_source_vs_duckdb(ray_session):
     ).df()
     assert got["source"].tolist() == exp["source"].tolist()
     np.testing.assert_allclose(got["ent"], exp["ent"], atol=2e-6)
+
+
+def test_ntile_vs_duckdb(ray_session, sf_dir):
+    """Equal-frequency NTILE buckets vs DuckDB, on a column with a
+    heavy constant group (all '5-LOW' orders share one price), so
+    boundary VALUES are tied across many rows and the residue-row rank
+    split must fire. k=7 exercises uneven bucket sizes (n % k != 0)."""
+    from fastparquet_ray.functions.analytics import ntile
+
+    for k in (10, 7):
+        got = _norm(ntile(sf_dir, k=k))
+        exp = _norm(
+            _duck(sf_dir).execute(
+                "SELECT bucket, count(*) AS n, "
+                "ROUND(avg(o_totalprice), 6) AS avg_price FROM ("
+                f"SELECT o_totalprice, CAST(NTILE({k}) OVER ("
+                "ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket "
+                "FROM orders) GROUP BY bucket"
+            ).df()
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_funnel_conversion_vs_duckdb(ray_session, sf_dir):
+    """view->click conversion count vs the SQL half-open range join on
+    the tie-heavy events fixture; 1-day salt forces border ghosts."""
+    from fastparquet_ray.functions.windows import funnel_conversion
+
+    got = funnel_conversion(sf_dir, window_minutes=30, salt_days=1)
+    exp = _duck(sf_dir).execute(
+        "SELECT count(DISTINCT c.user_id) AS converted_users "
+        "FROM events c JOIN events v ON v.user_id = c.user_id "
+        "AND v.event_type = 'view' AND c.event_type = 'click' "
+        "AND v.ts < c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE"
+    ).df()
+    assert int(got["converted_users"].iloc[0]) == int(
+        exp["converted_users"].iloc[0]
+    )
+
+
+def test_inverted_index_vs_duckdb(ray_session):
+    """Rarest-token posting lists over the flagship tokens corpus
+    (sf0.001) vs DISTINCT string_agg in SQL."""
+    from fastparquet_ray.functions.sketches import inverted_index
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    sf_dir = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf_dir)
+    got = inverted_index(sf_dir, k=10)
+    glob = paths[0].rsplit("/", 1)[0] + "/*.parquet"
+    exp = duckdb.connect().execute(
+        "WITH dfq AS (SELECT tok, count(*) AS df FROM ("
+        "SELECT DISTINCT doc_id, unnest(tokens) AS tok FROM "
+        f"read_parquet('{glob}')) GROUP BY tok), "
+        "pick AS (SELECT tok FROM dfq WHERE df >= 2 "
+        "ORDER BY df, tok LIMIT 10) "
+        "SELECT CAST(t.tok AS BIGINT) AS tok, "
+        "string_agg(DISTINCT t.doc_id, ',' ORDER BY t.doc_id) AS postings "
+        "FROM (SELECT doc_id, unnest(tokens) AS tok FROM "
+        f"read_parquet('{glob}')) t JOIN pick USING (tok) "
+        "GROUP BY t.tok ORDER BY tok"
+    ).df()
+    assert got["tok"].tolist() == exp["tok"].tolist()
+    assert got["postings"].tolist() == exp["postings"].tolist()

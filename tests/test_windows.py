@@ -297,3 +297,48 @@ def test_session_windows_chain_across_buckets(ray_session, tmp_path):
     # the straddling session is one 5-event session
     u1 = got[got["user_id"] == 1]
     assert list(u1["n_events"]) == [5, 1]
+
+
+def test_funnel_ghost_across_bucket_border(ray_session, tmp_path):
+    """A view 2 minutes before a weekly bucket border converting a
+    click 2 minutes after it is only caught through ghost replication;
+    a control user clicking with no prior view must not convert, nor a
+    view AFTER the click."""
+    import duckdb
+
+    from fastparquet_ray.functions.windows import funnel_conversion
+
+    base = pd.Timestamp("2024-01-01")
+    week = pd.Timedelta(days=7)
+    rows = [
+        # user 1: straddles the border -> converts via ghost
+        (0, base + week - pd.Timedelta(minutes=2), 1, "view"),
+        (1, base + week + pd.Timedelta(minutes=2), 1, "click"),
+        # user 2: click precedes its only view -> no conversion
+        (2, base + pd.Timedelta(hours=1), 2, "click"),
+        (3, base + pd.Timedelta(hours=2), 2, "view"),
+        # user 3: view too far back (45 min) -> no conversion
+        (4, base + pd.Timedelta(hours=5), 3, "view"),
+        (5, base + pd.Timedelta(hours=5, minutes=45), 3, "click"),
+        # user 4: in-bucket conversion
+        (6, base + pd.Timedelta(hours=9), 4, "view"),
+        (7, base + pd.Timedelta(hours=9, minutes=10), 4, "click"),
+    ]
+    events = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    events["value"] = 1.0
+    d = tmp_path / "funnel"
+    d.mkdir()
+    sf = _write_events(d, events)
+    got = funnel_conversion(sf, window_minutes=30, salt_days=7)
+    assert int(got["converted_users"].iloc[0]) == 2
+    exp = duckdb.connect().execute(
+        "SELECT count(DISTINCT c.user_id) AS cu FROM "
+        f"read_parquet('{sf}/events.parquet') c JOIN "
+        f"read_parquet('{sf}/events.parquet') v "
+        "ON v.user_id = c.user_id AND v.event_type = 'view' "
+        "AND c.event_type = 'click' AND v.ts < c.ts "
+        "AND v.ts >= c.ts - INTERVAL 30 MINUTE"
+    ).fetchone()[0]
+    assert int(exp) == 2
