@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile": analytics.ntile,
         "funnel_conversion": windows.funnel_conversion,
         "inverted_index": sketches.inverted_index,
+        "zscore_outliers": analytics.zscore_outliers,
+        "normalized_dedup": textops.normalized_dedup,
+        "bigram_pmi": sketches.bigram_pmi,
         "langs_per_source": relational.langs_per_source,
         "unpivot_metrics": relational.unpivot_metrics,
         "cross_join_small": relational.cross_join_small,
@@ -327,6 +330,23 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket "
             "FROM orders) GROUP BY bucket"
         ),
+        "zscore_outliers": (
+            "WITH st AS (SELECT user_id, avg(value) AS m, "
+            "stddev_samp(value) AS sd, count(*) AS c FROM events "
+            "GROUP BY user_id) "
+            "SELECT e.event_id, e.user_id, "
+            "ROUND((e.value - st.m) / st.sd, 6) AS z "
+            "FROM events e JOIN st USING (user_id) "
+            "WHERE st.c >= 2 AND st.sd > 0 "
+            "AND abs((e.value - st.m) / st.sd) > 2"
+        ),
+        # hash-grouping on (source, normalized text) ≡ count(DISTINCT)
+        # modulo 2^-128 collisions (dedup_exact precedent)
+        "normalized_dedup": (
+            "SELECT source, count(*) AS n, count(DISTINCT "
+            "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) "
+            "AS n_norm FROM documents GROUP BY source"
+        ),
         # half-open window [click_ts - 30min, click_ts): matches the
         # engine's searchsorted bounds exactly
         "funnel_conversion": (
@@ -519,6 +539,27 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY source ORDER BY score DESC, tok) AS BIGINT) AS rn "
             "FROM s) "
             "SELECT source, tok, score, rn FROM r WHERE rn <= 3"
+        ),
+        # bigram PMI: list_zip pads the short side with NULL -> the
+        # p[2] IS NOT NULL filter keeps exactly the within-doc bigrams
+        "bigram_pmi": (
+            "WITH uni AS (SELECT CAST(tok AS BIGINT) AS a, count(*) AS c "
+            "FROM (SELECT unnest(tokens) AS tok FROM "
+            f"read_parquet('{_TOKENS_GLOB}')) GROUP BY a), "
+            "nu AS (SELECT sum(c)::DOUBLE AS v FROM uni), "
+            "bi AS (SELECT CAST(p[1] AS BIGINT) AS a, "
+            "CAST(p[2] AS BIGINT) AS b, count(*) AS n FROM ("
+            "SELECT unnest(list_zip(tokens, tokens[2:])) AS p FROM "
+            f"read_parquet('{_TOKENS_GLOB}') WHERE len(tokens) >= 2) "
+            "WHERE p[2] IS NOT NULL GROUP BY a, b), "
+            "nb AS (SELECT sum(n)::DOUBLE AS v FROM bi), "
+            "s AS (SELECT bi.a, bi.b, bi.n, "
+            "ROUND(ln((bi.n / (SELECT v FROM nb)) / "
+            "((ua.c / (SELECT v FROM nu)) * (ub.c / (SELECT v FROM nu)))"
+            "), 6) AS pmi FROM bi "
+            "JOIN uni ua ON ua.a = bi.a JOIN uni ub ON ub.a = bi.b "
+            "WHERE bi.n >= 5) "
+            "SELECT a, b, n, pmi FROM s ORDER BY pmi DESC, a, b LIMIT 15"
         ),
         # postings of the k rarest tokens (df >= 2, ties by token id)
         "inverted_index": (

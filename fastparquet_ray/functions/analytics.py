@@ -875,3 +875,69 @@ def ntile(sf_dir: str, k: int = 10):
          "n": nbuck[keep],
          "avg_price": np.round(sbuck[keep] / nbuck[keep], 6)}
     )
+
+
+def zscore_outliers(sf_dir: str, z: float = 2.0):
+    """Per-user z-score outlier events (|value - mean_u| > z * sd_u,
+    sample stddev) — the anomaly-flagging pass over an event stream.
+    Two streaming scans: (n, Σv, Σv²) partials per user merged to the
+    grouped-aggregate footprint, then a broadcast (user -> mean, sd)
+    filter scan. No exchange ever carries event rows."""
+    import ray
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        g = pd.DataFrame(
+            {"user_id": df["user_id"], "n": 1.0, "s": v, "ss": v * v}
+        )
+        return g.groupby("user_id", as_index=False).sum()
+
+    from .groupagg import merge_partials
+
+    st = merge_partials(
+        ds.map_batches(stat_partial, batch_format="pandas"),
+        ["user_id"], {"n": "sum", "s": "sum", "ss": "sum"},
+    ).sort_values("user_id")
+    n = st["n"].to_numpy()
+    s = st["s"].to_numpy()
+    ss = st["ss"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = s / n
+        var = (ss - s * s / n) / np.maximum(n - 1, 1)
+    sd = np.sqrt(np.maximum(var, 0.0))
+    ok = (n >= 2) & (sd > 0)
+    users = st["user_id"].to_numpy(dtype=np.int64)[ok]
+    ref = ray.put((users, mean[ok], sd[ok]))
+
+    class Flag:
+        def __init__(self, r):
+            self.users, self.mean, self.sd = ray.get(r)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            pos = np.searchsorted(self.users, df["user_id"].to_numpy())
+            pos = np.clip(pos, 0, len(self.users) - 1)
+            hit = self.users[pos] == df["user_id"].to_numpy()
+            zs = np.where(
+                hit,
+                (df["value"].to_numpy() - self.mean[pos]) / self.sd[pos],
+                0.0,
+            )
+            keep = hit & (np.abs(zs) > z)
+            return pd.DataFrame(
+                {
+                    "event_id": df["event_id"].to_numpy()[keep].astype(
+                        "int64"
+                    ),
+                    "user_id": df["user_id"].to_numpy()[keep].astype(
+                        "int64"
+                    ),
+                    "z": np.round(zs[keep], 6),
+                }
+            )
+
+    return ds.map_batches(
+        Flag, fn_constructor_kwargs={"r": ref}, batch_format="pandas",
+        concurrency=(1, 4),
+    )

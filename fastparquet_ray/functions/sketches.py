@@ -595,3 +595,82 @@ def inverted_index(sf_dir: str, k: int = 10, min_df: int = 2):
     )
     out["tok"] = out["tok"].astype("int64")
     return out
+
+
+def bigram_pmi(sf_dir: str, min_count: int = 5, top: int = 15):
+    """Top bigram collocations by pointwise mutual information over
+    the decoded token corpus — the phrase-mining pass (PMI =
+    ln(P(ab) / (P(a)P(b))), bigrams within a document only, count >=
+    ``min_count``). ONE streaming scan emits BOTH unigram and bigram
+    count partials (typ-tagged packed keys); the merge is
+    vocabulary/bigram-vocabulary sized, and scoring is vectorized on
+    the merged frame. Ranking uses the ROUNDED score (6 dp) with
+    (a, b) tiebreak so the order reproduces across engines."""
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+
+    _, enc = ensure_encoded(sf_dir)
+    ds = decode_dataset(enc, columns=["tokens"])
+
+    empty = pa.table(
+        {"typ": pa.array([], pa.int8()),
+         "key": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if flat.size == 0:
+            return empty
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        ucnt = np.bincount(flat)
+        unz = np.flatnonzero(ucnt)
+        # bigrams: consecutive positions within the same row
+        last_of_row = np.zeros(flat.size, dtype=bool)
+        lens = np.diff(offs)
+        ends = offs[1:][lens > 0] - 1
+        last_of_row[ends] = True
+        a = flat[:-1][~last_of_row[:-1]]
+        b = flat[1:][~last_of_row[:-1]]
+        bkey, bcnt = np.unique((a << np.int64(32)) | b, return_counts=True)
+        return pa.table(
+            {"typ": pa.array(
+                np.concatenate(
+                    [np.zeros(unz.size, np.int8), np.ones(bkey.size, np.int8)]
+                ), pa.int8()),
+             "key": pa.array(np.concatenate([unz, bkey]), pa.int64()),
+             "n": pa.array(
+                 np.concatenate([ucnt[unz], bcnt]), pa.int64())}
+        )
+
+    from .groupagg import merge_partials
+
+    agg = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["typ", "key"], {"n": "sum"},
+    )
+    uni = agg[agg["typ"] == 0]
+    bi = agg[agg["typ"] == 1]
+    n_uni = float(uni["n"].sum())
+    n_bi = float(bi["n"].sum())
+    ucount = dict(zip(uni["key"].astype("int64"), uni["n"].astype("float64")))
+    bi = bi[bi["n"] >= min_count]
+    a = (bi["key"].to_numpy(dtype=np.int64) >> np.int64(32))
+    b = bi["key"].to_numpy(dtype=np.int64) & np.int64(0xFFFFFFFF)
+    ca = np.array([ucount[int(x)] for x in a])
+    cb = np.array([ucount[int(x)] for x in b])
+    c_ab = bi["n"].to_numpy(dtype=np.float64)
+    pmi = np.round(
+        np.log((c_ab / n_bi) / ((ca / n_uni) * (cb / n_uni))), 6
+    )
+    out = pd.DataFrame(
+        {"a": a.astype("int64"), "b": b.astype("int64"),
+         "n": bi["n"].to_numpy(dtype=np.int64), "pmi": pmi}
+    )
+    return (
+        out.sort_values(["pmi", "a", "b"], ascending=[False, True, True])
+        .head(top)
+        .reset_index(drop=True)
+    )

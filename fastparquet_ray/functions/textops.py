@@ -276,3 +276,58 @@ def lang_id(sf_dir: str):
     return ds.map_batches(
         LangId, batch_format="pandas", concurrency=(1, 2), batch_size=4096
     )
+
+
+def normalized_dedup(sf_dir: str):
+    """Per-source document counts before/after NORMALIZED exact dedup
+    (lowercase + whitespace collapse + trim) — the text-cleaning
+    variant of dedup_exact that catches trivially-reformatted copies.
+
+    Scale shape (the corpus_clean recipe): normalization and the
+    128-bit (source, normalized-text) hash happen block-locally, the
+    one exchange is keyed on the 16-byte hash (never the text), and
+    the distinct count folds per source from one row per distinct
+    key. Hash-grouping ≡ text-grouping modulo 2^-128 collisions, so
+    the SQL count(DISTINCT ...) oracle holds."""
+    from ray.data.aggregate import Min, Sum
+
+    from .dedup import _text_hash128
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (
+            df["text"]
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+            .str.lower()
+        )
+        key = (df["source"] + "\x00" + norm).to_numpy(dtype=object)
+        h1, h2 = _text_hash128(key)
+        g = pd.DataFrame({"h1": h1, "h2": h2, "source": df["source"],
+                          "n": 1})
+        return g.groupby(["h1", "h2"], as_index=False).agg(
+            source=("source", "min"), n=("n", "sum")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    agg = parts.groupby(["h1", "h2"]).aggregate(
+        Min("source", alias_name="source"), Sum("n", alias_name="n")
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source"]).aggregate(
+            [("source", "count"), ("n", "sum")]
+        )
+        return g.rename_columns(["source", "n_norm", "n"])
+
+    from .groupagg import merge_partials
+
+    out = merge_partials(
+        agg.map_batches(fold, batch_format="pyarrow"),
+        ["source"], {"n_norm": "sum", "n": "sum"},
+    )
+    out = out.sort_values("source").reset_index(drop=True)
+    return out[["source", "n", "n_norm"]].astype(
+        {"n": "int64", "n_norm": "int64"}
+    )

@@ -560,3 +560,102 @@ def test_inverted_index_vs_duckdb(ray_session):
     ).df()
     assert got["tok"].tolist() == exp["tok"].tolist()
     assert got["postings"].tolist() == exp["postings"].tolist()
+
+
+def test_zscore_outliers_vs_duckdb(ray_session, sf_dir):
+    """Per-user z-score outliers vs the SQL formulation; single-event
+    users (sd undefined) and any zero-variance users must drop."""
+    from fastparquet_ray.functions.analytics import zscore_outliers
+
+    got = _norm(zscore_outliers(sf_dir).to_pandas())
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "WITH st AS (SELECT user_id, avg(value) AS m, "
+            "stddev_samp(value) AS sd, count(*) AS c FROM events "
+            "GROUP BY user_id) "
+            "SELECT e.event_id, e.user_id, "
+            "ROUND((e.value - st.m) / st.sd, 6) AS z "
+            "FROM events e JOIN st USING (user_id) "
+            "WHERE st.c >= 2 AND st.sd > 0 "
+            "AND abs((e.value - st.m) / st.sd) > 2"
+        ).df()
+    )
+    assert len(got) > 0
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    np.testing.assert_allclose(got["z"], exp["z"], atol=2e-6)
+
+
+def test_normalized_dedup_vs_duckdb(ray_session, tmp_path):
+    """Normalized dedup on an adversarial corpus: case variants,
+    tab/newline/multi-space reformatting, and leading/trailing
+    whitespace must all collapse; distinct texts must not."""
+    from fastparquet_ray.functions.textops import normalized_dedup
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(8, dtype=np.int64),
+            "text": [
+                "Hello  World",
+                "hello world",          # dup of 0 after norm
+                "\tHello\nWorld ",      # dup of 0 after norm
+                "HELLO WORLD!",         # distinct (punctuation)
+                "other text",
+                "other\ttext",          # dup of 4
+                "unique a",
+                "unique b",
+            ],
+            "lang": ["en"] * 8,
+            "source": ["s1"] * 6 + ["s2"] * 2,
+            "n_chars": np.int64(10),
+        }
+    )
+    d = tmp_path / "nd"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(docs), d / "documents.parquet",
+        row_group_size=3,
+    )
+    got = normalized_dedup(str(d))
+    assert got.values.tolist() == [["s1", 6, 3], ["s2", 2, 2]]
+    exp = duckdb.connect().execute(
+        "SELECT source, count(*) AS n, count(DISTINCT "
+        "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS n_norm "
+        f"FROM read_parquet('{d}/documents.parquet') "
+        "GROUP BY source ORDER BY source"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got, exp, check_dtype=False
+    )
+
+
+def test_bigram_pmi_vs_duckdb(ray_session):
+    """Bigram PMI collocations over the flagship tokens corpus
+    (sf0.001) vs the full SQL formulation (list_zip bigrams)."""
+    from fastparquet_ray.functions.sketches import bigram_pmi
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    sf_dir = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf_dir)
+    got = bigram_pmi(sf_dir, min_count=5, top=15)
+    glob = paths[0].rsplit("/", 1)[0] + "/*.parquet"
+    exp = duckdb.connect().execute(
+        "WITH uni AS (SELECT CAST(tok AS BIGINT) AS a, count(*) AS c "
+        f"FROM (SELECT unnest(tokens) AS tok FROM read_parquet('{glob}')) "
+        "GROUP BY a), "
+        "nu AS (SELECT sum(c)::DOUBLE AS v FROM uni), "
+        "bi AS (SELECT CAST(p[1] AS BIGINT) AS a, CAST(p[2] AS BIGINT) "
+        "AS b, count(*) AS n FROM (SELECT unnest(list_zip(tokens, "
+        f"tokens[2:])) AS p FROM read_parquet('{glob}') "
+        "WHERE len(tokens) >= 2) WHERE p[2] IS NOT NULL GROUP BY a, b), "
+        "nb AS (SELECT sum(n)::DOUBLE AS v FROM bi), "
+        "s AS (SELECT bi.a, bi.b, bi.n, "
+        "ROUND(ln((bi.n / (SELECT v FROM nb)) / ((ua.c / "
+        "(SELECT v FROM nu)) * (ub.c / (SELECT v FROM nu)))), 6) AS pmi "
+        "FROM bi JOIN uni ua ON ua.a = bi.a JOIN uni ub ON ub.a = bi.b "
+        "WHERE bi.n >= 5) "
+        "SELECT a, b, n, pmi FROM s ORDER BY pmi DESC, a, b LIMIT 15"
+    ).df()
+    assert got["a"].tolist() == exp["a"].tolist()
+    assert got["b"].tolist() == exp["b"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    np.testing.assert_allclose(got["pmi"], exp["pmi"], atol=2e-6)
