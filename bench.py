@@ -194,7 +194,9 @@ def run_bench() -> dict:
             "corpus_clean", "token_topk", "ngram_jaccard_pairs",
             "minhash_lsh_pairs", "tfidf_topk", "window_lag",
             "left_outer_join", "dup_ngram_spans", "rolling_avg",
-            "session_windows", "regression_by_group",
+            "session_windows", "regression_by_group", "running_sum",
+            "funnel_conversion", "zscore_outliers", "ntile",
+            "bigram_pmi", "dedup_clusters",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)
