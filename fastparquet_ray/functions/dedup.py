@@ -35,6 +35,19 @@ _HK1 = "fpray_dedup_h1_a"  # hash_array keys must be exactly 16 chars
 _HK2 = "fpray_dedup_h2_b"
 
 
+
+def _pool_max(divisor: int = 4, lo: int = 2) -> int:
+    """Autoscaling actor-pool CAP sized to the session: cpus/divisor,
+    at least ``lo``. Pools keep min=1 so stacked pipelines can never
+    reserve every CPU ahead of their upstream read stage (the 4-CPU
+    test-session wedge), while a 32-CPU box gets real parallelism for
+    the heavy per-batch kernels (minhash/simhash/shingle/verify)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(lo, cpus // divisor)
+
+
 def _text_hash128(texts) -> tuple[np.ndarray, np.ndarray]:
     obj = np.asarray(texts, dtype=object)
     h1 = pd.util.hash_array(obj, hash_key=_HK1).view(np.int64)
@@ -315,7 +328,7 @@ def _pairs_in_buckets(ds, key_col: str, star_cap: int | None = None):
         KeepBuckets,
         fn_constructor_kwargs={"ref": multi_ref},
         batch_format="pandas",
-        concurrency=(1, 2),
+        concurrency=(1, _pool_max()),
     )
 
     def _run_pairs(run_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -479,13 +492,13 @@ def minhash_lsh_pairs(
     import ray.data
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    # autoscaling (1, 2) pools: this pipeline stacks TWO actor pools
+    # autoscaling (1, _pool_max) pools: this pipeline stacks TWO actor pools
     # plus read/sort tasks — fixed pools of 2 each can reserve every
     # CPU of a small session before the read stage gets one, wedging
     # the whole DAG (observed on the 4-CPU test session). A min of 1
     # per pool always leaves CPUs for upstream tasks.
     sigs = ds.map_batches(
-        MinHasher, batch_format="pandas", concurrency=(1, 2), batch_size=4096
+        MinHasher, batch_format="pandas", concurrency=(1, _pool_max()), batch_size=4096
     )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -586,7 +599,7 @@ def _verify_candidate_pairs(
             CandidateShingles,
             fn_constructor_kwargs={"ref": ids_ref},
             batch_format="pandas",
-            concurrency=(1, 2),
+            concurrency=(1, _pool_max()),
         )
         .to_pandas()  # candidate-bounded, not corpus-bounded
     )
@@ -621,7 +634,7 @@ def _verify_candidate_pairs(
             fn_constructor_kwargs={"ref": smap_ref},
             batch_format="pandas",
             batch_size=16384,
-            concurrency=(1, 8),
+            concurrency=(1, _pool_max(2, 8)),
         )
         .filter(expr=f"jaccard >= {jaccard_threshold}")
         .to_pandas()  # OUTPUT-bounded: verified near-dup pairs only
@@ -764,7 +777,7 @@ def ngram_jaccard_pairs(
         PrefixEmit,
         fn_constructor_kwargs={"ref": df_ref},
         batch_format="pandas",
-        concurrency=(1, 2),
+        concurrency=(1, _pool_max()),
         batch_size=4096,
     )
 
@@ -837,7 +850,7 @@ class SimHasher:
 def simhash(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
-        SimHasher, batch_format="pandas", concurrency=(1, 2), batch_size=4096
+        SimHasher, batch_format="pandas", concurrency=(1, _pool_max()), batch_size=4096
     )
 
 
@@ -1072,7 +1085,7 @@ def dup_ngram_spans(sf_dir: str, w: int = 8):
         CountDups,
         fn_constructor_kwargs={"ref": dup_ref},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=(1, _pool_max(4, 4)),
     )
 
 
