@@ -35,6 +35,8 @@ import os
 
 import numpy as np
 import pandas as pd
+
+from ._util import pool_max as _pool_max
 import pyarrow as pa
 
 
@@ -457,7 +459,7 @@ def grouped_quantiles(sf_dir: str, qs=(0.5, 0.9)):
         Hist,
         fn_constructor_kwargs={"ref": params_ref},
         batch_format="pandas",
-        concurrency=(1, 2),
+        concurrency=(1, _pool_max()),
     ).to_pandas()
 
     cums, cands = {}, {}
@@ -505,7 +507,7 @@ def grouped_quantiles(sf_dir: str, qs=(0.5, 0.9)):
             CandValues,
             fn_constructor_kwargs={"pref": params_ref, "cref": cand_ref},
             batch_format="pandas",
-            concurrency=(1, 2),
+            concurrency=(1, _pool_max()),
         )
         .to_pandas()
         .groupby([gcol, "value"], sort=True)["cnt"]
@@ -939,5 +941,5 @@ def zscore_outliers(sf_dir: str, z: float = 2.0):
 
     return ds.map_batches(
         Flag, fn_constructor_kwargs={"r": ref}, batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=(1, _pool_max(4, 4)),
     )

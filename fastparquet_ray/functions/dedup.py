@@ -14,6 +14,8 @@ import numpy as np
 import pyarrow as pa
 import pandas as pd
 
+from ._util import pool_max as _pool_max
+
 _SEED = np.uint64(0x9E3779B97F4A7C15)
 _PRIME = np.uint64(1099511628211)
 
@@ -33,19 +35,6 @@ def _docs(sf_dir: str, columns=None):
 # Collision odds at 2^-128 make hash-grouping ≡ text-grouping.
 _HK1 = "fpray_dedup_h1_a"  # hash_array keys must be exactly 16 chars
 _HK2 = "fpray_dedup_h2_b"
-
-
-
-def _pool_max(divisor: int = 4, lo: int = 2) -> int:
-    """Autoscaling actor-pool CAP sized to the session: cpus/divisor,
-    at least ``lo``. Pools keep min=1 so stacked pipelines can never
-    reserve every CPU ahead of their upstream read stage (the 4-CPU
-    test-session wedge), while a 32-CPU box gets real parallelism for
-    the heavy per-batch kernels (minhash/simhash/shingle/verify)."""
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(lo, cpus // divisor)
 
 
 def _text_hash128(texts) -> tuple[np.ndarray, np.ndarray]:
@@ -957,15 +946,18 @@ def _window_hashes(flat: np.ndarray, offs: np.ndarray, w: int):
     ~#windows^2 / 2^64 — negligible against the oracle at test scale."""
     if flat.size < w:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
-    pows = np.ones(w, dtype=np.uint64)
-    for j in range(1, w):
-        pows[j] = pows[j - 1] * _NGRAM_P
-    view = np.lib.stride_tricks.sliding_window_view(
-        flat.astype(np.uint64), w
-    )
-    h = (view * pows).sum(axis=1, dtype=np.uint64)
-    h = (h ^ (h >> np.uint64(31))) * _NGRAM_MIX
-    h ^= h >> np.uint64(27)
+    # wraparound mod 2^64 is the hash definition — silence the
+    # overflow warning numpy raises on intentional uint64 wrap
+    with np.errstate(over="ignore"):
+        pows = np.ones(w, dtype=np.uint64)
+        for j in range(1, w):
+            pows[j] = pows[j - 1] * _NGRAM_P
+        view = np.lib.stride_tricks.sliding_window_view(
+            flat.astype(np.uint64), w
+        )
+        h = (view * pows).sum(axis=1, dtype=np.uint64)
+        h = (h ^ (h >> np.uint64(31))) * _NGRAM_MIX
+        h ^= h >> np.uint64(27)
     pos = np.arange(h.size, dtype=np.int64)
     d0 = np.searchsorted(offs, pos, side="right")
     d1 = np.searchsorted(offs, pos + w - 1, side="right")

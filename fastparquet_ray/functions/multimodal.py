@@ -14,6 +14,8 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from ._util import pool_max as _pool_max
+
 
 def _payloads(sf_dir: str):
     """Binary payload dataset: documents.text bytes stand in for an
@@ -246,18 +248,18 @@ def multimodal_pipeline(sf_dir: str):
     # leaves CPUs for upstream tasks, and the pools still scale to 2
     # on a full-size session.
     ds = ds.map_batches(
-        FrameSampler, batch_format="pyarrow", batch_size=512, concurrency=(1, 2),
+        FrameSampler, batch_format="pyarrow", batch_size=512, concurrency=(1, _pool_max()),
         num_cpus=1,
     )
     ds = ds.map_batches(
-        Resizer, batch_format="pyarrow", batch_size=512, concurrency=(1, 2),
+        Resizer, batch_format="pyarrow", batch_size=512, concurrency=(1, _pool_max()),
         num_cpus=1,
     )
     ds = ds.map_batches(
         FeatureExtractor,
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=(1, 2),
+        concurrency=(1, _pool_max()),
         num_cpus=1,
     )
     return ds
@@ -272,6 +274,6 @@ def multimodal_features(sf_dir: str):
         FeatureExtractor,
         batch_format="pyarrow",
         batch_size=512,  # small: payloads can be MBs each in real media
-        concurrency=(1, 2),
+        concurrency=(1, _pool_max()),
         num_cpus=1,
     )

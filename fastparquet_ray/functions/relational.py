@@ -11,6 +11,8 @@ import os
 
 import numpy as np
 import pandas as pd
+
+from ._util import pool_max as _pool_max
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -319,7 +321,7 @@ def join_broadcast(sf_dir: str):
         SegmentJoin,
         fn_constructor_kwargs={"ref": lookup_ref},
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=(1, _pool_max()),
     )
     return partials.groupby("c_mktsegment").aggregate(
         Sum("n", alias_name="n"), Sum("total", alias_name="total")
@@ -358,7 +360,7 @@ def semi_join(sf_dir: str):
 
     return ds.map_batches(
         Semi, fn_constructor_kwargs={"ref": keys_ref},
-        batch_format="pyarrow", concurrency=(1, 2),
+        batch_format="pyarrow", concurrency=(1, _pool_max()),
     )
 
 
@@ -383,7 +385,7 @@ def anti_join(sf_dir: str):
 
     return ds.map_batches(
         Anti, fn_constructor_kwargs={"ref": keys_ref},
-        batch_format="pyarrow", concurrency=(1, 2),
+        batch_format="pyarrow", concurrency=(1, _pool_max()),
     )
 
 
@@ -462,7 +464,7 @@ def multi_join(sf_dir: str):
         RegionJoin,
         fn_constructor_kwargs={"ref": lookup_ref},
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=(1, _pool_max()),
     )
     out = parts.groupby("r_name").aggregate(
         Sum("n", alias_name="n"), Sum("sum_bal", alias_name="sum_bal_raw")
@@ -785,7 +787,7 @@ def cross_join_small(sf_dir: str):
 
     return region.map_batches(
         Product, fn_constructor_kwargs={"ref": n_ref},
-        batch_format="pandas", concurrency=(1, 2),
+        batch_format="pandas", concurrency=(1, _pool_max()),
     )
 
 

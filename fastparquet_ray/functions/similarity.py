@@ -14,6 +14,8 @@ import os
 import numpy as np
 import pandas as pd
 
+from ._util import pool_max as _pool_max
+
 
 def _emb(sf_dir: str):
     import ray.data
@@ -76,7 +78,7 @@ def ann_topk(sf_dir: str, k: int = 10):
         fn_constructor_kwargs={"ref": q_ref, "k": k},
         batch_format="pandas",
         batch_size=8192,
-        concurrency=(1, 2),
+        concurrency=(1, _pool_max()),
     )
     df = partials.to_pandas()
     df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
@@ -151,7 +153,7 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8, n_probe: int = 
         fn_constructor_kwargs={"ref": cent_ref, "k": k},
         batch_format="pandas",
         batch_size=8192,
-        concurrency=(1, 2),
+        concurrency=(1, _pool_max()),
     )
     df = partials.to_pandas()
     df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)

@@ -18,6 +18,8 @@ import os
 
 import numpy as np
 import pandas as pd
+
+from ._util import pool_max as _pool_max
 import pyarrow as pa
 
 
@@ -260,7 +262,7 @@ def distinct_count_approx(sf_dir: str):
             HLLPartial,
             fn_constructor_kwargs={"column": col},
             batch_format="pyarrow",
-            concurrency=(1, 2),
+            concurrency=(1, _pool_max()),
         ).to_pandas()  # one 4 KB row per batch
         regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
         for blob in parts["regs"]:
@@ -415,7 +417,7 @@ def _rank_select(sf_dir: str, table: str, col: str, ranks_fn):
             CandValues,
             fn_constructor_kwargs={"ref": cand_ref},
             batch_format="pyarrow",
-            concurrency=(1, 2),
+            concurrency=(1, _pool_max()),
         )
         .to_pandas()
         .groupby("value", sort=True)["cnt"]
@@ -581,7 +583,7 @@ def inverted_index(sf_dir: str, k: int = 10, min_df: int = 2):
             CollectPostings,
             fn_constructor_kwargs={"ref": pick_ref},
             batch_format="pyarrow",
-            concurrency=(1, 2),
+            concurrency=(1, _pool_max()),
         )
         .to_pandas()  # postings-bounded: k rare tokens only
         .drop_duplicates(["tok", "doc_id"])

@@ -11,6 +11,8 @@ import hashlib
 import os
 
 import pandas as pd
+
+from ._util import pool_max as _pool_max
 import pyarrow as pa
 
 
@@ -57,7 +59,7 @@ class BpeishCounter:
 def token_count_bpe(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
-        BpeishCounter, batch_format="pandas", concurrency=(1, 2), batch_size=4096
+        BpeishCounter, batch_format="pandas", concurrency=(1, _pool_max()), batch_size=4096
     )
 
 
@@ -274,7 +276,7 @@ class LangId:
 def lang_id(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
-        LangId, batch_format="pandas", concurrency=(1, 2), batch_size=4096
+        LangId, batch_format="pandas", concurrency=(1, _pool_max()), batch_size=4096
     )
 
 
