@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_metrics": relational.unpivot_metrics,
         "cross_join_small": relational.cross_join_small,
         "quantiles_cont": sketches.quantiles_cont,
+        "mad_value": sketches.mad_value,
+        "cohort_retention": analytics.cohort_retention,
+        "source_vocab_jaccard": sketches.source_vocab_jaccard,
         # --- flagship encode engine (tokens table) ---
         "tokens_groupby_source": flagship.tokens_groupby_source,
         "tokens_checksum": flagship.tokens_checksum,
@@ -362,6 +365,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT (n_chars - lo) * 20 // (hi - lo + 1) AS bin, "
             "count(*) AS n FROM documents, mm GROUP BY bin"
+        ),
+        # DuckDB mad() = continuous median of |x - continuous median|;
+        # the engine chains two zero-sort rank selections
+        "mad_value": (
+            "SELECT ROUND(median(value), 6) AS med, "
+            "ROUND(mad(value), 6) AS mad FROM events"
+        ),
+        # epoch week floor(epoch_sec/604800) == int64-us // (604800e6)
+        # for the positive timestamps in events
+        "cohort_retention": (
+            "WITH uw AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM events) "
+            "SELECT a.wk AS wk, count(*) AS active, "
+            "count(b.user_id) AS retained, "
+            "ROUND(count(b.user_id) * 1.0 / count(*), 6) AS rate "
+            "FROM uw a LEFT JOIN uw b ON b.user_id = a.user_id "
+            "AND b.wk = a.wk + 1 GROUP BY a.wk ORDER BY wk"
+        ),
+        # inner join omits zero-intersection pairs on both sides
+        "source_vocab_jaccard": (
+            "WITH st AS (SELECT DISTINCT source, unnest(tokens) AS tok "
+            f"FROM read_parquet('{_TOKENS_GLOB}')), "
+            "c AS (SELECT source, count(*) AS n FROM st GROUP BY source) "
+            "SELECT a.source AS src_a, b.source AS src_b, "
+            "ROUND(count(*) * 1.0 / (ca.n + cb.n - count(*)), 6) "
+            "AS jaccard "
+            "FROM st a JOIN st b ON b.tok = a.tok AND a.source < b.source "
+            "JOIN c ca ON ca.source = a.source "
+            "JOIN c cb ON cb.source = b.source "
+            "GROUP BY a.source, b.source, ca.n, cb.n "
+            "ORDER BY src_a, src_b"
         ),
         "unpivot_metrics": (
             "SELECT l_orderkey, metric, CAST(val AS DOUBLE) AS val FROM "

@@ -943,3 +943,79 @@ def zscore_outliers(sf_dir: str, z: float = 2.0):
         Flag, fn_constructor_kwargs={"r": ref}, batch_format="pandas",
         concurrency=(1, _pool_max(4, 4)),
     )
+
+
+def cohort_retention(sf_dir: str, week_secs: int = 604_800):
+    """Week-over-week user retention over the events stream: for each
+    epoch week w, how many users active in w were also active in w+1 —
+    the cohort health metric every engagement pipeline reports.
+
+    Scale shape: three bounded exchanges, none corpus-sized. (1)
+    per-batch distinct (user, week) partials -> groupby dedup (the
+    exchange carries at most users x weeks rows, the activity-matrix
+    footprint); (2) each distinct pair re-emits itself twice — as
+    (u, w, active) and as (u, w-1, next-week witness) — and a second
+    same-key groupby MAX-folds the flags, co-locating each (u, w) with
+    its w+1 witness WITHOUT a self-join; (3) per-batch per-week count
+    partials -> a final weeks-sized groupby. Driver only sees the
+    per-week result."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    wk_us = np.int64(week_secs) * 1_000_000
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        wk = (df["ts"].astype("int64") // wk_us).astype("int64")
+        out = pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"), "wk": wk}
+        )
+        return out.drop_duplicates()
+
+    distinct = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby(["user_id", "wk"])
+        .aggregate(Count())
+    )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype("int64")
+        w = df["wk"].astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": pd.concat([u, u], ignore_index=True),
+                "wk": pd.concat([w, w - 1], ignore_index=True),
+                "active": np.r_[np.ones(len(df), np.int64),
+                                np.zeros(len(df), np.int64)],
+                "nxt": np.r_[np.zeros(len(df), np.int64),
+                             np.ones(len(df), np.int64)],
+            }
+        )
+
+    flags = (
+        distinct.map_batches(expand, batch_format="pandas")
+        .groupby(["user_id", "wk"])
+        .aggregate(Max("active", alias_name="active"),
+                   Max("nxt", alias_name="nxt"))
+    )
+
+    def week_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["active"] > 0]
+        g = df.groupby("wk", as_index=False).agg(
+            active=("active", "sum"), retained=("nxt", "sum")
+        )
+        return g
+
+    out = (
+        flags.map_batches(week_partial, batch_format="pandas")
+        .groupby("wk")
+        .aggregate(Sum("active", alias_name="active"),
+                   Sum("retained", alias_name="retained"))
+        .to_pandas()  # weeks-sized
+        .sort_values("wk")
+        .reset_index(drop=True)
+    )
+    out["wk"] = out["wk"].astype("int64")
+    out["active"] = out["active"].astype("int64")
+    out["retained"] = out["retained"].astype("int64")
+    out["rate"] = np.round(out["retained"] / out["active"], 6)
+    return out

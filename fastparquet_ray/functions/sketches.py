@@ -336,11 +336,16 @@ def quantiles_cont(sf_dir: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99)):
                          "value": np.asarray(vals, dtype=np.float64)})
 
 
-def _rank_select(sf_dir: str, table: str, col: str, ranks_fn):
+def _rank_select(sf_dir: str, table: str, col: str, ranks_fn,
+                 transform=None):
     """Exact order statistics at arbitrary 1-based ranks over one
     column, by the 3-pass histogram rank-partition selection (see
     quantiles() docstring). ``ranks_fn(n)`` maps the column's non-NaN
-    count to the requested ranks. Returns (n, {rank: value})."""
+    count to the requested ranks. ``transform`` (optional, vectorized
+    ndarray -> ndarray) is applied after the NaN filter in every pass,
+    so order statistics of a DERIVED quantity (e.g. |x - median| for
+    MAD) reuse the same zero-sort machinery without materializing the
+    derived column. Returns (n, {rank: value})."""
     import ray
     import ray.data
 
@@ -351,6 +356,8 @@ def _rank_select(sf_dir: str, table: str, col: str, ranks_fn):
     def minmax_partial(t: pa.Table) -> pa.Table:
         v = t.column(col).to_numpy(zero_copy_only=False)
         v = v[~np.isnan(v)]
+        if transform is not None:
+            v = transform(v)
         if v.size == 0:
             return pa.table(
                 {"n": pa.array([], pa.int64()),
@@ -381,6 +388,8 @@ def _rank_select(sf_dir: str, table: str, col: str, ranks_fn):
     def hist_partial(t: pa.Table) -> pa.Table:
         v = t.column(col).to_numpy(zero_copy_only=False)
         v = v[~np.isnan(v)]
+        if transform is not None:
+            v = transform(v)
         cnt = np.bincount(bucket_of(v), minlength=B) if v.size else np.zeros(B, np.int64)
         nz = np.nonzero(cnt)[0]
         return pa.table(
@@ -404,6 +413,8 @@ def _rank_select(sf_dir: str, table: str, col: str, ranks_fn):
         def __call__(self, t: pa.Table) -> pa.Table:
             v = t.column(col).to_numpy(zero_copy_only=False)
             v = v[~np.isnan(v)]
+            if transform is not None:
+                v = transform(v)
             b = bucket_of(v)
             keep = np.isin(b, self.cand)
             u, c = np.unique(v[keep], return_counts=True)
@@ -675,4 +686,113 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, top: int = 15):
         out.sort_values(["pmi", "a", "b"], ascending=[False, True, True])
         .head(top)
         .reset_index(drop=True)
+    )
+
+
+def mad_value(sf_dir: str, table: str = "events", col: str = "value"):
+    """Median absolute deviation (DuckDB mad(): continuous median of
+    |x - continuous-median(x)|) — the robust dispersion statistic a
+    quality-filter pipeline prefers over stddev on heavy-tailed value
+    columns.
+
+    Scale shape: two CHAINED zero-sort rank selections. Pass one finds
+    the interpolated median via the 3-pass histogram rank-partition
+    machinery of quantiles_cont; pass two reuses _rank_select with a
+    vectorized transform |x - med| (applied inside every map task, the
+    derived column is never materialized) to select the deviation
+    median the same way. Six streaming scans total, each reducing to
+    scalar-sized partials — no sort, no corpus exchange, O(4096)
+    driver state per pass."""
+
+    def med_ranks(n: int) -> list[int]:
+        pos = (n - 1) * 0.5
+        return [int(np.floor(pos)) + 1, int(np.ceil(pos)) + 1]
+
+    def interp(n: int, rank_value: dict) -> float:
+        pos = (n - 1) * 0.5
+        lo, hi = int(np.floor(pos)) + 1, int(np.ceil(pos)) + 1
+        vlo, vhi = rank_value[lo], rank_value[hi]
+        return float(vlo + (pos - np.floor(pos)) * (vhi - vlo))
+
+    n, rv = _rank_select(sf_dir, table, col, med_ranks)
+    if n == 0:
+        return pd.DataFrame({"med": [np.nan], "mad": [np.nan]})
+    med = interp(n, rv)
+    n2, rv2 = _rank_select(
+        sf_dir, table, col, med_ranks,
+        transform=lambda v, m=med: np.abs(v - m),
+    )
+    mad = interp(n2, rv2)
+    return pd.DataFrame(
+        {"med": [round(med, 6)], "mad": [round(mad, 6)]}
+    )
+
+
+def source_vocab_jaccard(sf_dir: str):
+    """Pairwise Jaccard similarity of token-id VOCABULARIES between
+    sources — the corpus-overlap matrix a data mixer consults before
+    weighting or merging sources (near-identical vocabularies suggest
+    near-identical crawls).
+
+    Scale shape: the entropy_by_source recipe — one streaming decode
+    pass emits per-block distinct (source, tok) partials (packed
+    source-code<<32|tok np.unique), merged at sources x vocabulary
+    cardinality by groupagg.merge_partials. Pairwise intersections
+    then run on the merged frame with per-source sorted id arrays +
+    np.intersect1d: O(S^2) pairs x O(V log V), driver-side because S
+    is small (dozens) and V is vocabulary-bounded — the same footprint
+    the output necessarily has. Zero-intersection pairs are omitted
+    (matching the SQL inner-join shape)."""
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+    from .groupagg import merge_partials
+
+    _, enc = ensure_encoded(sf_dir)
+    ds = decode_dataset(enc, columns=["source", "tokens"])
+
+    empty = pa.table(
+        {"source": pa.array([], pa.string()),
+         "tok": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if flat.size == 0:
+            return empty
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        row_code = np.repeat(codes.astype(np.int64), np.diff(offs))
+        key = np.unique((row_code << np.int64(32)) | flat)
+        return pa.table(
+            {"source": pa.array(uniq[key >> np.int64(32)], pa.string()),
+             "tok": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
+             "n": pa.array(np.ones(key.size, np.int64), pa.int64())}
+        )
+
+    agg = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "tok"], {"n": "sum"},
+    )
+    vocab = {
+        s: np.sort(sub["tok"].to_numpy(dtype=np.int64))
+        for s, sub in agg.groupby("source", sort=True)
+    }
+    srcs = sorted(vocab)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = np.intersect1d(
+                vocab[a], vocab[b], assume_unique=True
+            ).size
+            if inter == 0:
+                continue
+            union = vocab[a].size + vocab[b].size - inter
+            rows.append((a, b, round(inter / union, 6)))
+    return pd.DataFrame(
+        {"src_a": [r[0] for r in rows],
+         "src_b": [r[1] for r in rows],
+         "jaccard": np.array([r[2] for r in rows], dtype=np.float64)}
     )

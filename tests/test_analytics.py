@@ -659,3 +659,85 @@ def test_bigram_pmi_vs_duckdb(ray_session):
     assert got["b"].tolist() == exp["b"].tolist()
     assert got["n"].tolist() == exp["n"].tolist()
     np.testing.assert_allclose(got["pmi"], exp["pmi"], atol=2e-6)
+
+
+def test_mad_value_vs_duckdb(ray_session, sf_dir):
+    """Chained rank-selection MAD vs DuckDB mad()/median() on the
+    synthetic events (even row count exercises the interpolated
+    median on BOTH passes)."""
+    from fastparquet_ray.functions.sketches import mad_value
+
+    got = mad_value(sf_dir)
+    exp = _duck(sf_dir).execute(
+        "SELECT ROUND(median(value), 6) AS med, "
+        "ROUND(mad(value), 6) AS mad FROM events"
+    ).df()
+    np.testing.assert_allclose(got["med"], exp["med"], atol=2e-6)
+    np.testing.assert_allclose(got["mad"], exp["mad"], atol=2e-6)
+
+
+def test_mad_value_constant_column(ray_session, tmp_path):
+    """Degenerate mn == mx column: both rank-selection passes hit the
+    constant-bucket shortcut; MAD must be exactly 0."""
+    from fastparquet_ray.functions.sketches import mad_value
+
+    df = pd.DataFrame(
+        {"event_id": np.arange(7, dtype=np.int64),
+         "value": np.full(7, 3.25)}
+    )
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "events.parquet")
+    got = mad_value(str(tmp_path))
+    assert got["med"].iloc[0] == 3.25
+    assert got["mad"].iloc[0] == 0.0
+
+
+def test_cohort_retention_vs_duckdb(ray_session, sf_dir):
+    """Week-over-week retention vs the DuckDB self-join; the fixture's
+    single-event users (900-902) pin the never-retained edge and the
+    40 quantized-ts users span week boundaries."""
+    from fastparquet_ray.functions.analytics import cohort_retention
+
+    got = _norm(cohort_retention(sf_dir))
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "WITH uw AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM events) "
+            "SELECT a.wk AS wk, count(*) AS active, "
+            "count(b.user_id) AS retained, "
+            "ROUND(count(b.user_id) * 1.0 / count(*), 6) AS rate "
+            "FROM uw a LEFT JOIN uw b ON b.user_id = a.user_id "
+            "AND b.wk = a.wk + 1 GROUP BY a.wk ORDER BY wk"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # last week can never retain into a week with no data
+    last = got.sort_values("wk").iloc[-1]
+    assert last["retained"] <= last["active"]
+
+
+def test_source_vocab_jaccard_vs_duckdb(ray_session):
+    """Pairwise vocabulary Jaccard over the flagship tokens corpus vs
+    the DuckDB distinct-unnest self-join."""
+    from fastparquet_ray.functions.sketches import source_vocab_jaccard
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    sf_dir = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf_dir)
+    got = source_vocab_jaccard(sf_dir)
+    glob = paths[0].rsplit("/", 1)[0] + "/*.parquet"
+    exp = duckdb.connect().execute(
+        "WITH st AS (SELECT DISTINCT source, unnest(tokens) AS tok "
+        f"FROM read_parquet('{glob}')), "
+        "c AS (SELECT source, count(*) AS n FROM st GROUP BY source) "
+        "SELECT a.source AS src_a, b.source AS src_b, "
+        "ROUND(count(*) * 1.0 / (ca.n + cb.n - count(*)), 6) AS jaccard "
+        "FROM st a JOIN st b ON b.tok = a.tok AND a.source < b.source "
+        "JOIN c ca ON ca.source = a.source "
+        "JOIN c cb ON cb.source = b.source "
+        "GROUP BY a.source, b.source, ca.n, cb.n ORDER BY src_a, src_b"
+    ).df()
+    assert got["src_a"].tolist() == exp["src_a"].tolist()
+    assert got["src_b"].tolist() == exp["src_b"].tolist()
+    np.testing.assert_allclose(got["jaccard"], exp["jaccard"], atol=2e-6)
+    # jaccard is a [0, 1] similarity
+    assert ((got["jaccard"] >= 0) & (got["jaccard"] <= 1)).all()
