@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "embedding_centroids": similarity.embedding_centroids,
         "dup_ngram_spans": dedup.dup_ngram_spans,
+        "decontaminate": dedup.decontaminate,
         # --- multimodal plumbing (stubbed decode) ---
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_pipeline": multimodal.multimodal_pipeline,
@@ -490,6 +491,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows, "
             "CAST(count(d.win) AS BIGINT) AS n_dup "
             "FROM w LEFT JOIN d ON w.win = d.win GROUP BY w.doc_id"
+        ),
+        # eval split = doc_id % 29 == 0; engine matches window HASHES
+        # (collision odds ~2^-64), oracle the literal token windows
+        "decontaminate": (
+            "WITH w AS (SELECT doc_id, list_slice(tokens, g, g + 7) AS win "
+            "FROM (SELECT doc_id, tokens, "
+            "unnest(generate_series(1, len(tokens) - 7)) AS g "
+            f"FROM read_parquet('{_TOKENS_GLOB}') WHERE len(tokens) >= 8)), "
+            "ev AS (SELECT DISTINCT win FROM w "
+            "WHERE CAST(right(doc_id, 12) AS BIGINT) % 29 = 0) "
+            "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows, "
+            "CAST(count(ev.win) AS BIGINT) AS n_hits "
+            "FROM w LEFT JOIN ev ON w.win = ev.win "
+            "WHERE CAST(right(w.doc_id, 12) AS BIGINT) % 29 <> 0 "
+            "GROUP BY w.doc_id HAVING count(ev.win) > 0"
         ),
         "argmax_per_group": (
             "SELECT l_returnflag, price, l_orderkey FROM ("

@@ -1098,3 +1098,95 @@ def dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.5):
 
     pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
     return connected_components(pairs, mode="driver")
+
+
+def decontaminate(sf_dir: str, w: int = 8, mod: int = 29):
+    """Eval-set decontamination: flag TRAIN documents that share any
+    w-token n-gram with the EVAL split (here the deterministic
+    doc_id % mod == 0 subset stands in for a held-out benchmark) —
+    the n-gram-overlap contamination check public LLM training
+    pipelines run before training (GPT-3 appendix C / Lee et al.
+    2021, public literature).
+
+    Scale shape: ZERO exchanges. Pass A scans only eval rows
+    (filtered in-block at the decode) and reduces them to a distinct
+    window-hash set collected and broadcast once via ray.put — an
+    eval set is small by definition, so the broadcast is KB-MB scale
+    regardless of corpus size. Pass B streams the corpus once:
+    per-block vectorized sliding-window hashes (_window_hashes) +
+    sorted-membership searchsorted against the broadcast set, folding
+    to per-doc (n_windows, n_hits) rows for contaminated train docs —
+    the eval set plays the broadcast side of a semi-join. Hash
+    collisions ~#windows^2/2^64 (see _window_hashes); the oracle
+    compares literal token windows."""
+    import ray
+
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+
+    _, enc = ensure_encoded(sf_dir)
+    ds = decode_dataset(enc, columns=["doc_id", "tokens"])
+    m = np.int64(mod)
+
+    def _flat(t: pa.Table):
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        # doc ids are "source/doc-NNNNNNNNNNNN" strings; the split is
+        # on the numeric suffix so SQL reproduces it with right()+CAST
+        num = pd.Series(ids).str[-12:].astype(np.int64).to_numpy()
+        return flat, offs, ids, num
+
+    def eval_hashes(t: pa.Table) -> pa.Table:
+        flat, offs, ids, num = _flat(t)
+        h, di = _window_hashes(flat, offs, w)
+        if h.size:
+            keep = (num[di] % m) == 0
+            h = np.unique(h[keep].view(np.int64))
+        else:
+            h = np.empty(0, np.int64)
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    ev = ds.map_batches(eval_hashes, batch_format="pyarrow").to_pandas()
+    ev_ref = ray.put(np.unique(ev["h"].to_numpy(dtype=np.int64)))
+
+    class Hits:
+        def __init__(self, ref):
+            self.ev = ray.get(ref)  # sorted distinct eval hashes
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            flat, offs, ids, num = _flat(t)
+            h, di = _window_hashes(flat, offs, w)
+            empty = pa.table(
+                {"doc_id": pa.array([], pa.string()),
+                 "n_windows": pa.array([], pa.int64()),
+                 "n_hits": pa.array([], pa.int64())}
+            )
+            if h.size == 0:
+                return empty
+            pos = np.searchsorted(self.ev, h.view(np.int64))
+            pos[pos == self.ev.size] = 0
+            hit = (
+                (self.ev[pos] == h.view(np.int64))
+                if self.ev.size
+                else np.zeros(h.size, bool)
+            )
+            ndoc = len(offs) - 1
+            nwin = np.maximum(np.diff(offs) - w + 1, 0).astype(np.int64)
+            nhit = np.bincount(
+                di, weights=hit.astype(np.float64), minlength=ndoc
+            ).astype(np.int64)
+            keep = (nhit > 0) & ((num % m) != 0)
+            if not keep.any():
+                return empty
+            return pa.table(
+                {"doc_id": pa.array(ids[keep], pa.string()),
+                 "n_windows": pa.array(nwin[keep], pa.int64()),
+                 "n_hits": pa.array(nhit[keep], pa.int64())}
+            )
+
+    return ds.map_batches(
+        Hits, fn_constructor_kwargs={"ref": ev_ref},
+        batch_format="pyarrow", concurrency=(1, _pool_max()),
+    )

@@ -84,3 +84,39 @@ def test_dup_ngram_spans_vs_duckdb(ray_session):
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["n_windows"].tolist() == exp["n_windows"].tolist()
     assert got["n_dup"].tolist() == exp["n_dup"].tolist()
+
+
+def test_decontaminate_vs_duckdb(ray_session):
+    """Eval-split n-gram decontamination vs the literal-window DuckDB
+    join on the sf0.001 tokens corpus (short docs with < w tokens are
+    excluded on both sides; eval docs never appear in the output)."""
+    from fastparquet_ray.functions.dedup import decontaminate
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    sf_dir = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf_dir)
+    glob = paths[0].rsplit("/", 1)[0] + "/*.parquet"
+    got = (
+        decontaminate(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.connect().execute(
+        "WITH w AS (SELECT doc_id, list_slice(tokens, g, g + 7) AS win "
+        "FROM (SELECT doc_id, tokens, "
+        "unnest(generate_series(1, len(tokens) - 7)) AS g "
+        f"FROM read_parquet('{glob}') WHERE len(tokens) >= 8)), "
+        "ev AS (SELECT DISTINCT win FROM w "
+        "WHERE CAST(right(doc_id, 12) AS BIGINT) % 29 = 0) "
+        "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows, "
+        "CAST(count(ev.win) AS BIGINT) AS n_hits "
+        "FROM w LEFT JOIN ev ON w.win = ev.win "
+        "WHERE CAST(right(w.doc_id, 12) AS BIGINT) % 29 <> 0 "
+        "GROUP BY w.doc_id HAVING count(ev.win) > 0 ORDER BY doc_id"
+    ).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_windows"].tolist() == exp["n_windows"].tolist()
+    assert got["n_hits"].tolist() == exp["n_hits"].tolist()
+    # no eval doc leaks into the contaminated-train report
+    assert (got["doc_id"].str[-12:].astype(int) % 29 != 0).all()
