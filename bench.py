@@ -196,7 +196,8 @@ def run_bench() -> dict:
             "left_outer_join", "dup_ngram_spans", "rolling_avg",
             "session_windows", "regression_by_group", "running_sum",
             "funnel_conversion", "zscore_outliers", "ntile",
-            "bigram_pmi", "dedup_clusters",
+            "bigram_pmi", "dedup_clusters", "decontaminate",
+            "cohort_retention", "mad_value",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)
