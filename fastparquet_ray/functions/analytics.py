@@ -950,72 +950,49 @@ def cohort_retention(sf_dir: str, week_secs: int = 604_800):
     epoch week w, how many users active in w were also active in w+1 —
     the cohort health metric every engagement pipeline reports.
 
-    Scale shape: three bounded exchanges, none corpus-sized. (1)
-    per-batch distinct (user, week) partials -> groupby dedup (the
-    exchange carries at most users x weeks rows, the activity-matrix
-    footprint); (2) each distinct pair re-emits itself twice — as
-    (u, w, active) and as (u, w-1, next-week witness) — and a second
-    same-key groupby MAX-folds the flags, co-locating each (u, w) with
-    its w+1 witness WITHOUT a self-join; (3) per-batch per-week count
-    partials -> a final weeks-sized groupby. Driver only sees the
-    per-week result."""
-    from ray.data.aggregate import Count, Max, Sum
-
+    Scale shape: ONE exchange. Per-batch distinct (user, week)
+    partials fold through groupagg.merge_partials (driver mode at
+    test scale, sort mode past the row cap) to the users x weeks
+    activity matrix — the exact footprint the retention computation
+    needs and no more (events never ship whole). The week-over-week
+    fold is then a vectorized membership test on packed
+    (user << 20 | week) keys: (u, w) retained iff key+1 is present,
+    valid because epoch weeks fit 20 bits so w+1 can never roll into
+    the next user's key space. Weeks-sized output."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     wk_us = np.int64(week_secs) * 1_000_000
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        wk = (df["ts"].astype("int64") // wk_us).astype("int64")
         out = pd.DataFrame(
-            {"user_id": df["user_id"].astype("int64"), "wk": wk}
-        )
-        return out.drop_duplicates()
-
-    distinct = (
-        ds.map_batches(pairs, batch_format="pandas")
-        .groupby(["user_id", "wk"])
-        .aggregate(Count())
-    )
-
-    def expand(df: pd.DataFrame) -> pd.DataFrame:
-        u = df["user_id"].astype("int64")
-        w = df["wk"].astype("int64")
-        return pd.DataFrame(
             {
-                "user_id": pd.concat([u, u], ignore_index=True),
-                "wk": pd.concat([w, w - 1], ignore_index=True),
-                "active": np.r_[np.ones(len(df), np.int64),
-                                np.zeros(len(df), np.int64)],
-                "nxt": np.r_[np.zeros(len(df), np.int64),
-                             np.ones(len(df), np.int64)],
+                "user_id": df["user_id"].astype("int64"),
+                "wk": (df["ts"].astype("int64") // wk_us).astype("int64"),
+                "n": np.int64(1),
             }
         )
+        return out.drop_duplicates(["user_id", "wk"])
 
-    flags = (
-        distinct.map_batches(expand, batch_format="pandas")
-        .groupby(["user_id", "wk"])
-        .aggregate(Max("active", alias_name="active"),
-                   Max("nxt", alias_name="nxt"))
+    from .groupagg import merge_partials
+
+    uw = merge_partials(
+        ds.map_batches(pairs, batch_format="pandas"),
+        ["user_id", "wk"], {"n": "sum"},
     )
-
-    def week_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["active"] > 0]
-        g = df.groupby("wk", as_index=False).agg(
-            active=("active", "sum"), retained=("nxt", "sum")
-        )
-        return g
-
-    out = (
-        flags.map_batches(week_partial, batch_format="pandas")
-        .groupby("wk")
-        .aggregate(Sum("active", alias_name="active"),
-                   Sum("retained", alias_name="retained"))
-        .to_pandas()  # weeks-sized
-        .sort_values("wk")
-        .reset_index(drop=True)
+    u = uw["user_id"].to_numpy(dtype=np.int64)
+    w = uw["wk"].to_numpy(dtype=np.int64)
+    key = np.sort((u << np.int64(20)) | w)  # epoch weeks < 2^20
+    nxt = np.isin(key + 1, key, assume_unique=True)
+    wk_vals = (key & np.int64((1 << 20) - 1))
+    uniq_w, inv = np.unique(wk_vals, return_inverse=True)
+    active = np.bincount(inv)
+    retained = np.bincount(inv, weights=nxt.astype(np.float64)).astype(
+        np.int64
     )
-    out["wk"] = out["wk"].astype("int64")
-    out["active"] = out["active"].astype("int64")
-    out["retained"] = out["retained"].astype("int64")
-    out["rate"] = np.round(out["retained"] / out["active"], 6)
-    return out
+    return pd.DataFrame(
+        {
+            "wk": uniq_w.astype("int64"),
+            "active": active.astype("int64"),
+            "retained": retained,
+            "rate": np.round(retained / active, 6),
+        }
+    )
