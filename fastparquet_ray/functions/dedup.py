@@ -1139,13 +1139,14 @@ def decontaminate(sf_dir: str, w: int = 8, mod: int = 29):
         return flat, offs, ids, num
 
     def eval_hashes(t: pa.Table) -> pa.Table:
-        flat, offs, ids, num = _flat(t)
-        h, di = _window_hashes(flat, offs, w)
-        if h.size:
-            keep = (num[di] % m) == 0
-            h = np.unique(h[keep].view(np.int64))
-        else:
-            h = np.empty(0, np.int64)
+        # row-filter to the eval split BEFORE windowing: hashing then
+        # touches ~1/mod of the block's tokens, not all of them
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        num = pd.Series(ids).str[-12:].astype(np.int64).to_numpy()
+        t = t.filter(pa.array((num % m) == 0))
+        flat, offs, _ids, _num = _flat(t)
+        h, _di = _window_hashes(flat, offs, w)
+        h = np.unique(h.view(np.int64)) if h.size else np.empty(0, np.int64)
         return pa.table({"h": pa.array(h, pa.int64())})
 
     ev = ds.map_batches(eval_hashes, batch_format="pyarrow").to_pandas()
