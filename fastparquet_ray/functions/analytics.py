@@ -918,6 +918,14 @@ def zscore_outliers(sf_dir: str, z: float = 2.0):
             self.users, self.mean, self.sd = ray.get(r)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self.users.size == 0:
+                return pd.DataFrame(
+                    {
+                        "event_id": np.empty(0, np.int64),
+                        "user_id": np.empty(0, np.int64),
+                        "z": np.empty(0, np.float64),
+                    }
+                )
             pos = np.searchsorted(self.users, df["user_id"].to_numpy())
             pos = np.clip(pos, 0, len(self.users) - 1)
             hit = self.users[pos] == df["user_id"].to_numpy()
@@ -960,13 +968,16 @@ def cohort_retention(sf_dir: str, week_secs: int = 604_800):
     valid because epoch weeks fit 20 bits so w+1 can never roll into
     the next user's key space. Weeks-sized output."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    wk_us = np.int64(week_secs) * 1_000_000
+    wk_ns = np.int64(week_secs) * 1_000_000_000
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df["ts"].astype("int64") * (
+            1000 if df["ts"].dtype == "datetime64[us]" else 1
+        )
         out = pd.DataFrame(
             {
                 "user_id": df["user_id"].astype("int64"),
-                "wk": (df["ts"].astype("int64") // wk_us).astype("int64"),
+                "wk": (ns // wk_ns).astype("int64"),
                 "n": np.int64(1),
             }
         )

@@ -996,6 +996,10 @@ def dup_ngram_spans(sf_dir: str, w: int = 8):
         col = t.column("tokens").combine_chunks()
         flat = col.flatten().to_numpy(zero_copy_only=False)
         offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # sliced ListArrays carry a nonzero offset base while
+        # flatten() compacts to zero-base — re-base so window->doc
+        # searchsorted attribution stays correct (matches bigram_pmi)
+        offs = offs - offs[0]
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         return flat, offs, ids
 
@@ -1132,6 +1136,8 @@ def decontaminate(sf_dir: str, w: int = 8, mod: int = 29):
         col = t.column("tokens").combine_chunks()
         flat = col.flatten().to_numpy(zero_copy_only=False)
         offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # sliced ListArrays: re-base offsets to flatten()'s zero base
+        offs = offs - offs[0]
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         # doc ids are "source/doc-NNNNNNNNNNNN" strings; the split is
         # on the numeric suffix so SQL reproduces it with right()+CAST

@@ -133,6 +133,7 @@ def _cc_distributed(edges_ds, max_rounds: int = 50) -> pd.DataFrame:
             {"doc_id": pd.Series([], dtype="int64"),
              "cluster_id": pd.Series([], dtype="int64")}
         )
+    converged = False
     for _ in range(max_rounds):
         ds = (
             ds.map_batches(bidir, batch_format="pandas")
@@ -146,8 +147,19 @@ def _cc_distributed(edges_ds, max_rounds: int = 50) -> pd.DataFrame:
         )
         cur = checksum(ds)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # non-convergence (or an astronomically unlikely checksum
+        # collision masking it) must not silently return a non-star
+        # edge set — fall back to the exact driver union-find over the
+        # current (already much-contracted) edge set
+        df = ds.to_pandas().drop_duplicates()
+        return _union_find(
+            df["a"].to_numpy(dtype=np.int64),
+            df["b"].to_numpy(dtype=np.int64),
+        ).sort_values("doc_id").reset_index(drop=True)
 
     # converged: every edge is (component_min, node)
     stars = ds.to_pandas().drop_duplicates()  # output-sized: one row/node

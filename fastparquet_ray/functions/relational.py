@@ -26,9 +26,10 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
 
 
 def join_partitions(*datasets, target_bytes: int = 128 << 20) -> int:
-    """Partition count for Ray Data's native hash-shuffle join: one
-    partition per ~128 MB of combined input (each partition is an
-    independent build+probe unit), floored at 4 and capped at cluster
+    """Partition count for Ray Data's native hash-shuffle join: four
+    partitions per 128 MB of combined input — i.e. ~32 MB effective
+    granularity, so each partition is an independent build+probe unit
+    small enough to pipeline — floored at 4 and capped at cluster
     CPUs. Small inputs get few partitions (32 aggregator actors on a
     5 MB join cost ~10x the join itself — measured); at cluster scale
     the CPU cap takes over, matching cores like the docstring guidance
