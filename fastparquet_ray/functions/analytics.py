@@ -100,16 +100,17 @@ def window_lag(sf_dir: str, salt_days: int = 7):
     Skew-bounded like windows.asof_join: the exchange keys on the
     COMPOSITE (user_id, coarse ``salt_days`` bucket), so a hot user's
     events never land in one unbounded group. The in-order predecessor
-    of a bucket's first row is restored by a carry-in: each block
-    contributes its last (ts, event_id, value) candidate per
-    (user, bucket); the driver resolves the true per-bucket last rows
-    (O(users x buckets), the grouped-aggregate footprint) and each
-    group prepends its nearest earlier bucket's last row, whose own
-    delta is NOT emitted (it belongs to the earlier bucket)."""
-    import ray
-
+    of a bucket's first row is restored by a carry-in resolved
+    DISTRIBUTEDLY: each block contributes its last (ts, event_id,
+    value) candidate per (user, bucket); a groupby(user_id) over those
+    summary rows (each group is summary-sized — blocks x buckets the
+    user touches, never events) shifts the true per-bucket last rows
+    down one bucket and emits them as ghost rows that ride the SAME
+    (user, bucket) exchange as the data. No driver collect, no
+    whole-dict broadcast — driver state is O(1)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     bucket_ns = np.int64(salt_days) * 86_400 * 1_000_000_000
+    cols = ["event_id", "user_id", "ts", "value", "bkt", "ghost"]
 
     def _with_bkt(df: pd.DataFrame) -> pd.DataFrame:
         ns = df["ts"].astype("int64") * (
@@ -117,7 +118,8 @@ def window_lag(sf_dir: str, salt_days: int = 7):
         )
         df = df.copy()
         df["bkt"] = (ns // bucket_ns).astype("int64")
-        return df
+        df["ghost"] = False
+        return df[cols]
 
     def last_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = _with_bkt(df).sort_values(["ts", "event_id"], kind="mergesort")
@@ -125,51 +127,45 @@ def window_lag(sf_dir: str, salt_days: int = 7):
             ["user_id", "bkt", "ts", "event_id", "value"]
         ]
 
-    summ = (
-        ds.map_batches(last_partial, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["user_id", "bkt", "ts", "event_id"])
-        .groupby(["user_id", "bkt"], as_index=False, sort=True)
-        .tail(1)
-    )
-    carry = {}
-    for uid, sub in summ.groupby("user_id", sort=False):
-        carry[int(uid)] = (
-            sub["bkt"].to_numpy(),
-            sub["ts"].to_numpy(),
-            sub["event_id"].to_numpy(),
-            sub["value"].to_numpy(),
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # one user's per-block per-bucket last-row candidates: pick
+        # the true last row per bucket, then carry bucket i-1's last
+        # row into bucket i as a ghost predecessor (its own delta is
+        # never emitted — it belongs to the earlier bucket)
+        g = g.sort_values(["bkt", "ts", "event_id"], kind="mergesort")
+        last = g.groupby("bkt", sort=False).tail(1)
+        if len(last) < 2:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype=g["ts"].dtype),
+                    "value": pd.Series([], dtype="float64"),
+                    "bkt": pd.Series([], dtype="int64"),
+                    "ghost": pd.Series([], dtype="bool"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "event_id": last["event_id"].to_numpy()[:-1].astype(
+                    "int64"
+                ),
+                "user_id": last["user_id"].to_numpy()[1:].astype("int64"),
+                "ts": last["ts"].iloc[:-1].reset_index(drop=True),
+                "value": last["value"].to_numpy()[:-1].astype("float64"),
+                "bkt": last["bkt"].to_numpy()[1:].astype("int64"),
+                "ghost": True,
+            }
         )
-    carry_ref = ray.put(carry)
 
-    def per_group(g: pd.DataFrame, _memo={}) -> pd.DataFrame:
+    carry_ds = (
+        ds.map_batches(last_partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        uid = int(g["user_id"].iloc[0])
-        bkt = int(g["bkt"].iloc[0])
-        # ray.get deserializes the whole carry dict on EVERY call; the
-        # mutable-default memo caches it per unpickled task closure so
-        # each map_groups block pays one fetch, not one per group
-        if "c" not in _memo:
-            _memo["c"] = ray.get(carry_ref)
-        cu = _memo["c"].get(uid)
-        if cu is not None:
-            bkts, tss, ids, vals = cu
-            pos = np.searchsorted(bkts, bkt) - 1
-            if pos >= 0:
-                prev = pd.DataFrame(
-                    {
-                        "event_id": pd.array([ids[pos]], dtype="int64"),
-                        "user_id": pd.array([uid], dtype="int64"),
-                        "ts": pd.Series([tss[pos]], dtype=g["ts"].dtype),
-                        "value": pd.array(
-                            [vals[pos]], dtype="float64"
-                        ),
-                        "bkt": pd.array([bkt], dtype="int64"),
-                    }
-                )
-                # carry row sits at position 0; its own delta is never
-                # emitted because outputs are attributed to rows 1..n
-                g = pd.concat([prev, g], ignore_index=True)
         v = g["value"].to_numpy()
         if len(g) < 2:
             return pd.DataFrame(
@@ -179,17 +175,26 @@ def window_lag(sf_dir: str, salt_days: int = 7):
                     "delta": pd.Series([], dtype="float64"),
                 }
             )
-        delta = v[1:] - v[:-1]
+        # the ghost carry (if present) sorts first — its ts is from a
+        # strictly earlier bucket; outputs attribute to rows 1..n, and
+        # a ghost can never sit past position 0, but mask anyway
+        real = ~g["ghost"].to_numpy()[1:]
+        delta = (v[1:] - v[:-1])[real]
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy()[1:].astype("int64"),
-                "user_id": g["user_id"].to_numpy()[1:].astype("int64"),
+                "event_id": g["event_id"].to_numpy()[1:][real].astype(
+                    "int64"
+                ),
+                "user_id": g["user_id"].to_numpy()[1:][real].astype(
+                    "int64"
+                ),
                 "delta": np.round(delta, 6),
             }
         )
 
     return (
         ds.map_batches(_with_bkt, batch_format="pandas")
+        .union(carry_ds)
         .groupby(["user_id", "bkt"])
         .map_groups(per_group, batch_format="pandas")
     )
@@ -686,14 +691,16 @@ def running_sum(sf_dir: str, salt_days: int = 7):
     COMPOSITE (user_id, coarse salt_days bucket) so a hot user never
     lands in one unbounded group. Unlike lag (which only needs the
     PREVIOUS row), a cumulative sum needs the TOTAL of all earlier
-    buckets: each block contributes per-(user, bucket) partial sums,
-    the driver exclusive-prefix-sums the bucket subtotals per user
-    (O(users x buckets) — the grouped-aggregate footprint), and each
-    group adds its carry-in offset to an in-order local cumsum."""
-    import ray
-
+    buckets: each block contributes per-(user, bucket) partial sums
+    (+ the bucket's min ts), a groupby(user_id) over those summary
+    rows exclusive-prefix-sums the bucket subtotals per user and
+    emits each bucket's offset as a ghost row (ts = the bucket's min
+    ts, event_id = -1, so it sorts first in the bucket) riding the
+    SAME (user, bucket) exchange as the data — the local cumsum then
+    includes the carry natively. No driver collect, no broadcast."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     bucket_ns = np.int64(salt_days) * 86_400 * 1_000_000_000
+    cols = ["event_id", "user_id", "ts", "value", "bkt", "ghost"]
 
     def _with_bkt(df: pd.DataFrame) -> pd.DataFrame:
         ns = df["ts"].astype("int64") * (
@@ -701,47 +708,71 @@ def running_sum(sf_dir: str, salt_days: int = 7):
         )
         df = df.copy()
         df["bkt"] = (ns // bucket_ns).astype("int64")
-        return df
+        df["ghost"] = False
+        return df[cols]
 
     def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = _with_bkt(df)
-        g = df.groupby(["user_id", "bkt"], as_index=False, sort=False)[
-            "value"
-        ].sum()
+        g = df.groupby(["user_id", "bkt"], as_index=False, sort=False).agg(
+            value=("value", "sum"), ts=("ts", "min")
+        )
         return g
 
-    summ = (
-        ds.map_batches(sum_partial, batch_format="pandas")
-        .to_pandas()
-        .groupby(["user_id", "bkt"], as_index=False, sort=True)["value"]
-        .sum()
-    )
-    carry = {}
-    for uid, sub in summ.groupby("user_id", sort=False):
-        tot = sub["value"].to_numpy()
-        excl = np.concatenate([[0.0], np.cumsum(tot)[:-1]])
-        carry[int(uid)] = (sub["bkt"].to_numpy(), excl)
-    carry_ref = ray.put(carry)
-
-    def per_group(g: pd.DataFrame, _memo={}) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        uid = int(g["user_id"].iloc[0])
-        bkt = int(g["bkt"].iloc[0])
-        if "c" not in _memo:  # one carry fetch per task, not per group
-            _memo["c"] = ray.get(carry_ref)
-        bkts, excl = _memo["c"][uid]
-        off = excl[np.searchsorted(bkts, bkt)]
-        run = off + np.cumsum(g["value"].to_numpy())
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # one user's per-block (bucket, partial sum, min ts) rows ->
+        # per-bucket totals in bucket order -> exclusive prefix sums;
+        # bucket i's offset becomes a ghost row that sorts FIRST in
+        # bucket i (ts = bucket min ts, event_id = -1 < all real ids)
+        g = g.groupby("bkt", as_index=False, sort=True).agg(
+            value=("value", "sum"), ts=("ts", "min"),
+            user_id=("user_id", "first"),
+        )
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype=g["ts"].dtype),
+                    "value": pd.Series([], dtype="float64"),
+                    "bkt": pd.Series([], dtype="int64"),
+                    "ghost": pd.Series([], dtype="bool"),
+                }
+            )
+        excl = np.cumsum(g["value"].to_numpy())[:-1]
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy().astype("int64"),
-                "user_id": g["user_id"].to_numpy().astype("int64"),
-                "run_sum": np.round(run, 6),
+                "event_id": np.full(len(g) - 1, -1, dtype=np.int64),
+                "user_id": g["user_id"].to_numpy()[1:].astype("int64"),
+                "ts": g["ts"].iloc[1:].reset_index(drop=True),
+                "value": excl.astype("float64"),
+                "bkt": g["bkt"].to_numpy()[1:].astype("int64"),
+                "ghost": True,
+            }
+        )
+
+    carry_ds = (
+        ds.map_batches(sum_partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        run = np.cumsum(g["value"].to_numpy())
+        keep = ~g["ghost"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[keep].astype(
+                    "int64"
+                ),
+                "user_id": g["user_id"].to_numpy()[keep].astype("int64"),
+                "run_sum": np.round(run[keep], 6),
             }
         )
 
     return (
         ds.map_batches(_with_bkt, batch_format="pandas")
+        .union(carry_ds)
         .groupby(["user_id", "bkt"])
         .map_groups(per_group, batch_format="pandas")
     )

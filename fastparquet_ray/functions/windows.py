@@ -86,93 +86,96 @@ def asof_join(sf_dir: str, salt_days: int = 7):
     ``salt_days``), so a pathologically hot user's events split across
     buckets instead of landing in one unbounded group — per-group work
     is capped by the user's traffic per bucket. As-of lookback across
-    bucket borders is restored by a carry-in: a tiny per-(user, bucket)
-    summary (that bucket's latest view) is prefix-filled per user on
-    the driver — per-bucket latest views are monotone in ts, so the
-    nearest earlier bucket's summary IS the best strictly-earlier
-    candidate — and broadcast; each group prepends its carry-in row
-    before merge_asof. Driver state is O(users x buckets) summary rows
-    (the same footprint as any grouped-aggregate output), never events.
-    """
-    import ray
-
+    bucket borders is restored by a carry-in resolved DISTRIBUTEDLY:
+    each block contributes one row per (user, bucket) — the bucket's
+    latest view, or a sentinel for view-less buckets — and a
+    groupby(user_id) over those summary rows (each group is
+    summary-sized, never events) forward-fills latest views over the
+    user's bucket order and emits each bucket's strictly-earlier best
+    view as a ghost view row riding the SAME (user, bucket) exchange
+    as the data. No driver collect, no whole-dict broadcast — driver
+    state is O(1)."""
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
     bucket_ns = np.int64(salt_days) * 86_400 * 1_000_000_000
+    cols = ["event_id", "user_id", "event_type", "ts", "bkt", "ghost"]
 
-    # per-(user, bucket) latest view: one candidate row per block via a
-    # vectorized sort+tail partial, resolved driver-side at summary
-    # cardinality
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df["ts"].astype("int64") * (
+            1000 if df["ts"].dtype == "datetime64[us]" else 1
+        )
+        df = df.copy()
+        df["bkt"] = (ns // bucket_ns).astype("int64")
+        df["ghost"] = False
+        return df[cols]
+
+    # per-(user, bucket) candidate: the block's latest view in that
+    # bucket, or event_id = -1 when the block has events but no view
+    # there (those buckets still need a carry-in emitted for them)
     def view_partial(df: pd.DataFrame) -> pd.DataFrame:
-        v = df[df["event_type"] == "view"]
-        if v.empty:
-            return pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "bkt": pd.Series([], dtype="int64"),
-                    "ts": pd.Series([], dtype="datetime64[us]"),
-                    "event_id": pd.Series([], dtype="int64"),
-                }
-            )
-        bkt = v["ts"].astype("int64") * (
-            1000 if v["ts"].dtype == "datetime64[us]" else 1
-        ) // bucket_ns
-        cand = pd.DataFrame(
+        ts_dtype = df["ts"].dtype
+        df = add_bucket(df)
+        need = df[["user_id", "bkt"]].drop_duplicates()
+        v = df[df["event_type"] == "view"].sort_values(
+            ["user_id", "bkt", "ts", "event_id"]
+        )
+        best = v.groupby(["user_id", "bkt"], sort=False).tail(1)[
+            ["user_id", "bkt", "ts", "event_id"]
+        ]
+        out = need.merge(best, on=["user_id", "bkt"], how="left")
+        out["event_id"] = out["event_id"].fillna(-1).astype("int64")
+        out["user_id"] = out["user_id"].astype("int64")
+        out["bkt"] = out["bkt"].astype("int64")
+        out["ts"] = out["ts"].astype(ts_dtype)  # NaT-safe
+        return out[["user_id", "bkt", "ts", "event_id"]]
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # one user's candidates: true latest view per bucket (NaT
+        # sentinels lose to any real view), forward-filled over bucket
+        # order, shifted to strictly-earlier; emit the result as ghost
+        # view rows for every bucket with an earlier view
+        g = g.sort_values(
+            ["bkt", "ts", "event_id"], na_position="first"
+        )
+        last = g.groupby("bkt", sort=False).tail(1)
+        ids = last["event_id"].to_numpy()
+        valid = ids >= 0
+        idx = np.arange(len(last))
+        ff = np.maximum.accumulate(np.where(valid, idx, -1))
+        # carry for bucket i = latest view at or before bucket i-1
+        if len(last) > 1:
+            src_i = ff[:-1]
+            dst_i = np.arange(1, len(last))
+        else:
+            src_i = np.empty(0, np.int64)
+            dst_i = np.empty(0, np.int64)
+        keep = src_i >= 0
+        src_i, dst_i = src_i[keep], dst_i[keep]
+        return pd.DataFrame(
             {
-                "user_id": v["user_id"].astype("int64"),
-                "bkt": bkt.astype("int64"),
-                "ts": v["ts"],
-                "event_id": v["event_id"].astype("int64"),
+                "event_id": ids[src_i].astype("int64"),
+                "user_id": last["user_id"].to_numpy()[dst_i].astype(
+                    "int64"
+                ),
+                "event_type": pd.Series(
+                    ["view"] * src_i.size, dtype=object
+                ),
+                "ts": last["ts"].iloc[src_i].reset_index(drop=True),
+                "bkt": last["bkt"].to_numpy()[dst_i].astype("int64"),
+                "ghost": pd.Series([True] * src_i.size, dtype="bool"),
             }
-        ).sort_values(["user_id", "bkt", "ts", "event_id"])
-        return cand.groupby(["user_id", "bkt"], sort=False).tail(1)
+        )
 
-    summ = (
+    carry_ds = (
         ds.map_batches(view_partial, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["user_id", "bkt", "ts", "event_id"])
-        .groupby(["user_id", "bkt"], as_index=False, sort=True)
-        .tail(1)
+        .groupby("user_id")
+        .map_groups(resolve, batch_format="pandas")
     )
-    # carry-in for bucket b = the user's latest view in any bucket < b:
-    # shift the (sorted, one-row-per-bucket) summaries down one slot —
-    # later buckets always dominate earlier ones in ts, so no cummax
-    # is needed — then forward-fill over the user's click buckets
-    carry = {}
-    for uid, sub in summ.groupby("user_id", sort=False):
-        bkts = sub["bkt"].to_numpy()
-        tss = sub["ts"].to_numpy()
-        ids = sub["event_id"].to_numpy()
-        carry[int(uid)] = (bkts, tss, ids)
-    carry_ref = ray.put(carry)
 
-    def per_group(g: pd.DataFrame, _memo={}) -> pd.DataFrame:
-        clicks = g[g["event_type"] == "click"].sort_values("ts")
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[
+            (g["event_type"] == "click") & ~g["ghost"]
+        ].sort_values("ts")
         views = g[g["event_type"] == "view"].sort_values("ts")
-        if not clicks.empty:
-            uid = int(g["user_id"].iloc[0])
-            bkt = int(g["bkt"].iloc[0])
-            if "c" not in _memo:  # one carry fetch per task, not per group
-                _memo["c"] = ray.get(carry_ref)
-            cu = _memo["c"].get(uid)
-            if cu is not None:
-                bkts, tss, ids = cu
-                # latest view in a strictly earlier bucket
-                pos = np.searchsorted(bkts, bkt) - 1
-                if pos >= 0:
-                    prev = pd.DataFrame(
-                        {
-                            "event_id": pd.array(
-                                [ids[pos]], dtype="int64"
-                            ),
-                            "user_id": pd.array([uid], dtype="int64"),
-                            "event_type": ["view"],
-                            "ts": pd.Series(
-                                [tss[pos]], dtype=views["ts"].dtype
-                            ),
-                        }
-                    )
-                    views = pd.concat([prev, views], ignore_index=True)
-                    views = views.sort_values("ts")
         return _asof_user(clicks, views)
 
     def _asof_user(clicks: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
@@ -209,20 +212,13 @@ def asof_join(sf_dir: str, salt_days: int = 7):
             }
         )
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        ns = df["ts"].astype("int64") * (
-            1000 if df["ts"].dtype == "datetime64[us]" else 1
-        )
-        df = df.copy()
-        df["bkt"] = (ns // bucket_ns).astype("int64")
-        return df
-
     # stays a Dataset: the result is O(clicks) — data-sized, so the
     # driver never collects it (row order is irrelevant; the
     # correctness comparator is order-insensitive); per_group emits
     # only the output columns, so no bkt strip is needed
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
+        .union(carry_ds)
         .groupby(["user_id", "bkt"])
         .map_groups(per_group, batch_format="pandas")
     )

@@ -342,3 +342,26 @@ def test_funnel_ghost_across_bucket_border(ray_session, tmp_path):
         "AND v.ts >= c.ts - INTERVAL 30 MINUTE"
     ).fetchone()[0]
     assert int(exp) == 2
+
+
+def test_window_carry_resolved_distributed():
+    """The per-user carry-in family must never pull the per-(user,
+    bucket) summaries to the driver or broadcast them as one dict:
+    at 100 TB `users` is data-scaled, so the carry has to ride the
+    same (user, bucket) exchange as the data (ghost rows from a
+    groupby(user_id).map_groups over summary rows). Guard the source
+    against reintroducing `.to_pandas()` / `ray.put` carry state."""
+    import inspect
+
+    from fastparquet_ray.functions import analytics, windows
+
+    for fn in (
+        analytics.window_lag,
+        analytics.running_sum,
+        windows.asof_join,
+        windows.funnel_conversion,
+    ):
+        src = inspect.getsource(fn)
+        assert ".to_pandas()" not in src, fn.__name__
+        assert "ray.put" not in src, fn.__name__
+        assert "ray.get" not in src, fn.__name__
