@@ -1093,15 +1093,15 @@ def dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.5):
     at least one verified near-dup pair.
 
     Scale shape: the pair graph is OUTPUT-bounded (star-capped LSH +
-    exact verify), so components resolve with the driver union-find;
-    graph.connected_components(mode="dist") is the drop-in
-    large-star/small-star path when the edge set must stay a Dataset
-    (tests assert both modes agree). Oracle: exact all-pairs Jaccard
-    edges + a recursive-CTE min-label closure in DuckDB."""
+    exact verify), so components usually resolve with the driver
+    union-find; mode="auto" switches to the distributed
+    large-star/small-star path past the driver edge cap (tests assert
+    both modes agree). Oracle: exact all-pairs Jaccard edges + a
+    recursive-CTE min-label closure in DuckDB."""
     from .graph import connected_components
 
     pairs = minhash_lsh_pairs(sf_dir, jaccard_threshold=jaccard_threshold)
-    return connected_components(pairs, mode="driver")
+    return connected_components(pairs, mode="auto")
 
 
 def decontaminate(sf_dir: str, w: int = 8, mod: int = 29):

@@ -154,7 +154,16 @@ def _cc_distributed(edges_ds, max_rounds: int = 50) -> pd.DataFrame:
         # non-convergence (or an astronomically unlikely checksum
         # collision masking it) must not silently return a non-star
         # edge set — fall back to the exact driver union-find over the
-        # current (already much-contracted) edge set
+        # current (already much-contracted) edge set, but never pull
+        # an edge set the driver can't hold
+        n_edges = ds.count()
+        if n_edges > 50_000_000:
+            raise RuntimeError(
+                "connected_components: star contraction did not "
+                f"converge in {max_rounds} rounds and the residual "
+                f"edge set ({n_edges} edges) exceeds the driver "
+                "fallback cap; raise max_rounds"
+            )
         df = ds.to_pandas().drop_duplicates()
         return _union_find(
             df["a"].to_numpy(dtype=np.int64),
@@ -175,16 +184,27 @@ def _cc_distributed(edges_ds, max_rounds: int = 50) -> pd.DataFrame:
     return out.drop_duplicates("doc_id")
 
 
-def connected_components(edges, mode: str = "auto") -> pd.DataFrame:
+def connected_components(
+    edges, mode: str = "auto", driver_edge_cap: int = 2_000_000
+) -> pd.DataFrame:
     """(doc_id, cluster_id = component-min doc_id) for every node that
     appears in >= 1 edge. ``edges``: pandas DataFrame with id_a/id_b
-    columns or a Ray Dataset of the same. mode: driver | dist | auto
-    (driver when the edge set is already a small local frame)."""
+    columns or a Ray Dataset of the same. mode: driver | dist | auto.
+
+    ``auto`` selects by edge count, not input type: a local frame
+    within ``driver_edge_cap`` uses the exact O(E alpha(N)) driver
+    union-find; anything larger (or any Dataset input, whose size the
+    driver hasn't paid for yet) runs the distributed
+    large-star/small-star path so the edge set never has to fit on
+    one node."""
     import ray.data
 
     is_ds = not isinstance(edges, pd.DataFrame)
     if mode == "auto":
-        mode = "dist" if is_ds else "driver"
+        if is_ds:
+            mode = "dist"
+        else:
+            mode = "driver" if len(edges) <= driver_edge_cap else "dist"
     if mode == "driver":
         df = edges.to_pandas() if is_ds else edges
         if df.empty:

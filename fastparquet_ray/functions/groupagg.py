@@ -20,8 +20,12 @@ This module only merges those partials:
   driver merges O(groups + blocks) rows. Right when blocks is large
   enough that groups x blocks would swamp the driver but O(groups)
   still fits — e.g. a 1M-term vocabulary over 800k blocks at 100 TB.
-- mode="auto": materialize the (small) partials, count rows, pick
-  driver below ``driver_row_cap`` else sort.
+- mode="auto": stream the partial batches to the driver and fold each
+  into a running O(groups) aggregate (no materialize barrier, no
+  object-store copy, memory bounded by groups + one batch); bail to
+  mode="sort" only if the running GROUP count exceeds
+  ``driver_row_cap`` — i.e. the driver fold is abandoned exactly when
+  its output wouldn't fit either.
 
 Output is a pandas DataFrame (O(groups) — the same driver footprint
 every consumer of these aggregates already accepts); use
@@ -65,8 +69,40 @@ def merge_partials(
         raise ValueError(f"unsupported merge ops: {sorted(bad)}")
 
     if mode == "auto":
-        parts = parts.materialize()
-        mode = "driver" if parts.count() <= driver_row_cap else "sort"
+        # streaming driver fold: one pass over the partial batches,
+        # each folded into a running aggregate that stays O(groups).
+        # No materialize() barrier and no full-row-count pre-pass —
+        # the cap check rides the fold itself. If group cardinality
+        # exceeds the cap the fold is abandoned (its output wouldn't
+        # fit the driver anyway) and the sort path re-executes parts
+        # from lineage.
+        merged = None
+        over_cap = False
+        for b in parts.iter_batches(batch_format="pandas"):
+            if b.empty:
+                continue
+            merged = _merge_pandas(
+                b if merged is None else pd.concat(
+                    [merged, b], ignore_index=True
+                ),
+                keys,
+                ops,
+            )
+            if len(merged) > driver_row_cap:
+                over_cap = True
+                break
+        if not over_cap:
+            if merged is None:  # empty input: recover the schema
+                empty = parts.to_pandas()
+                if empty.empty and not set(keys) <= set(empty.columns):
+                    # an empty Dataset can lose its column names
+                    empty = pd.DataFrame(
+                        {c: pd.Series([], dtype="object")
+                         for c in [*keys, *ops]}
+                    )
+                return _merge_pandas(empty, keys, ops)
+            return merged
+        mode = "sort"
 
     if mode == "driver":
         return _merge_pandas(parts.to_pandas(), keys, ops)

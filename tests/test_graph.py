@@ -112,3 +112,43 @@ def test_dedup_clusters_sf0001(ray_session):
         assert c == min(members)
     # BFS over the pair graph is the exact answer
     assert cmap == _bfs_truth(pairs)
+
+
+def test_auto_mode_selects_by_edge_count(ray_session):
+    """auto = driver within the cap, dist past it (same answer both
+    ways); a Dataset input always stays distributed."""
+    import ray.data
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {"id_a": rng.integers(0, 500, 400),
+         "id_b": rng.integers(0, 500, 400)}
+    )
+    df = df[df.id_a != df.id_b].reset_index(drop=True)
+    truth = _bfs_truth(df)
+    # tiny cap forces the dist path for a local frame
+    got_dist = _as_map(
+        connected_components(df, mode="auto", driver_edge_cap=10)
+    )
+    assert got_dist == truth
+    got_driver = _as_map(connected_components(df, mode="auto"))
+    assert got_driver == truth
+    ds = ray.data.from_pandas(df)
+    assert _as_map(connected_components(ds, mode="auto")) == truth
+
+
+def test_distributed_large_edge_count(ray_session):
+    """Synthetic many-edge graph through the distributed path: 20k
+    edges over 4k nodes across several blocks — exercises multi-round
+    star contraction at a size where per-group pandas folds matter."""
+    import ray.data
+
+    rng = np.random.default_rng(99)
+    df = pd.DataFrame(
+        {"id_a": rng.integers(0, 4000, 20_000),
+         "id_b": rng.integers(0, 4000, 20_000)}
+    )
+    df = df[df.id_a != df.id_b].reset_index(drop=True)
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = _as_map(connected_components(ds, mode="auto"))
+    assert got == _bfs_truth(df)

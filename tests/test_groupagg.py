@@ -84,3 +84,36 @@ def test_merge_rejects_unknown_op(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"k": [1], "v": [1]}))
     with pytest.raises(ValueError):
         merge_partials(ds, ["k"], {"v": "mean"})
+
+
+def test_auto_over_cap_bails_to_sort(ray_session, rng):
+    """auto must abandon the streaming driver fold the moment the
+    running group count exceeds driver_row_cap and still return the
+    exact answer through the sort path."""
+    import ray.data
+
+    n = 5_000
+    df = pd.DataFrame(
+        {
+            "k": np.arange(n) % 2_000,  # 2000 groups > cap of 50
+            "s": rng.normal(size=n),
+        }
+    )
+    parts = ray.data.from_pandas(df).repartition(8)
+    got = merge_partials(
+        parts, ["k"], {"s": "sum"}, mode="auto", driver_row_cap=50
+    )
+    want = _expected(df, ["k"], {"s": "sum"})
+    _check(got, want)
+
+
+def test_auto_empty_input(ray_session):
+    import ray.data
+
+    parts = ray.data.from_pandas(
+        pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                      "s": pd.Series([], dtype="float64")})
+    )
+    got = merge_partials(parts, ["k"], {"s": "sum"}, mode="auto")
+    assert len(got) == 0
+    assert list(got.columns) == ["k", "s"]
