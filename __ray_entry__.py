@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regression_by_group": analytics.regression_by_group,
         "running_sum": analytics.running_sum,
         "histogram": analytics.histogram,
+        "tz_hourly_activity": analytics.tz_hourly_activity,
         "ntile": analytics.ntile,
         "funnel_conversion": windows.funnel_conversion,
         "inverted_index": sketches.inverted_index,
@@ -366,6 +367,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT (n_chars - lo) * 20 // (hi - lo + 1) AS bin, "
             "count(*) AS n FROM documents, mm GROUP BY bin"
+        ),
+        # stored naive ts is a UTC instant; DST-aware local hour via
+        # ICU timezone(), matching the engine's Arrow tz cast
+        "tz_hourly_activity": (
+            "SELECT hour(timezone('America/New_York', "
+            "ts AT TIME ZONE 'UTC')) AS hour, count(*) AS n, "
+            "round(sum(value), 6) AS sum_value "
+            "FROM events GROUP BY 1"
         ),
         # DuckDB mad() = continuous median of |x - continuous median|;
         # the engine chains two zero-sort rank selections

@@ -116,6 +116,13 @@ def main(argv: list[str] | None = None) -> int:
         "prunes shards by header stats / hive path values",
     )
     dec.add_argument(
+        "--times",
+        default="int64",
+        choices=["int64", "int96"],
+        help="timestamp physical type in the exported parquet; int96 "
+        "= legacy Impala/Hive 12-byte timestamps",
+    )
+    dec.add_argument(
         "--resumable",
         action="store_true",
         help="one deterministic parquet file per shard, published "
@@ -204,12 +211,14 @@ def main(argv: list[str] | None = None) -> int:
             elif args.resumable:
                 from .pipelines.export import export_parquet_resumable
 
-                s = export_parquet_resumable(args.enc, args.out, columns=cols)
+                s = export_parquet_resumable(
+                    args.enc, args.out, columns=cols, times=args.times
+                )
                 print(json.dumps(s))
             else:
                 from .pipelines.export import export_parquet
 
-                export_parquet(args.enc, args.out, columns=cols)
+                export_parquet(args.enc, args.out, columns=cols, times=args.times)
                 print(json.dumps({"out": args.out}))
         elif args.cmd == "verify":
             from .pipelines.verify import verify_roundtrip

@@ -46,6 +46,7 @@ def write(
     resume: bool = True,
     hive_cols: list[str] | None = None,
     filesystem=None,
+    write_index: bool = False,
 ) -> dict:
     """Encode a table (or existing parquet path(s)) into an encoded
     shard dataset with manifest. Returns the job summary.
@@ -53,7 +54,15 @@ def write(
     partition_on_source: True -> write-side "local" bucket split
     (source-pure shards, ZERO network exchange — the measured scale
     default; the salted groupby costs ~5x, BENCH r01); pass "shuffle"
-    explicitly for the one-shard-per-bucket salted groupby layout."""
+    explicitly for the one-shard-per-bucket salted groupby layout.
+
+    write_index: materialize a DataFrame's index as ordinary columns
+    and record them in a ``_pandas.json`` sidecar so
+    ``EncodedDataset.to_pandas()`` restores the index (reference
+    write_index, writer.py:938-953; read back api.py:556-604).
+    Ray blocks don't carry pandas schema metadata, so the sidecar —
+    not the per-shard Arrow schema — is the contract here."""
+    index_meta = None
     if partition_on_source is True:
         partition_on_source = "local"
     elif partition_on_source == "shuffle":
@@ -61,18 +70,33 @@ def write(
     if isinstance(data, (str, list)):
         paths = data
     else:
-        table = (
-            pa.Table.from_pandas(data, preserve_index=False)
-            if isinstance(data, pd.DataFrame)
-            else data
-        )
+        if isinstance(data, pd.DataFrame):
+            table = pa.Table.from_pandas(data, preserve_index=write_index)
+            if write_index:
+                pmd = table.schema.pandas_metadata or {}
+                idx_cols = [
+                    c for c in pmd.get("index_columns", [])
+                    if isinstance(c, str)  # RangeIndex descriptors are dicts
+                ]
+                if idx_cols:
+                    names = {
+                        c["field_name"]: c["name"]
+                        for c in pmd.get("columns", [])
+                        if c.get("field_name") in idx_cols
+                    }
+                    index_meta = {
+                        "index_columns": idx_cols,
+                        "index_names": [names.get(c) for c in idx_cols],
+                    }
+        else:
+            table = data
         tmp = tempfile.mkdtemp(prefix="fpray_write_")
         import pyarrow.parquet as pq
 
         src = os.path.join(tmp, "input-00000.parquet")
         pq.write_table(table, src, compression="none")
         paths = [src]
-    return encode_pipeline(
+    summary = encode_pipeline(
         paths,
         out_dir,
         resume=resume,
@@ -82,23 +106,40 @@ def write(
         hive_cols=hive_cols,
         filesystem=filesystem,
     )
+    if not isinstance(data, (str, list)):
+        import json
+
+        from .state import fs as fsmod
+
+        fs, root = fsmod.get_fs(out_dir, filesystem)
+        sidecar = root.rstrip("/") + "/_pandas.json"
+        if index_meta is not None:
+            fsmod.atomic_write(fs, sidecar, json.dumps(index_meta).encode())
+        else:
+            try:  # overwrite without write_index: drop a stale sidecar
+                fs.rm(sidecar)
+            except (FileNotFoundError, OSError):
+                pass
+    return summary
 
 
 def write_simple(
     path: str,
     data: "pd.DataFrame | pa.Table",
     outer: str | None = None,
+    write_index: bool = False,
 ) -> dict:
     """Single-file writer (reference S6: write_simple,
     writer.py:773-807): the whole table becomes ONE self-describing
     shard blob — no manifest, no Ray job; for small side tables and
     interchange. Read back with :func:`read_simple`. Any filesystem
-    URI works (fs layer)."""
+    URI works (fs layer). ``write_index`` preserves a DataFrame index
+    through the shard header's pandas schema metadata."""
     from .container import ShardEncoder, partition_id_for, read_header
     from .state import fs as fsmod
 
     table = (
-        pa.Table.from_pandas(data, preserve_index=False)
+        pa.Table.from_pandas(data, preserve_index=write_index)
         if isinstance(data, pd.DataFrame)
         else data
     )
@@ -235,7 +276,30 @@ class EncodedDataset:
         )
         if not batches:
             return pd.DataFrame()
-        return pa.concat_tables(batches).to_pandas()
+        df = pa.concat_tables(batches).to_pandas()
+        return self._restore_index(df)
+
+    def _restore_index(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Re-apply a write(write_index=True) index from the
+        ``_pandas.json`` sidecar (reference pandas-metadata read-back,
+        api.py:556-604). Skipped when a projection dropped the index
+        columns."""
+        import json
+
+        from .state import fs as fsmod
+
+        fs, root = fsmod.get_fs(self.out_dir, self.filesystem)
+        sidecar = root.rstrip("/") + "/_pandas.json"
+        try:
+            meta = json.loads(fsmod.read_bytes(fs, sidecar))
+        except (FileNotFoundError, OSError):
+            return df
+        cols = meta.get("index_columns", [])
+        if not cols or not set(cols) <= set(df.columns):
+            return df
+        df = df.set_index(cols)
+        df.index.names = meta.get("index_names", [None] * len(cols))
+        return df
 
     def iter_batches(
         self,

@@ -843,7 +843,18 @@ def decode_table(
             field = pa.field(name, arr.type, field.nullable)
         out_cols.append(arr)
         out_fields.append(field)
-    return pa.Table.from_arrays(out_cols, schema=pa.schema(out_fields))
+    # reattach schema-level metadata (it rode the IPC-serialized
+    # schema): the b'pandas' blob restores a preserved DataFrame index
+    # on to_pandas() — reference analog: the pandas JSON key-value in
+    # the footer (writer.py:698-770, read back api.py:556-604). Under
+    # a column projection the blob may reference dropped index
+    # columns, so it is stripped then (pyarrow would raise).
+    md = schema.metadata
+    if md and b"pandas" in md and columns is not None:
+        md = {k: v for k, v in md.items() if k != b"pandas"}
+    return pa.Table.from_arrays(
+        out_cols, schema=pa.schema(out_fields, metadata=md)
+    )
 
 
 def partition_id_for(

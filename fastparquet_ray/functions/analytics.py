@@ -816,6 +816,50 @@ def histogram(sf_dir: str, bins: int = 20):
     return out.sort_values("bin").reset_index(drop=True)
 
 
+def tz_hourly_activity(sf_dir: str, tz: str = "America/New_York"):
+    """Events per LOCAL-time hour-of-day: the stored naive ts is a UTC
+    instant; convert to ``tz`` (DST-aware, via the Arrow timezone
+    cast — reference analog: tz metadata round-trip,
+    util.py:300-315 / dataframe.py:246-254) and fold per-block
+    (hour, count, sum) partials into <= 24 rows. One streaming pass,
+    Arrow-native, vocabulary-sized merge."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    local_t = pa.timestamp("us", tz=tz)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"hour": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "sum_value": pa.array([], pa.float64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ts = t.column("ts").combine_chunks()
+        if ts.type.tz is None:
+            ts = pc.assume_timezone(ts, "UTC")
+        hr = pc.hour(ts.cast(local_t)).to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        n = np.bincount(hr, minlength=24)
+        sv = np.bincount(hr, weights=val, minlength=24)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {"hour": pa.array(nz, pa.int64()),
+             "n": pa.array(n[nz], pa.int64()),
+             "sum_value": pa.array(sv[nz], pa.float64())}
+        )
+
+    from .groupagg import merge_partials
+
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["hour"], {"n": "sum", "sum_value": "sum"},
+    )
+    out["sum_value"] = np.round(out["sum_value"], 6)
+    return out.sort_values("hour").reset_index(drop=True)
+
+
 def ntile(sf_dir: str, k: int = 10):
     """NTILE(k) OVER (ORDER BY o_totalprice, o_orderkey) folded to
     per-bucket (count, avg) — equal-frequency bucketing WITHOUT a

@@ -30,14 +30,24 @@ def export_parquet(
     out_dir: str,
     columns: list[str] | None = None,
     partition_cols: list[str] | None = None,
+    times: str = "int64",
 ) -> str:
     """Write the decoded dataset as a Parquet directory (streaming;
-    one file per block, hive dirs when partition_cols given)."""
+    one file per block, hive dirs when partition_cols given).
+
+    ``times``: "int64" (default, modern TIMESTAMP) or "int96"
+    (legacy 12-byte Impala/Hive timestamps — reference
+    times='int96', writer.py:302-307) for old readers."""
+    if times not in ("int64", "int96"):
+        raise ValueError(f"times must be int64|int96, got {times!r}")
     ds = decode_dataset(enc_dir, columns=columns)
+    kw = {}
+    if times == "int96":
+        kw["use_deprecated_int96_timestamps"] = True
     if partition_cols:
-        ds.write_parquet(out_dir, partition_cols=partition_cols)
+        ds.write_parquet(out_dir, partition_cols=partition_cols, **kw)
     else:
-        ds.write_parquet(out_dir)
+        ds.write_parquet(out_dir, **kw)
     return out_dir
 
 
@@ -46,6 +56,7 @@ def export_parquet_resumable(
     out_dir: str,
     columns: list[str] | None = None,
     filesystem=None,
+    times: str = "int64",
 ) -> dict:
     """Kill-resumable interop export: ONE Parquet file PER SHARD with
     a deterministic name mirrored from the shard's relative path,
@@ -66,6 +77,8 @@ def export_parquet_resumable(
     from ..container import decode_table
     from ..state import fs as fsmod
 
+    if times not in ("int64", "int96"):
+        raise ValueError(f"times must be int64|int96, got {times!r}")
     manifest = Manifest(enc_dir, filesystem=filesystem)
     tables = manifest.load_plan().tables if manifest.has_plan() else {}
     out_fs, out_root = fsmod.get_fs(out_dir, filesystem)
@@ -92,6 +105,7 @@ def export_parquet_resumable(
 
     tables_ref = ray.put(tables)
     cols = columns
+    int96 = times == "int96"
     fs_for_tasks = filesystem  # fsspec filesystems pickle into tasks
 
     def export_shards(batch: pd.DataFrame) -> pd.DataFrame:
@@ -107,7 +121,7 @@ def export_parquet_resumable(
             if parent:
                 w_fs.makedirs(parent, exist_ok=True)
             buf = io.BytesIO()
-            pq.write_table(t, buf)
+            pq.write_table(t, buf, use_deprecated_int96_timestamps=int96)
             fsmod.atomic_write(w_fs, w_path, buf.getvalue())
             rows.append({"dst": dst, "rows": t.num_rows})
         return pd.DataFrame(rows)

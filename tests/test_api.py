@@ -6,6 +6,7 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+import fastparquet_ray as fr
 from fastparquet_ray.api import EncodedDataset, write
 from fastparquet_ray.data import generate_fragment, write_tokens_dataset
 
@@ -154,3 +155,56 @@ def test_write_simple_read_simple(tmp_path):
     write_simple("memory://ws/one.fprs", df)
     assert read_simple("memory://ws/one.fprs").num_rows == 500
     MemoryFileSystem.store.clear()
+
+
+def test_write_index_roundtrip(ray_session, tmp_path):
+    """write(write_index=True): a named index survives to
+    EncodedDataset.to_pandas (reference writer.py:938-953 /
+    api.py:556-604); projections that drop the index column fall back
+    to a default index; overwrite without write_index clears it."""
+    df = pd.DataFrame(
+        {"a": np.arange(10, dtype=np.int64),
+         "b": np.arange(10)[::-1].astype(np.float64)},
+        index=pd.Index(np.arange(100, 110, dtype=np.int64), name="rowid"),
+    )
+    out = str(tmp_path / "enc_idx")
+    fr.write(out, df, write_index=True)
+    eds = fr.EncodedDataset(out)
+    back = eds.to_pandas().sort_index()
+    assert back.index.name == "rowid"
+    pd.testing.assert_frame_equal(back, df)
+    # projection without the index column: plain frame, no crash
+    proj = eds.to_pandas(columns=["a"])
+    assert list(proj.columns) == ["a"]
+    assert proj.index.name is None
+    # overwrite without write_index drops the sidecar
+    fr.write(out, df.reset_index(), resume=False)
+    back2 = fr.EncodedDataset(out).to_pandas()
+    assert back2.index.name is None
+    assert "rowid" in back2.columns
+
+
+def test_write_index_multiindex(ray_session, tmp_path):
+    arrays = [["x", "x", "y", "y"], [1, 2, 1, 2]]
+    idx = pd.MultiIndex.from_arrays(arrays, names=["grp", None])
+    df = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0]}, index=idx)
+    out = str(tmp_path / "enc_midx")
+    fr.write(out, df, write_index=True)
+    back = fr.EncodedDataset(out).to_pandas().sort_index()
+    assert back.index.names == ["grp", None]
+    pd.testing.assert_frame_equal(back, df)
+
+
+def test_write_simple_index_roundtrip(tmp_path):
+    df = pd.DataFrame(
+        {"v": [10.5, 20.5, 30.5]},
+        index=pd.Index(["a", "b", "c"], name="key"),
+    )
+    p = str(tmp_path / "one.fprs")
+    fr.write_simple(p, df, write_index=True)
+    back = fr.read_simple(p).to_pandas()
+    assert back.index.name == "key"
+    pd.testing.assert_frame_equal(back, df)
+    # column projection strips the pandas blob instead of raising
+    sub = fr.read_simple(p, columns=["v"]).to_pandas()
+    assert sub.index.name is None

@@ -13,6 +13,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 from fastparquet_ray.pipelines import decode_dataset, encode_pipeline
 
@@ -71,3 +72,43 @@ def test_consolidate_categories(ray_session, tmp_path):
     df = consolidate_categories(out)
     row = df[df["column"] == "cat"].iloc[0]
     assert row["max_distinct"] == 8 and row["shards"] == 2
+
+
+def test_export_parquet_int96(ray_session, tmp_path):
+    """times='int96' (reference writer.py:302-307): exported parquet
+    stores timestamps as legacy INT96 and pyarrow reads the same
+    instants back."""
+    import pyarrow.parquet as pq
+
+    import fastparquet_ray as fr
+    from fastparquet_ray.pipelines.export import export_parquet_resumable
+
+    ts = pd.date_range("2001-05-01", periods=50, freq="h")
+    df = pd.DataFrame(
+        {"k": np.arange(50, dtype=np.int64), "ts": ts.astype("datetime64[us]")}
+    )
+    enc = str(tmp_path / "enc96")
+    fr.write(enc, df)
+    out = str(tmp_path / "pq96")
+    s = export_parquet_resumable(enc, out, times="int96")
+    assert s["exported"] >= 1
+    files = sorted(
+        str(p) for p in __import__("pathlib").Path(out).rglob("*.parquet")
+    )
+    pf = pq.ParquetFile(files[0])
+    tcol = [
+        pf.schema.column(i)
+        for i in range(len(pf.schema))
+        if pf.schema.column(i).name == "ts"
+    ][0]
+    assert tcol.physical_type == "INT96"
+    back = (
+        pq.read_table(files)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert (back["ts"].astype("datetime64[us]") == df["ts"]).all()
+
+    with pytest.raises(ValueError):
+        export_parquet_resumable(enc, out, times="int32")
