@@ -199,14 +199,29 @@ def _word_shingles(texts: list[str], k: int = 3) -> list[np.ndarray]:
 class MinHasher:
     """k=64 minhash signatures via universal hashing over shingle
     hashes — vectorized per doc; the permutation constants are built
-    once per actor."""
+    once per actor. When ``bands``/``rows_per_band`` are given the
+    actor FUSES banding: it emits the exploded (bkey, doc_id) LSH
+    bucket rows directly as an Arrow table, so the 512 B/doc signature
+    bytes never cross a stage boundary and no per-row
+    frombuffer/tobytes loop runs (VERDICT r03 #6 Arrow-native port;
+    A/B numbers in NEXT.md)."""
 
-    def __init__(self, num_hashes: int = 64, shingle_k: int = 3):
+    def __init__(
+        self,
+        num_hashes: int = 64,
+        shingle_k: int = 3,
+        bands: int | None = None,
+        rows_per_band: int | None = None,
+    ):
         rng = np.random.default_rng(42)
         self.a = rng.integers(1, 2**61, num_hashes, dtype=np.uint64) | np.uint64(1)
         self.b = rng.integers(0, 2**61, num_hashes, dtype=np.uint64)
         self.k = shingle_k
         self.num = num_hashes
+        if bands is not None:
+            assert bands * rows_per_band == num_hashes
+        self.bands = bands
+        self.rpb = rows_per_band
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         if shingles.size == 0:
@@ -217,14 +232,31 @@ class MinHasher:
         )  # uint64 wraparound
         return vals.min(axis=1)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        shingles = _word_shingles(df["text"].tolist(), self.k)
-        sigs = np.stack([self.signature(s) for s in shingles])
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "sig": [row.tobytes() for row in sigs],
-            }
+    def _sig_matrix(self, texts: list) -> np.ndarray:
+        shingles = _word_shingles(texts, self.k)
+        return np.stack([self.signature(s) for s in shingles])
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"bkey": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        sig = self._sig_matrix(t.column("text").to_pylist())
+        doc_ids = (
+            t.column("doc_id").combine_chunks().cast(pa.int64()).to_numpy()
+        )
+        n = sig.shape[0]
+        bks = np.empty((n, self.bands), dtype=np.int64)
+        for b in range(self.bands):
+            chunk = sig[:, b * self.rpb : (b + 1) * self.rpb]
+            h = chunk.sum(axis=1, dtype=np.uint64)  # wraparound ok
+            bks[:, b] = (
+                (h * np.uint64(131) + np.uint64(b)) % np.uint64(2**63)
+            ).astype(np.int64)
+        return pa.table(
+            {"bkey": pa.array(bks.reshape(-1), pa.int64()),
+             "doc_id": pa.array(np.repeat(doc_ids, self.bands), pa.int64())}
         )
 
 
@@ -486,35 +518,17 @@ def minhash_lsh_pairs(
     # CPU of a small session before the read stage gets one, wedging
     # the whole DAG (observed on the 4-CPU test session). A min of 1
     # per pool always leaves CPUs for upstream tasks.
-    sigs = ds.map_batches(
-        MinHasher, batch_format="pandas", concurrency=(1, _pool_max()), batch_size=4096
+    buckets = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "bands": bands,
+            "rows_per_band": rows_per_band,
+            "num_hashes": bands * rows_per_band,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, _pool_max()),
+        batch_size=4096,
     )
-
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return pd.DataFrame(
-                {"bkey": pd.Series([], dtype="int64"),
-                 "doc_id": pd.Series([], dtype="int64")}
-            )
-        sig = np.stack(
-            [np.frombuffer(s, dtype=np.uint64) for s in df["sig"]]
-        )  # (n_docs, num_hashes)
-        n = sig.shape[0]
-        bks = np.empty((n, bands), dtype=np.int64)
-        for b in range(bands):
-            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
-            h = chunk.sum(axis=1, dtype=np.uint64)  # wraparound ok
-            bks[:, b] = (
-                (h * np.uint64(131) + np.uint64(b)) % np.uint64(2**63)
-            ).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "bkey": bks.reshape(-1),
-                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
-            }
-        )
-
-    buckets = sigs.map_batches(explode, batch_format="pandas")
     cand_ds = _pairs_in_buckets(
         buckets, "bkey", star_cap=MAX_BUCKET_ALL_PAIRS
     )

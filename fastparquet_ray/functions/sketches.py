@@ -346,12 +346,21 @@ def _rank_select(sf_dir: str, table: str, col: str, ranks_fn,
     so order statistics of a DERIVED quantity (e.g. |x - median| for
     MAD) reuse the same zero-sort machinery without materializing the
     derived column. Returns (n, {rank: value})."""
-    import ray
     import ray.data
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=[col]
     )
+    return _rank_select_ds(ds, col, ranks_fn, transform=transform)
+
+
+def _rank_select_ds(ds, col, ranks_fn, transform=None, stats=None):
+    """Dataset-input rank selection. ``stats``: optional
+    (n, mn, mx) of the TRANSFORMED values — when the caller already
+    knows them (e.g. MAD's second selection derives its bounds from
+    the first: |x - med| spans [0, max(mx-med, med-mn)]), pass 1 is
+    skipped entirely (VERDICT r03 #7 scan fusion)."""
+    import ray
 
     def minmax_partial(t: pa.Table) -> pa.Table:
         v = t.column(col).to_numpy(zero_copy_only=False)
@@ -368,11 +377,16 @@ def _rank_select(sf_dir: str, table: str, col: str, ranks_fn,
             {"n": [int(v.size)], "mn": [float(v.min())], "mx": [float(v.max())]}
         )
 
-    p1 = ds.map_batches(minmax_partial, batch_format="pyarrow").to_pandas()
-    if p1.empty:
+    if stats is not None:
+        n, mn, mx = stats
+    else:
+        p1 = ds.map_batches(minmax_partial, batch_format="pyarrow").to_pandas()
+        if p1.empty:
+            return 0, {}
+        n = int(p1["n"].sum())
+        mn, mx = float(p1["mn"].min()), float(p1["mx"].max())
+    if n == 0:
         return 0, {}
-    n = int(p1["n"].sum())
-    mn, mx = float(p1["mn"].min()), float(p1["mx"].max())
     ranks = sorted(set(ranks_fn(n)))  # 1-based
     if mn == mx:
         return n, {r: mn for r in ranks}
@@ -660,9 +674,13 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, top: int = 15):
 
     from .groupagg import merge_partials
 
+    # bigram partials are corpus-scaled (block token count per
+    # block), never driver-sized: go straight to the sort merge —
+    # auto's streaming probe would pull blocks to the driver only to
+    # bail (measured 3.5 s -> 330 s when it folded them instead)
     agg = merge_partials(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["typ", "key"], {"n": "sum"},
+        ["typ", "key"], {"n": "sum"}, mode="sort",
     )
     uni = agg[agg["typ"] == 0]
     bi = agg[agg["typ"] == 1]
@@ -695,14 +713,19 @@ def mad_value(sf_dir: str, table: str = "events", col: str = "value"):
     quality-filter pipeline prefers over stddev on heavy-tailed value
     columns.
 
-    Scale shape: two CHAINED zero-sort rank selections. Pass one finds
-    the interpolated median via the 3-pass histogram rank-partition
-    machinery of quantiles_cont; pass two reuses _rank_select with a
-    vectorized transform |x - med| (applied inside every map task, the
-    derived column is never materialized) to select the deviation
-    median the same way. Six streaming scans total, each reducing to
-    scalar-sized partials — no sort, no corpus exchange, O(4096)
-    driver state per pass."""
+    Scale shape: two CHAINED zero-sort rank selections, fused
+    (VERDICT r03 #7). The column is NaN-filtered once and cached
+    (materialize of a single pruned float column — object-store
+    scale, spills if needed), so parquet is read ONCE; min/max + count
+    ride that same caching pass as side partials. Selection two's
+    bounds are derived, not scanned: |x - med| spans
+    [0, max(mx - med, med - mn)] and the count is unchanged, so its
+    min/max pass disappears. Total: 1 parquet read + 4 in-memory
+    scans (hist + candidates, twice) — was 6 full parquet scans —
+    each reducing to scalar-sized partials; no sort, no corpus
+    exchange, O(4096) driver state per pass."""
+    import ray
+    import ray.data
 
     def med_ranks(n: int) -> list[int]:
         pos = (n - 1) * 0.5
@@ -714,13 +737,48 @@ def mad_value(sf_dir: str, table: str = "events", col: str = "value"):
         vlo, vhi = rank_value[lo], rank_value[hi]
         return float(vlo + (pos - np.floor(pos)) * (vhi - vlo))
 
-    n, rv = _rank_select(sf_dir, table, col, med_ranks)
+    raw = ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=[col]
+    )
+
+    def clean(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=False
+        )
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return pa.table(
+                {col: pa.array([], pa.float64()),
+                 "__mn": pa.array([], pa.float64()),
+                 "__mx": pa.array([], pa.float64())}
+            )
+        # per-block min/max ride as two scalar columns padded with
+        # NaN — one materializing pass yields the cached clean column
+        # AND the pass-1 stats (scan fusion)
+        mn = np.full(v.size, np.nan)
+        mx = np.full(v.size, np.nan)
+        mn[0], mx[0] = v.min(), v.max()
+        return pa.table(
+            {col: pa.array(v, pa.float64()),
+             "__mn": pa.array(mn, pa.float64()),
+             "__mx": pa.array(mx, pa.float64())}
+        )
+
+    cached = raw.map_batches(clean, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = cached.aggregate(Min("__mn"), Max("__mx"), Count())
+    n = int(agg["count()"])
     if n == 0:
         return pd.DataFrame({"med": [np.nan], "mad": [np.nan]})
-    med = interp(n, rv)
-    n2, rv2 = _rank_select(
-        sf_dir, table, col, med_ranks,
+    mn, mx = float(agg["min(__mn)"]), float(agg["max(__mx)"])
+    ds = cached.drop_columns(["__mn", "__mx"])
+    n1, rv = _rank_select_ds(ds, col, med_ranks, stats=(n, mn, mx))
+    med = interp(n1, rv)
+    n2, rv2 = _rank_select_ds(
+        ds, col, med_ranks,
         transform=lambda v, m=med: np.abs(v - m),
+        stats=(n, 0.0, max(mx - med, med - mn)),
     )
     mad = interp(n2, rv2)
     return pd.DataFrame(
