@@ -164,40 +164,117 @@ def window_lag(sf_dir: str, salt_days: int = 7):
         .map_groups(resolve, batch_format="pandas")
     )
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        v = g["value"].to_numpy()
-        if len(g) < 2:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "delta": pd.Series([], dtype="float64"),
-                }
-            )
-        # the ghost carry (if present) sorts first — its ts is from a
-        # strictly earlier bucket; outputs attribute to rows 1..n, and
-        # a ghost can never sit past position 0, but mask anyway
-        real = ~g["ghost"].to_numpy()[1:]
-        delta = (v[1:] - v[:-1])[real]
+    # segmented-sort execution (no per-group dispatch): ONE range
+    # sort of data + ghosts on (user, bkt, ts, event_id), then a
+    # VECTORIZED per-block delta over adjacent same-key rows. A
+    # (user, bkt) group straddling two sorted blocks misses exactly
+    # one delta — the later block's first row — restored from an
+    # O(2 x blocks) border frame on the driver (nearest earlier
+    # same-key block-LAST row is the true global predecessor, since
+    # sorted blocks are contiguous runs). Replaces thousands of
+    # per-group pandas calls with one numpy pass per block.
+    import ray.data
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "delta": pd.Series([], dtype="float64"),
+        }
+    )
+
+    srt = (
+        ds.map_batches(_with_bkt, batch_format="pandas")
+        .union(carry_ds)
+        .sort(["user_id", "bkt", "ts", "event_id"])
+        .materialize()  # consumed twice: border pull + delta pass
+    )
+
+    def block_deltas(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return empty
+        u = df["user_id"].to_numpy()
+        b = df["bkt"].to_numpy()
+        v = df["value"].to_numpy()
+        emit = (
+            (u[1:] == u[:-1])
+            & (b[1:] == b[:-1])
+            & ~df["ghost"].to_numpy()[1:]
+        )
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy()[1:][real].astype(
+                "event_id": df["event_id"].to_numpy()[1:][emit].astype(
                     "int64"
                 ),
-                "user_id": g["user_id"].to_numpy()[1:][real].astype(
-                    "int64"
-                ),
-                "delta": np.round(delta, 6),
+                "user_id": u[1:][emit].astype("int64"),
+                "delta": np.round((v[1:] - v[:-1])[emit], 6),
             }
         )
 
-    return (
-        ds.map_batches(_with_bkt, batch_format="pandas")
-        .union(carry_ds)
-        .groupby(["user_id", "bkt"])
-        .map_groups(per_group, batch_format="pandas")
+    def border_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(pos=pd.Series([], dtype="int8"))
+        out = df.iloc[[0, len(df) - 1]].copy()
+        out["pos"] = np.array([0, 1], dtype=np.int8)  # 0 = first, 1 = last
+        return out
+
+    # batch_size=None = one batch per materialized block, so both
+    # passes see identical boundaries; the pull is O(2 x blocks)
+    # border rows, never events or users
+    bd = (
+        srt.map_batches(border_rows, batch_format="pandas", batch_size=None)
+        .to_pandas()
     )
+    fix = empty
+    if len(bd):
+        # order ties (a single-row block emits the same row as first
+        # AND last) with first BEFORE last so an f-row never pairs
+        # with its own l-copy
+        bd = bd.sort_values(
+            ["user_id", "bkt", "ts", "event_id", "pos"], kind="mergesort"
+        ).reset_index(drop=True)
+        u = bd["user_id"].to_numpy()
+        b = bd["bkt"].to_numpy()
+        newkey = np.ones(len(bd), dtype=bool)
+        newkey[1:] = (u[1:] != u[:-1]) | (b[1:] != b[:-1])
+        idx = np.arange(len(bd))
+        last_l = np.where(bd["pos"].to_numpy() == 1, idx, -1)
+        # per-key running max of l-row indices = nearest earlier
+        # last-row in the same (user, bkt); vectorized per-key cummax
+        # via np.maximum.accumulate with a per-segment bias (segments
+        # can never leak into each other: bias step > index range)
+        seg = np.cumsum(newkey) - 1
+        STEP = np.int64(len(bd) + 1)
+        biased = last_l + seg * STEP
+        cm = np.maximum.accumulate(biased) - seg * STEP
+        pred = np.empty(len(bd), dtype=np.int64)
+        pred[0] = -1
+        pred[1:] = np.where(newkey[1:], -1, cm[:-1])
+        pred = np.where(pred < 0, -1, pred)
+        is_f = bd["pos"].to_numpy() == 0
+        want = is_f & ~bd["ghost"].to_numpy() & (pred >= 0)
+        if want.any():
+            pi = pred[want]
+            fix = pd.DataFrame(
+                {
+                    "event_id": bd["event_id"].to_numpy()[want].astype(
+                        "int64"
+                    ),
+                    "user_id": u[want].astype("int64"),
+                    "delta": np.round(
+                        bd["value"].to_numpy()[want]
+                        - bd["value"].to_numpy()[pi],
+                        6,
+                    ),
+                }
+            )
+
+    out = srt.map_batches(
+        block_deltas, batch_format="pandas", batch_size=None
+    )
+    if len(fix):
+        out = out.union(ray.data.from_pandas(fix))
+    return out
 
 
 # --------------------------------------------------------------------
@@ -756,25 +833,171 @@ def running_sum(sf_dir: str, salt_days: int = 7):
         .map_groups(resolve, batch_format="pandas")
     )
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        run = np.cumsum(g["value"].to_numpy())
-        keep = ~g["ghost"].to_numpy()
+    # segmented-sort execution (the window_lag recipe): ONE range
+    # sort of data + carry ghosts, then a vectorized segmented cumsum
+    # per sorted block. A (user, bkt) group straddling blocks needs a
+    # per-block offset = the sum of the key's rows in EARLIER blocks;
+    # those are resolved from an O(blocks) border frame of edge-
+    # segment sums and broadcast as a dict keyed by each block's
+    # first-row identity (ts, event_id) — bounded by block count,
+    # never by users.
+    import ray
+    import ray.data
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "run_sum": pd.Series([], dtype="float64"),
+        }
+    )
+
+    srt = (
+        ds.map_batches(_with_bkt, batch_format="pandas")
+        .union(carry_ds)
+        .sort(["user_id", "bkt", "ts", "event_id"])
+        .materialize()
+    )
+
+    def _segments(df: pd.DataFrame):
+        u = df["user_id"].to_numpy()
+        b = df["bkt"].to_numpy()
+        start = np.ones(len(df), dtype=bool)
+        start[1:] = (u[1:] != u[:-1]) | (b[1:] != b[:-1])
+        return u, b, start
+
+    def edge_sums(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "user_id": pd.Series([], dtype="int64"),
+            "bkt": pd.Series([], dtype="int64"),
+            "seg_sum": pd.Series([], dtype="float64"),
+            "seg_ts": pd.Series([], dtype=df["ts"].dtype),
+            "seg_eid": pd.Series([], dtype="int64"),
+            "blk_ts": pd.Series([], dtype=df["ts"].dtype),
+            "blk_eid": pd.Series([], dtype="int64"),
+            "is_first": pd.Series([], dtype="bool"),
+            "is_last": pd.Series([], dtype="bool"),
+        }
+        if df.empty:
+            return pd.DataFrame(cols)
+        u, b, start = _segments(df)
+        v = df["value"].to_numpy()
+        starts = np.flatnonzero(start)
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        ends = np.concatenate([starts[1:], [len(df)]])
+        sums = cs[ends] - cs[starts]
+        first_i, last_i = 0, len(starts) - 1
+        take = sorted({first_i, last_i})
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy()[keep].astype(
+                "user_id": u[starts[take]].astype("int64"),
+                "bkt": b[starts[take]].astype("int64"),
+                "seg_sum": sums[take].astype("float64"),
+                # SEGMENT first row: orders blocks within a key (the
+                # block's own first row can belong to another key
+                # with an unrelated ts range)
+                "seg_ts": df["ts"].iloc[starts[take]].reset_index(
+                    drop=True
+                ),
+                "seg_eid": df["event_id"].to_numpy()[starts[take]].astype(
                     "int64"
                 ),
-                "user_id": g["user_id"].to_numpy()[keep].astype("int64"),
+                # BLOCK identity: the block's first row (ts, event_id)
+                "blk_ts": pd.Series(
+                    [df["ts"].iloc[0]] * len(take), dtype=df["ts"].dtype
+                ),
+                "blk_eid": np.full(
+                    len(take), df["event_id"].iloc[0], dtype=np.int64
+                ),
+                "is_first": np.array(
+                    [i == first_i for i in take], dtype=bool
+                ),
+                "is_last": np.array(
+                    [i == last_i for i in take], dtype=bool
+                ),
+            }
+        )
+
+    # O(2 x blocks) edge-segment rows — never events or users
+    bd = (
+        srt.map_batches(edge_sums, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    offsets: dict[tuple, float] = {}
+    if len(bd):
+        # block order within a key == order of the SEGMENTS' first
+        # rows (sorted blocks are contiguous key runs)
+        bd = bd.sort_values(
+            ["user_id", "bkt", "seg_ts", "seg_eid"], kind="mergesort"
+        ).reset_index(drop=True)
+        u = bd["user_id"].to_numpy()
+        b = bd["bkt"].to_numpy()
+        newkey = np.ones(len(bd), dtype=bool)
+        newkey[1:] = (u[1:] != u[:-1]) | (b[1:] != b[:-1])
+        # contribution of an earlier block to this key = its LAST
+        # segment's sum (the only segment touching later blocks)
+        contrib = np.where(
+            bd["is_last"].to_numpy(), bd["seg_sum"].to_numpy(), 0.0
+        )
+        cum = np.cumsum(contrib)
+        before = cum - contrib  # cumulative of strictly-earlier rows
+        # forward-fill each key's starting cumulative (NaN-ffill, not
+        # a running max: segment sums can be negative)
+        key_base = pd.Series(
+            np.where(newkey, before, np.nan)
+        ).ffill().to_numpy()
+        off = before - key_base
+        want = bd["is_first"].to_numpy() & ~newkey
+        for i in np.flatnonzero(want):
+            # key on (user, bkt, block-first ts, block-first
+            # event_id): ghost rows share event_id = -1, so
+            # (ts, event_id) alone can collide across users
+            offsets[
+                (
+                    int(u[i]),
+                    int(b[i]),
+                    bd["blk_ts"].iloc[i],
+                    int(bd["blk_eid"].iloc[i]),
+                )
+            ] = float(off[i])
+    # broadcast is O(straddling blocks) entries — block-count-bounded
+    off_ref = ray.put(offsets)
+
+    def block_runs(df: pd.DataFrame, _memo={}) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        if "o" not in _memo:
+            _memo["o"] = ray.get(off_ref)  # O(straddling blocks), tiny
+        u, b, start = _segments(df)
+        v = df["value"].to_numpy()
+        cs = np.cumsum(v)
+        starts = np.flatnonzero(start)
+        seg_id = np.cumsum(start) - 1
+        base = np.concatenate([[0.0], cs])[starts][seg_id]
+        run = cs - base
+        off = _memo["o"].get(
+            (
+                int(u[0]),
+                int(b[0]),
+                df["ts"].iloc[0],
+                int(df["event_id"].iloc[0]),
+            )
+        )
+        if off:
+            run = np.where(seg_id == 0, run + off, run)
+        keep = ~df["ghost"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[keep].astype(
+                    "int64"
+                ),
+                "user_id": u[keep].astype("int64"),
                 "run_sum": np.round(run[keep], 6),
             }
         )
 
-    return (
-        ds.map_batches(_with_bkt, batch_format="pandas")
-        .union(carry_ds)
-        .groupby(["user_id", "bkt"])
-        .map_groups(per_group, batch_format="pandas")
+    return srt.map_batches(
+        block_runs, batch_format="pandas", batch_size=None
     )
 
 

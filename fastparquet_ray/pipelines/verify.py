@@ -26,7 +26,7 @@ from .decode import decode_dataset
 def _moments(ds, key: str, list_col: str) -> dict:
     def part(batch: pa.Table) -> pa.Table:
         fp = row_fingerprints(batch, key=key, list_col=list_col)
-        h = fp.column("fp").to_numpy().astype(np.uint64)
+        h = fp.column("fp").to_numpy().view(np.uint64)
         return pa.table(
             {
                 "cnt": pa.array([len(h)], pa.int64()),

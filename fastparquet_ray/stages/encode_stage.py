@@ -303,7 +303,13 @@ def row_fingerprints(
     h = np.zeros(n, dtype=np.uint64)
     for c in columns:
         h = h * np.uint64(0x100000001B3) ^ _column_row_hashes(batch.column(c))
-    return pa.table({"fp": h, "n": np.ones(n, dtype=np.int64)})
+    # int64 view, not uint64: values past 2^63 round-trip Ray's
+    # aggregate block builders as python ints and fall back to
+    # PICKLED object columns (observed in the verify exchange) —
+    # the fingerprint is opaque bits, equality is all that matters
+    return pa.table(
+        {"fp": h.view(np.int64), "n": np.ones(n, dtype=np.int64)}
+    )
 
 
 def add_salt_column(

@@ -741,3 +741,74 @@ def test_source_vocab_jaccard_vs_duckdb(ray_session):
     np.testing.assert_allclose(got["jaccard"], exp["jaccard"], atol=2e-6)
     # jaccard is a [0, 1] similarity
     assert ((got["jaccard"] >= 0) & (got["jaccard"] <= 1)).all()
+
+
+def test_window_lag_running_sum_many_blocks(ray_session, tmp_path):
+    """Segmented-sort window execution: force MANY tiny sorted blocks
+    so (user, bkt) groups straddle block boundaries, and check the
+    border-fix path against a pandas reference (hot user spanning
+    buckets, negative values, interleaved users)."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data import DataContext
+
+    from fastparquet_ray.functions.analytics import running_sum, window_lag
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    # one very hot user + a spread, timestamps across 10 weeks
+    users = np.where(
+        rng.random(n) < 0.5, 7, rng.integers(0, 40, n)
+    ).astype(np.int64)
+    ts = pd.Timestamp("2024-01-01").value // 1000 + np.sort(
+        rng.integers(0, 70 * 86_400_000_000, n)
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": users,
+            "event_type": "view",
+            "ts": pd.to_datetime(ts, unit="us"),
+            "value": np.round(rng.normal(0, 10, n), 3),  # negatives too
+            "props": "{}",
+        }
+    )
+    d = tmp_path / "evmany"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(df), d / "events.parquet", row_group_size=256
+    )
+
+    ctx = DataContext.get_current()
+    old_target = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024  # tiny blocks -> straddles
+    try:
+        lag = window_lag(str(d)).to_pandas()
+        run = running_sum(str(d)).to_pandas()
+    finally:
+        ctx.target_max_block_size = old_target
+
+    # pandas reference (unsalted: plain per-user order by ts, event_id)
+    ref = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    g = ref.groupby("user_id")
+    ref_lag = ref.assign(delta=np.round(g["value"].diff(), 6)).dropna(
+        subset=["delta"]
+    )
+    ref_run = ref.assign(run_sum=np.round(g["value"].cumsum(), 6))
+
+    got_lag = lag.sort_values("event_id").reset_index(drop=True)
+    want_lag = ref_lag[["event_id", "user_id", "delta"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_lag[["event_id", "user_id", "delta"]], want_lag,
+        check_dtype=False, atol=1e-6,
+    )
+    got_run = run.sort_values("event_id").reset_index(drop=True)
+    want_run = ref_run[["event_id", "user_id", "run_sum"]].sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_run[["event_id", "user_id", "run_sum"]], want_run,
+        check_dtype=False, atol=1e-6,
+    )
