@@ -231,15 +231,14 @@ def session_windows(sf_dir: str, gap_minutes: int = 30, salt_days: int = 7):
     Skew-bounded sessionization: the exchange keys on the composite
     (user_id, coarse ``salt_days`` bucket); each group sessionizes
     locally (sort + diff + cumsum), emits its INTERIOR sessions
-    directly into the streaming output, and sends only its first/last
-    border sessions (<= 2 rows per (user, bucket)) to the driver,
-    which stitches cross-bucket chains by walking each user's border
-    candidates in time order and merging neighbors closer than the
-    gap. A session chain spanning k buckets costs k driver rows; an
-    empty bucket can never hide a mergeable pair (its width >> gap),
-    and the candidate walk compares real timestamps, not bucket
-    adjacency, so it is exact regardless. Driver state is
-    O(users x buckets); event rows never leave the workers."""
+    directly into the streaming output, and routes only its
+    first/last border sessions (<= 2 rows per (user, bucket)) into a
+    DISTRIBUTED per-user stitch — a groupby(user_id) interval
+    gap-union over candidate rows, vectorized per user. An empty
+    bucket can never hide a mergeable pair (its width >> gap), and
+    the stitch compares real timestamps, not bucket adjacency, so it
+    is exact regardless. Driver state is O(1); event rows never
+    leave the workers."""
     import ray
     import ray.data
 
@@ -286,42 +285,53 @@ def session_windows(sf_dir: str, gap_minutes: int = 30, salt_days: int = 7):
         keep = df[~df["border"]]
         return keep[["user_id", "session_start", "n_events"]]
 
-    cand = (
+    # distributed border stitch (was a driver itertuples walk over
+    # O(users x buckets) candidate rows): per user, the candidates
+    # sorted by start merge with the standard interval-gap-union —
+    # break exactly where start exceeds the running max end + gap
+    # (equivalent to the sequential chain walk: an older chain's end
+    # is always > gap before any later chain's starts, so the global
+    # running max and the in-chain running max decide identically).
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["session_start", "last_ts"], kind="mergesort"
+        ).reset_index(drop=True)
+        starts = g["session_start"].to_numpy()
+        lasts = g["last_ts"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            brk[1:] = (
+                starts[1:] - np.maximum.accumulate(lasts)[:-1]
+            ) > gap
+        sid = np.cumsum(brk)
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"].astype("int64"),
+                    "session_start": g["session_start"],
+                    "n_events": g["n_events"].astype("int64"),
+                    "sid": sid,
+                }
+            )
+            .groupby("sid", as_index=False, sort=False)
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("session_start", "min"),
+                n_events=("n_events", "sum"),
+            )
+        )
+        return out[["user_id", "session_start", "n_events"]]
+
+    fixed = (
         sessions.map_batches(
             lambda df: df[df["border"]], batch_format="pandas"
         )
-        .to_pandas()  # <= 2 per (user, bucket)
-        .sort_values(["user_id", "session_start"])
+        .groupby("user_id")
+        .map_groups(stitch, batch_format="pandas")
     )
-    fixed = []
-    for uid, sub in cand.groupby("user_id", sort=False):
-        start = n = last = None
-        for row in sub.itertuples(index=False):
-            if start is not None and (
-                row.session_start - last
-            ) <= gap:
-                n += row.n_events
-                last = max(last, row.last_ts)
-                continue
-            if start is not None:
-                fixed.append((uid, start, n))
-            start, n, last = row.session_start, row.n_events, row.last_ts
-        if start is not None:
-            fixed.append((uid, start, n))
-    fixed_df = pd.DataFrame(
-        fixed, columns=["user_id", "session_start", "n_events"]
-    )
-    if not fixed_df.empty:
-        fixed_df["user_id"] = fixed_df["user_id"].astype("int64")
-        fixed_df["n_events"] = fixed_df["n_events"].astype("int64")
-        fixed_df["session_start"] = fixed_df["session_start"].astype(
-            cand["session_start"].dtype
-        )
 
     out = sessions.map_batches(interior, batch_format="pandas")
-    if fixed_df.empty:
-        return out
-    return out.union(ray.data.from_pandas(fixed_df))
+    return out.union(fixed)
 
 
 def _salted_lookback(ds, win, salt_days: int, per_group):
