@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": textops.token_count_bpe,
         "quality_score": textops.quality_score,
         "quality_filter": textops.quality_filter,
+        "repetition_ratio": textops.repetition_ratio,
         "fingerprint": textops.fingerprint,
         "adjacent_similarity": textops.adjacent_similarity,
         "lang_id": textops.lang_id,
@@ -160,7 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # window (VERDICT r03 #8). Every query remains registered; only
     # the ordering changes.
     front = [
-        "tz_hourly_activity", "window_lag", "running_sum", "asof_join",
+        "repetition_ratio", "tz_hourly_activity", "window_lag", "running_sum", "asof_join",
         "funnel_conversion", "rolling_avg", "session_windows",
         "mad_value", "quantiles_cont", "ntile", "bigram_pmi",
         "token_topk", "token_docfreq", "tfidf_topk",
@@ -394,6 +395,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT (n_chars - lo) * 20 // (hi - lo + 1) AS bin, "
             "count(*) AS n FROM documents, mm GROUP BY bin"
+        ),
+        # Gopher top-bigram repetition: identical bigram expansion on
+        # both sides (string_split + 1-based list slice vs the
+        # engine's factorize+unique fold)
+        "repetition_ratio": (
+            "WITH t AS (SELECT doc_id, source, string_split(text, ' ') "
+            "AS w FROM documents), "
+            "b AS (SELECT doc_id, source, w[i] || ' ' || w[i+1] AS bg "
+            "FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) r), "
+            "b2 AS (SELECT doc_id, source, bg, count(*) AS c FROM b "
+            "GROUP BY 1, 2, 3), "
+            "d AS (SELECT doc_id, source, CAST(max(c) AS DOUBLE) / "
+            "sum(c) AS ratio FROM b2 GROUP BY 1, 2) "
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(count(*) FILTER (ratio > 0.15) AS BIGINT) "
+            "AS n_repetitive, round(avg(ratio), 6) AS mean_ratio "
+            "FROM d GROUP BY source"
         ),
         # stored naive ts is a UTC instant; DST-aware local hour via
         # ICU timezone(), matching the engine's Arrow tz cast

@@ -10,6 +10,7 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
 import pandas as pd
 
 from ._util import pool_max as _pool_max
@@ -332,4 +333,92 @@ def normalized_dedup(sf_dir: str):
     out = out.sort_values("source").reset_index(drop=True)
     return out[["source", "n", "n_norm"]].astype(
         {"n": "int64", "n_norm": "int64"}
+    )
+
+
+def repetition_ratio(sf_dir: str, threshold: float = 0.15):
+    """Gopher-style repetition signal (Rae et al. 2021, public): per
+    document, the TOP word-bigram fraction (count of the most frequent
+    bigram / total bigrams); per source, the document count, how many
+    exceed ``threshold``, and the mean ratio. Repetitive boilerplate
+    (the top quality-filter kill in web corpora) shows up as a heavy
+    top-bigram share.
+
+    Scale shape: one streaming pass; per block the bigrams are
+    factorized EXACTLY (pandas factorize — no hash-collision risk
+    against the oracle), packed (doc, code) keys collapse through one
+    np.unique, and per-doc max/total fold to per-source scalar
+    partials. The exchange is sources-sized. Oracle: the identical
+    bigram expansion via DuckDB string_split + list slicing."""
+    from .groupagg import merge_partials
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "n_repetitive": pd.Series([], dtype="int64"),
+                "sum_ratio": pd.Series([], dtype="float64"),
+            }
+        )
+        if df.empty:
+            return empty
+        texts = df["text"].tolist()
+        bgs: list[str] = []
+        nbg = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = t.split(" ")
+            n = max(len(ws) - 1, 0)
+            nbg[i] = n
+            if n:
+                bgs.extend(
+                    ws[j] + " " + ws[j + 1] for j in range(n)
+                )
+        keep = nbg > 0  # docs with < 2 words have no ratio (oracle too)
+        if not keep.any():
+            return empty
+        codes, _ = pd.factorize(np.asarray(bgs, dtype=object))
+        doc_idx = np.repeat(np.arange(len(texts)), nbg)
+        packed = (doc_idx.astype(np.int64) << np.int64(32)) | codes.astype(
+            np.int64
+        )
+        u, c = np.unique(packed, return_counts=True)
+        udoc = (u >> np.int64(32)).astype(np.int64)
+        # u is sorted, so per-doc runs are contiguous: reduceat max
+        starts = np.flatnonzero(
+            np.concatenate([[True], udoc[1:] != udoc[:-1]])
+        )
+        mx = np.maximum.reduceat(c, starts)
+        docs = udoc[starts]
+        ratio = mx / nbg[docs]
+        src = df["source"].to_numpy()[docs]
+        out = pd.DataFrame(
+            {
+                "source": src,
+                "n_docs": np.ones(docs.size, dtype=np.int64),
+                "n_repetitive": (ratio > threshold).astype(np.int64),
+                "sum_ratio": ratio,
+            }
+        )
+        return (
+            out.groupby("source", as_index=False, sort=False)
+            .agg(
+                n_docs=("n_docs", "sum"),
+                n_repetitive=("n_repetitive", "sum"),
+                sum_ratio=("sum_ratio", "sum"),
+            )
+        )
+
+    agg = merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source"],
+        {"n_docs": "sum", "n_repetitive": "sum", "sum_ratio": "sum"},
+    )
+    agg["mean_ratio"] = np.round(agg["sum_ratio"] / agg["n_docs"], 6)
+    return (
+        agg[["source", "n_docs", "n_repetitive", "mean_ratio"]]
+        .sort_values("source")
+        .reset_index(drop=True)
     )

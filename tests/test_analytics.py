@@ -812,3 +812,38 @@ def test_window_lag_running_sum_many_blocks(ray_session, tmp_path):
         got_run[["event_id", "user_id", "run_sum"]], want_run,
         check_dtype=False, atol=1e-6,
     )
+
+
+def test_repetition_ratio_hand_case(ray_session, tmp_path):
+    """Gopher top-bigram fraction on hand-built docs: 'a b a b a b'
+    has bigrams [ab, ba, ab, ba, ab] -> top 3/5 = 0.6; a no-repeat doc
+    scores 1/n_bigrams; single-word docs are excluded."""
+    import pyarrow.parquet as pq
+
+    from fastparquet_ray.functions.textops import repetition_ratio
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "a b a b a b",          # ratio 0.6 -> repetitive
+                "w x y z q r",          # ratio 0.2 -> (5 distinct bigrams)
+                "solo",                  # no bigrams: excluded
+                "m m m m",              # ratio 1.0 -> repetitive
+            ],
+            "lang": "en",
+            "source": ["s1", "s1", "s1", "s2"],
+            "n_chars": [11, 11, 4, 7],
+        }
+    )
+    d = tmp_path / "docs_rep"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df), d / "documents.parquet")
+    out = repetition_ratio(str(d), threshold=0.5)
+    out = out.set_index("source")
+    assert int(out.loc["s1", "n_docs"]) == 2
+    assert int(out.loc["s1", "n_repetitive"]) == 1
+    assert abs(float(out.loc["s1", "mean_ratio"]) - 0.4) < 1e-9
+    assert int(out.loc["s2", "n_docs"]) == 1
+    assert int(out.loc["s2", "n_repetitive"]) == 1
+    assert abs(float(out.loc["s2", "mean_ratio"]) - 1.0) < 1e-9
