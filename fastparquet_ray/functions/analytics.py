@@ -1093,10 +1093,15 @@ def ntile(sf_dir: str, k: int = 10):
     VALUES. Rows tied WITH a boundary value can straddle buckets, so
     they are emitted as (orderkey, value) residue rows — bounded by
     the boundary values' multiplicity, never the corpus — and ranked
-    exactly on the driver from per-block count-below partials."""
-    from .sketches import _rank_select
+    exactly on the driver from per-block count-below partials.
 
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    The two-column read is materialized ONCE and every selection pass
+    plus the final binning scan run over the cached blocks (the
+    mad_value scan fusion): 4 parquet reads -> 1 read + 4 in-memory
+    scans."""
+    from .sketches import _rank_select_ds
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).materialize()
 
     def ends_of(n: int) -> np.ndarray:
         base, rem = divmod(n, k)
@@ -1104,8 +1109,8 @@ def ntile(sf_dir: str, k: int = 10):
         sizes[:rem] += 1
         return np.cumsum(sizes)
 
-    n, rank_value = _rank_select(
-        sf_dir, "orders", "o_totalprice",
+    n, rank_value = _rank_select_ds(
+        ds, "o_totalprice",
         lambda n: [int(r) for r in ends_of(n)[:-1]],
     )
     if n == 0:
