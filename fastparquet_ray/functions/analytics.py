@@ -477,7 +477,8 @@ def grouped_quantiles(sf_dir: str, qs=(0.5, 0.9)):
     import ray
 
     gcol, vcol = "o_orderpriority", "o_totalprice"
-    ds = _read(sf_dir, "orders", [gcol, vcol])
+    # one parquet read; all three passes scan the cached two columns
+    ds = _read(sf_dir, "orders", [gcol, vcol]).materialize()
     qs = list(qs)
 
     def p1(df: pd.DataFrame) -> pd.DataFrame:

@@ -348,9 +348,11 @@ def _rank_select(sf_dir: str, table: str, col: str, ranks_fn,
     derived column. Returns (n, {rank: value})."""
     import ray.data
 
+    # one parquet read; the selection passes scan the cached column
+    # (a single pruned column — object-store scale, spills if needed)
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=[col]
-    )
+    ).materialize()
     return _rank_select_ds(ds, col, ranks_fn, transform=transform)
 
 
