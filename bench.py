@@ -197,7 +197,8 @@ def run_bench() -> dict:
             "session_windows", "regression_by_group", "running_sum",
             "funnel_conversion", "zscore_outliers", "ntile",
             "bigram_pmi", "dedup_clusters", "decontaminate",
-            "cohort_retention", "mad_value",
+            "cohort_retention", "mad_value", "tz_hourly_activity",
+            "repetition_ratio",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)
