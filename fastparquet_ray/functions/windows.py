@@ -171,56 +171,221 @@ def asof_join(sf_dir: str, salt_days: int = 7):
         .map_groups(resolve, batch_format="pandas")
     )
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        clicks = g[
-            (g["event_type"] == "click") & ~g["ghost"]
-        ].sort_values("ts")
-        views = g[g["event_type"] == "view"].sort_values("ts")
-        return _asof_user(clicks, views)
+    # segmented-sort execution (the window_lag / running_sum recipe):
+    # ONE range sort of data + carry ghosts on (user, bkt, ts,
+    # event_id), then a vectorized per-block backward scan — no
+    # per-(user, bucket) pandas dispatch. A (user, bkt) segment
+    # straddling blocks heals through an O(blocks) border frame: each
+    # block's edge segments contribute (v1, v2) = (latest view in the
+    # portion, latest view strictly earlier than v1's ts); the driver
+    # folds those along block order per key and broadcasts a dict
+    # keyed by each straddling block's first-row identity — bounded
+    # by BLOCK count, never by users.
+    import ray
+    import ray.data
 
-    def _asof_user(clicks: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "event_id": pd.Series([], dtype="int64"),
-                "user_id": pd.Series([], dtype="int64"),
-                "view_event_id": pd.Series([], dtype="int64"),
-                "gap_seconds": pd.Series([], dtype="float64"),
-            }
+    SENT = np.int64(-(2**62))  # 'no view' sentinel (ns since epoch)
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "view_event_id": pd.Series([], dtype="int64"),
+            "gap_seconds": pd.Series([], dtype="float64"),
+        }
+    )
+
+    srt = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .union(carry_ds)
+        .sort(["user_id", "bkt", "ts", "event_id"])
+        .materialize()
+    )
+
+    def _ns(ts: pd.Series) -> np.ndarray:
+        return ts.astype("int64").to_numpy() * (
+            1000 if ts.dtype == "datetime64[us]" else 1
         )
-        if clicks.empty or views.empty:
-            return empty
-        m = pd.merge_asof(
-            clicks,
-            views[["event_id", "ts"]].rename(
-                columns={"event_id": "view_event_id", "ts": "view_ts"}
-            ),
-            left_on="ts",
-            right_on="view_ts",
-            allow_exact_matches=False,  # strictly earlier
-            direction="backward",
+
+    def _portion_views(ns, eid, isview, s, e):
+        """(v1_ts, v1_eid, v2_ts, v2_eid) over rows [s, e): the last
+        view and the last view with ts strictly below it."""
+        vi = np.flatnonzero(isview[s:e]) + s
+        if vi.size == 0:
+            return SENT, np.int64(-1), SENT, np.int64(-1)
+        j = vi[-1]
+        strict = vi[ns[vi] < ns[j]]
+        if strict.size == 0:
+            return ns[j], eid[j], SENT, np.int64(-1)
+        k = strict[-1]
+        return ns[j], eid[j], ns[k], eid[k]
+
+    def edge_asof(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "user_id": pd.Series([], dtype="int64"),
+            "bkt": pd.Series([], dtype="int64"),
+            "v1_ts": pd.Series([], dtype="int64"),
+            "v1_eid": pd.Series([], dtype="int64"),
+            "v2_ts": pd.Series([], dtype="int64"),
+            "v2_eid": pd.Series([], dtype="int64"),
+            "seg_ts": pd.Series([], dtype="int64"),
+            "seg_eid": pd.Series([], dtype="int64"),
+            "blk_ts": pd.Series([], dtype="int64"),
+            "blk_eid": pd.Series([], dtype="int64"),
+            "is_first": pd.Series([], dtype="bool"),
+            "is_last": pd.Series([], dtype="bool"),
+        }
+        if df.empty:
+            return pd.DataFrame(cols)
+        u = df["user_id"].to_numpy()
+        b = df["bkt"].to_numpy()
+        ns = _ns(df["ts"])
+        eid = df["event_id"].to_numpy()
+        isview = (df["event_type"] == "view").to_numpy()
+        start = np.ones(len(df), dtype=bool)
+        start[1:] = (u[1:] != u[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(start)
+        ends = np.concatenate([starts[1:], [len(df)]])
+        first_i, last_i = 0, len(starts) - 1
+        take = sorted({first_i, last_i})
+        rows = []
+        for i in take:
+            s, e = int(starts[i]), int(ends[i])
+            v1t, v1e, v2t, v2e = _portion_views(ns, eid, isview, s, e)
+            rows.append(
+                (
+                    int(u[s]), int(b[s]), int(v1t), int(v1e),
+                    int(v2t), int(v2e),
+                    # SEGMENT first row orders blocks within a key
+                    int(ns[s]), int(eid[s]),
+                    # BLOCK identity: the block's first row
+                    int(ns[0]), int(eid[0]),
+                    i == first_i, i == last_i,
+                )
+            )
+        return pd.DataFrame(rows, columns=list(cols)).astype(
+            {k: v.dtype for k, v in cols.items()}
         )
-        m = m.dropna(subset=["view_event_id"])
-        if m.empty:
+
+    def _fold(acc, v1t, v1e, v2t, v2e):
+        """Merge a LATER portion's (v1, v2) into the running carry.
+        Portions arrive in segment order, so acc's views all sort at
+        or before the new portion's."""
+        if v1t == SENT:
+            return acc
+        if v2t == SENT:
+            if acc[0] != SENT and acc[0] < v1t:
+                v2t, v2e = acc[0], acc[1]
+            else:
+                v2t, v2e = acc[2], acc[3]
+        return (v1t, v1e, v2t, v2e)
+
+    # O(2 x blocks) edge rows — never events or users
+    bd = (
+        srt.map_batches(edge_asof, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    offsets: dict[tuple, tuple] = {}
+    if len(bd):
+        bd = bd.sort_values(
+            ["user_id", "bkt", "seg_ts", "seg_eid"], kind="mergesort"
+        ).reset_index(drop=True)
+        cur = None
+        acc = (int(SENT), -1, int(SENT), -1)
+        for r in bd.itertuples(index=False):
+            key = (r.user_id, r.bkt)
+            if key != cur:
+                cur = key
+                acc = (int(SENT), -1, int(SENT), -1)
+            elif r.is_first:
+                # block continues this key: carry = all earlier blocks
+                offsets[(r.user_id, r.bkt, r.blk_ts, r.blk_eid)] = acc
+            if r.is_last:
+                acc = _fold(acc, r.v1_ts, r.v1_eid, r.v2_ts, r.v2_eid)
+    # broadcast is O(straddling blocks) entries — block-count-bounded
+    off_ref = ray.put(offsets)
+
+    def block_asof(df: pd.DataFrame, _memo={}) -> pd.DataFrame:
+        if df.empty:
             return empty
-        gap = (m["ts"] - m["view_ts"]).dt.total_seconds()
+        if "o" not in _memo:
+            _memo["o"] = ray.get(off_ref)  # O(straddling blocks), tiny
+        u = df["user_id"].to_numpy()
+        b = df["bkt"].to_numpy()
+        ns = _ns(df["ts"])
+        eid = df["event_id"].to_numpy()
+        start = np.ones(len(df), dtype=bool)
+        start[1:] = (u[1:] != u[:-1]) | (b[1:] != b[:-1])
+        seg_id = np.cumsum(start) - 1
+        isview = (df["event_type"] == "view").to_numpy()
+        cpos = np.flatnonzero(
+            (df["event_type"] == "click").to_numpy()
+            & ~df["ghost"].to_numpy()
+        )
+        if cpos.size == 0:
+            return empty
+        seg_c = seg_id[cpos]
+        cts = ns[cpos]
+        res_ts = np.full(cpos.size, SENT, dtype=np.int64)
+        res_eid = np.full(cpos.size, -1, dtype=np.int64)
+        vpos = np.flatnonzero(isview)
+        if vpos.size:
+            vseg = seg_id[vpos]
+            vts = ns[vpos]
+            veid = eid[vpos]
+            # strict predecessor per view: the row before its
+            # (segment, ts) run, if still in the same segment
+            runb = np.ones(vpos.size, dtype=bool)
+            runb[1:] = (vseg[1:] != vseg[:-1]) | (vts[1:] != vts[:-1])
+            run_start = np.maximum.accumulate(
+                np.where(runb, np.arange(vpos.size), 0)
+            )
+            pred = run_start - 1
+            p = np.searchsorted(vpos, cpos) - 1
+            pc = np.clip(p, 0, vpos.size - 1)
+            valid = (p >= 0) & (vseg[pc] == seg_c)
+            ans = np.where(valid, pc, -1)
+            # strictly earlier: a tied-ts view steps to its strict
+            # predecessor (or falls through to the carry)
+            eq = valid & (vts[pc] == cts)
+            stp = pred[pc]
+            sc = np.clip(stp, 0, vpos.size - 1)
+            ok2 = (stp >= 0) & (vseg[sc] == seg_c)
+            ans = np.where(eq, np.where(ok2, stp, -1), ans)
+            hit = ans >= 0
+            ac = np.clip(ans, 0, vpos.size - 1)
+            res_ts = np.where(hit, vts[ac], SENT)
+            res_eid = np.where(hit, veid[ac], -1)
+        # clicks in the block's FIRST segment with no in-block view
+        # resolve through the border carry (earlier blocks, same key)
+        need = (res_ts == SENT) & (seg_c == 0)
+        if need.any():
+            c = _memo["o"].get(
+                (int(u[0]), int(b[0]), int(ns[0]), int(eid[0]))
+            )
+            if c is not None:
+                v1t, v1e, v2t, v2e = c
+                # v1 when strictly earlier, else v2 (v2_ts < v1_ts)
+                pick1 = v1t < cts[need]
+                res_ts[need] = np.where(pick1, v1t, v2t)
+                res_eid[need] = np.where(pick1, v1e, v2e)
+        keep = res_ts != SENT
+        if not keep.any():
+            return empty
+        gap = (cts[keep] - res_ts[keep]) / 1e9
         return pd.DataFrame(
             {
-                "event_id": m["event_id"].astype("int64"),
-                "user_id": m["user_id"].astype("int64"),
-                "view_event_id": m["view_event_id"].astype("int64"),
-                "gap_seconds": gap.round(6),
+                "event_id": eid[cpos[keep]].astype("int64"),
+                "user_id": u[cpos[keep]].astype("int64"),
+                "view_event_id": res_eid[keep],
+                "gap_seconds": np.round(gap, 6),
             }
         )
 
     # stays a Dataset: the result is O(clicks) — data-sized, so the
     # driver never collects it (row order is irrelevant; the
-    # correctness comparator is order-insensitive); per_group emits
-    # only the output columns, so no bkt strip is needed
-    return (
-        ds.map_batches(add_bucket, batch_format="pandas")
-        .union(carry_ds)
-        .groupby(["user_id", "bkt"])
-        .map_groups(per_group, batch_format="pandas")
+    # correctness comparator is order-insensitive)
+    return srt.map_batches(
+        block_asof, batch_format="pandas", batch_size=None
     )
 
 
