@@ -92,87 +92,23 @@ def window_rank(sf_dir: str, k: int = 3):
     )
 
 
-def window_lag(sf_dir: str, salt_days: int = 7):
+def window_lag(sf_dir: str):
     """lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id):
     per-user delta between consecutive event values (rows with no
     predecessor are dropped, matching SQL's NULL-lag filter).
 
-    Skew-bounded like windows.asof_join: the exchange keys on the
-    COMPOSITE (user_id, coarse ``salt_days`` bucket), so a hot user's
-    events never land in one unbounded group. The in-order predecessor
-    of a bucket's first row is restored by a carry-in resolved
-    DISTRIBUTEDLY: each block contributes its last (ts, event_id,
-    value) candidate per (user, bucket); a groupby(user_id) over those
-    summary rows (each group is summary-sized — blocks x buckets the
-    user touches, never events) shifts the true per-bucket last rows
-    down one bucket and emits them as ghost rows that ride the SAME
-    (user, bucket) exchange as the data. No driver collect, no
-    whole-dict broadcast — driver state is O(1)."""
+    Segmented-sort execution: ONE range sort on (user_id, ts,
+    event_id) — no group co-location is needed, so a hot user simply
+    spans several sorted blocks — then a VECTORIZED per-block delta
+    over adjacent same-user rows. A user straddling two sorted
+    blocks misses exactly one delta (the later block's first row),
+    restored from an O(2 x blocks) border frame on the driver: the
+    nearest earlier same-user block-LAST row is the true global
+    predecessor, since sorted blocks are contiguous runs. No
+    per-group dispatch, no carry exchange; driver state is bounded
+    by BLOCK count, never users or events."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    bucket_ns = np.int64(salt_days) * 86_400 * 1_000_000_000
-    cols = ["event_id", "user_id", "ts", "value", "bkt", "ghost"]
 
-    def _with_bkt(df: pd.DataFrame) -> pd.DataFrame:
-        ns = df["ts"].astype("int64") * (
-            1000 if df["ts"].dtype == "datetime64[us]" else 1
-        )
-        df = df.copy()
-        df["bkt"] = (ns // bucket_ns).astype("int64")
-        df["ghost"] = False
-        return df[cols]
-
-    def last_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = _with_bkt(df).sort_values(["ts", "event_id"], kind="mergesort")
-        return df.groupby(["user_id", "bkt"], sort=False).tail(1)[
-            ["user_id", "bkt", "ts", "event_id", "value"]
-        ]
-
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        # one user's per-block per-bucket last-row candidates: pick
-        # the true last row per bucket, then carry bucket i-1's last
-        # row into bucket i as a ghost predecessor (its own delta is
-        # never emitted — it belongs to the earlier bucket)
-        g = g.sort_values(["bkt", "ts", "event_id"], kind="mergesort")
-        last = g.groupby("bkt", sort=False).tail(1)
-        if len(last) < 2:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "ts": pd.Series([], dtype=g["ts"].dtype),
-                    "value": pd.Series([], dtype="float64"),
-                    "bkt": pd.Series([], dtype="int64"),
-                    "ghost": pd.Series([], dtype="bool"),
-                }
-            )
-        return pd.DataFrame(
-            {
-                "event_id": last["event_id"].to_numpy()[:-1].astype(
-                    "int64"
-                ),
-                "user_id": last["user_id"].to_numpy()[1:].astype("int64"),
-                "ts": last["ts"].iloc[:-1].reset_index(drop=True),
-                "value": last["value"].to_numpy()[:-1].astype("float64"),
-                "bkt": last["bkt"].to_numpy()[1:].astype("int64"),
-                "ghost": True,
-            }
-        )
-
-    carry_ds = (
-        ds.map_batches(last_partial, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(resolve, batch_format="pandas")
-    )
-
-    # segmented-sort execution (no per-group dispatch): ONE range
-    # sort of data + ghosts on (user, bkt, ts, event_id), then a
-    # VECTORIZED per-block delta over adjacent same-key rows. A
-    # (user, bkt) group straddling two sorted blocks misses exactly
-    # one delta — the later block's first row — restored from an
-    # O(2 x blocks) border frame on the driver (nearest earlier
-    # same-key block-LAST row is the true global predecessor, since
-    # sorted blocks are contiguous runs). Replaces thousands of
-    # per-group pandas calls with one numpy pass per block.
     import ray.data
 
     empty = pd.DataFrame(
@@ -184,9 +120,7 @@ def window_lag(sf_dir: str, salt_days: int = 7):
     )
 
     srt = (
-        ds.map_batches(_with_bkt, batch_format="pandas")
-        .union(carry_ds)
-        .sort(["user_id", "bkt", "ts", "event_id"])
+        ds.sort(["user_id", "ts", "event_id"])
         .materialize()  # consumed twice: border pull + delta pass
     )
 
@@ -194,13 +128,8 @@ def window_lag(sf_dir: str, salt_days: int = 7):
         if len(df) < 2:
             return empty
         u = df["user_id"].to_numpy()
-        b = df["bkt"].to_numpy()
         v = df["value"].to_numpy()
-        emit = (
-            (u[1:] == u[:-1])
-            & (b[1:] == b[:-1])
-            & ~df["ghost"].to_numpy()[1:]
-        )
+        emit = u[1:] == u[:-1]
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].to_numpy()[1:][emit].astype(
@@ -231,16 +160,15 @@ def window_lag(sf_dir: str, salt_days: int = 7):
         # AND last) with first BEFORE last so an f-row never pairs
         # with its own l-copy
         bd = bd.sort_values(
-            ["user_id", "bkt", "ts", "event_id", "pos"], kind="mergesort"
+            ["user_id", "ts", "event_id", "pos"], kind="mergesort"
         ).reset_index(drop=True)
         u = bd["user_id"].to_numpy()
-        b = bd["bkt"].to_numpy()
         newkey = np.ones(len(bd), dtype=bool)
-        newkey[1:] = (u[1:] != u[:-1]) | (b[1:] != b[:-1])
+        newkey[1:] = u[1:] != u[:-1]
         idx = np.arange(len(bd))
         last_l = np.where(bd["pos"].to_numpy() == 1, idx, -1)
-        # per-key running max of l-row indices = nearest earlier
-        # last-row in the same (user, bkt); vectorized per-key cummax
+        # per-user running max of l-row indices = nearest earlier
+        # last-row of the same user; vectorized per-segment cummax
         # via np.maximum.accumulate with a per-segment bias (segments
         # can never leak into each other: bias step > index range)
         seg = np.cumsum(newkey) - 1
@@ -252,7 +180,7 @@ def window_lag(sf_dir: str, salt_days: int = 7):
         pred[1:] = np.where(newkey[1:], -1, cm[:-1])
         pred = np.where(pred < 0, -1, pred)
         is_f = bd["pos"].to_numpy() == 0
-        want = is_f & ~bd["ghost"].to_numpy() & (pred >= 0)
+        want = is_f & (pred >= 0)
         if want.any():
             pi = pred[want]
             fix = pd.DataFrame(
@@ -760,88 +688,21 @@ def argmax_per_group(sf_dir: str):
     )
 
 
-def running_sum(sf_dir: str, salt_days: int = 7):
+def running_sum(sf_dir: str):
     """sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
     ROWS UNBOUNDED PRECEDING): per-user cumulative sum — the running
     balance / cumulative-exposure window every event pipeline needs.
 
-    Skew-bounded exactly like window_lag: the exchange keys on the
-    COMPOSITE (user_id, coarse salt_days bucket) so a hot user never
-    lands in one unbounded group. Unlike lag (which only needs the
-    PREVIOUS row), a cumulative sum needs the TOTAL of all earlier
-    buckets: each block contributes per-(user, bucket) partial sums
-    (+ the bucket's min ts), a groupby(user_id) over those summary
-    rows exclusive-prefix-sums the bucket subtotals per user and
-    emits each bucket's offset as a ghost row (ts = the bucket's min
-    ts, event_id = -1, so it sorts first in the bucket) riding the
-    SAME (user, bucket) exchange as the data — the local cumsum then
-    includes the carry natively. No driver collect, no broadcast."""
+    Segmented-sort execution: ONE range sort on (user_id, ts,
+    event_id) — no group co-location is needed, so a hot user simply
+    spans several sorted blocks — then a vectorized segmented cumsum
+    per block. A user straddling blocks needs a per-block offset =
+    the sum of the user's rows in EARLIER blocks; those are resolved
+    from an O(blocks) border frame of edge-segment sums and broadcast
+    as a dict keyed by each block's first-row identity (ts, event_id)
+    — bounded by block count, never by users or events."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    bucket_ns = np.int64(salt_days) * 86_400 * 1_000_000_000
-    cols = ["event_id", "user_id", "ts", "value", "bkt", "ghost"]
 
-    def _with_bkt(df: pd.DataFrame) -> pd.DataFrame:
-        ns = df["ts"].astype("int64") * (
-            1000 if df["ts"].dtype == "datetime64[us]" else 1
-        )
-        df = df.copy()
-        df["bkt"] = (ns // bucket_ns).astype("int64")
-        df["ghost"] = False
-        return df[cols]
-
-    def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = _with_bkt(df)
-        g = df.groupby(["user_id", "bkt"], as_index=False, sort=False).agg(
-            value=("value", "sum"), ts=("ts", "min")
-        )
-        return g
-
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        # one user's per-block (bucket, partial sum, min ts) rows ->
-        # per-bucket totals in bucket order -> exclusive prefix sums;
-        # bucket i's offset becomes a ghost row that sorts FIRST in
-        # bucket i (ts = bucket min ts, event_id = -1 < all real ids)
-        g = g.groupby("bkt", as_index=False, sort=True).agg(
-            value=("value", "sum"), ts=("ts", "min"),
-            user_id=("user_id", "first"),
-        )
-        if len(g) < 2:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype="int64"),
-                    "user_id": pd.Series([], dtype="int64"),
-                    "ts": pd.Series([], dtype=g["ts"].dtype),
-                    "value": pd.Series([], dtype="float64"),
-                    "bkt": pd.Series([], dtype="int64"),
-                    "ghost": pd.Series([], dtype="bool"),
-                }
-            )
-        excl = np.cumsum(g["value"].to_numpy())[:-1]
-        return pd.DataFrame(
-            {
-                "event_id": np.full(len(g) - 1, -1, dtype=np.int64),
-                "user_id": g["user_id"].to_numpy()[1:].astype("int64"),
-                "ts": g["ts"].iloc[1:].reset_index(drop=True),
-                "value": excl.astype("float64"),
-                "bkt": g["bkt"].to_numpy()[1:].astype("int64"),
-                "ghost": True,
-            }
-        )
-
-    carry_ds = (
-        ds.map_batches(sum_partial, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(resolve, batch_format="pandas")
-    )
-
-    # segmented-sort execution (the window_lag recipe): ONE range
-    # sort of data + carry ghosts, then a vectorized segmented cumsum
-    # per sorted block. A (user, bkt) group straddling blocks needs a
-    # per-block offset = the sum of the key's rows in EARLIER blocks;
-    # those are resolved from an O(blocks) border frame of edge-
-    # segment sums and broadcast as a dict keyed by each block's
-    # first-row identity (ts, event_id) — bounded by block count,
-    # never by users.
     import ray
     import ray.data
 
@@ -853,24 +714,17 @@ def running_sum(sf_dir: str, salt_days: int = 7):
         }
     )
 
-    srt = (
-        ds.map_batches(_with_bkt, batch_format="pandas")
-        .union(carry_ds)
-        .sort(["user_id", "bkt", "ts", "event_id"])
-        .materialize()
-    )
+    srt = ds.sort(["user_id", "ts", "event_id"]).materialize()
 
     def _segments(df: pd.DataFrame):
         u = df["user_id"].to_numpy()
-        b = df["bkt"].to_numpy()
         start = np.ones(len(df), dtype=bool)
-        start[1:] = (u[1:] != u[:-1]) | (b[1:] != b[:-1])
-        return u, b, start
+        start[1:] = u[1:] != u[:-1]
+        return u, start
 
     def edge_sums(df: pd.DataFrame) -> pd.DataFrame:
         cols = {
             "user_id": pd.Series([], dtype="int64"),
-            "bkt": pd.Series([], dtype="int64"),
             "seg_sum": pd.Series([], dtype="float64"),
             "seg_ts": pd.Series([], dtype=df["ts"].dtype),
             "seg_eid": pd.Series([], dtype="int64"),
@@ -881,7 +735,7 @@ def running_sum(sf_dir: str, salt_days: int = 7):
         }
         if df.empty:
             return pd.DataFrame(cols)
-        u, b, start = _segments(df)
+        u, start = _segments(df)
         v = df["value"].to_numpy()
         starts = np.flatnonzero(start)
         cs = np.concatenate([[0.0], np.cumsum(v)])
@@ -892,10 +746,9 @@ def running_sum(sf_dir: str, salt_days: int = 7):
         return pd.DataFrame(
             {
                 "user_id": u[starts[take]].astype("int64"),
-                "bkt": b[starts[take]].astype("int64"),
                 "seg_sum": sums[take].astype("float64"),
-                # SEGMENT first row: orders blocks within a key (the
-                # block's own first row can belong to another key
+                # SEGMENT first row: orders blocks within a user (the
+                # block's own first row can belong to another user
                 # with an unrelated ts range)
                 "seg_ts": df["ts"].iloc[starts[take]].reset_index(
                     drop=True
@@ -926,23 +779,22 @@ def running_sum(sf_dir: str, salt_days: int = 7):
     )
     offsets: dict[tuple, float] = {}
     if len(bd):
-        # block order within a key == order of the SEGMENTS' first
+        # block order within a user == order of the SEGMENTS' first
         # rows (sorted blocks are contiguous key runs)
         bd = bd.sort_values(
-            ["user_id", "bkt", "seg_ts", "seg_eid"], kind="mergesort"
+            ["user_id", "seg_ts", "seg_eid"], kind="mergesort"
         ).reset_index(drop=True)
         u = bd["user_id"].to_numpy()
-        b = bd["bkt"].to_numpy()
         newkey = np.ones(len(bd), dtype=bool)
-        newkey[1:] = (u[1:] != u[:-1]) | (b[1:] != b[:-1])
-        # contribution of an earlier block to this key = its LAST
+        newkey[1:] = u[1:] != u[:-1]
+        # contribution of an earlier block to this user = its LAST
         # segment's sum (the only segment touching later blocks)
         contrib = np.where(
             bd["is_last"].to_numpy(), bd["seg_sum"].to_numpy(), 0.0
         )
         cum = np.cumsum(contrib)
         before = cum - contrib  # cumulative of strictly-earlier rows
-        # forward-fill each key's starting cumulative (NaN-ffill, not
+        # forward-fill each user's starting cumulative (NaN-ffill, not
         # a running max: segment sums can be negative)
         key_base = pd.Series(
             np.where(newkey, before, np.nan)
@@ -950,13 +802,10 @@ def running_sum(sf_dir: str, salt_days: int = 7):
         off = before - key_base
         want = bd["is_first"].to_numpy() & ~newkey
         for i in np.flatnonzero(want):
-            # key on (user, bkt, block-first ts, block-first
-            # event_id): ghost rows share event_id = -1, so
-            # (ts, event_id) alone can collide across users
+            # key on (user, block-first ts, block-first event_id)
             offsets[
                 (
                     int(u[i]),
-                    int(b[i]),
                     bd["blk_ts"].iloc[i],
                     int(bd["blk_eid"].iloc[i]),
                 )
@@ -969,7 +818,7 @@ def running_sum(sf_dir: str, salt_days: int = 7):
             return empty
         if "o" not in _memo:
             _memo["o"] = ray.get(off_ref)  # O(straddling blocks), tiny
-        u, b, start = _segments(df)
+        u, start = _segments(df)
         v = df["value"].to_numpy()
         cs = np.cumsum(v)
         starts = np.flatnonzero(start)
@@ -979,21 +828,17 @@ def running_sum(sf_dir: str, salt_days: int = 7):
         off = _memo["o"].get(
             (
                 int(u[0]),
-                int(b[0]),
                 df["ts"].iloc[0],
                 int(df["event_id"].iloc[0]),
             )
         )
         if off:
             run = np.where(seg_id == 0, run + off, run)
-        keep = ~df["ghost"].to_numpy()
         return pd.DataFrame(
             {
-                "event_id": df["event_id"].to_numpy()[keep].astype(
-                    "int64"
-                ),
-                "user_id": u[keep].astype("int64"),
-                "run_sum": np.round(run[keep], 6),
+                "event_id": df["event_id"].to_numpy().astype("int64"),
+                "user_id": u.astype("int64"),
+                "run_sum": np.round(run, 6),
             }
         )
 

@@ -8,9 +8,9 @@ map_groups.
 Partitioning assumptions (documented per the build brief):
 - windowed_agg: none — window key is computed per row, aggregation is
   a partial-then-final groupby on (event_type, window).
-- asof_join: composite (user_id, coarse time bucket) exchange key —
-  hot users split across buckets; unbounded lookback restored by a
-  driver-resolved per-(user, bucket) latest-view carry-in.
+- asof_join: ONE range sort on (user_id, ts, event_id) — no group
+  co-location, so hot users simply span blocks; unbounded lookback
+  heals through an O(blocks) border fold on the driver.
 - rolling_avg / range_join: same composite key; BOUNDED lookback is
   restored by ghost-replicating boundary rows into the next bucket
   (_salted_lookback) — fully distributed, ~win/bucket overhead.
@@ -76,111 +76,26 @@ def windowed_agg(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def asof_join(sf_dir: str, salt_days: int = 7):
+def asof_join(sf_dir: str):
     """As-of join: for every 'click' event, the most recent strictly
     earlier 'view' event of the same user.
     Returns (event_id, user_id, view_event_id, gap_seconds).
 
-    Skew-bounded composition (the grouped-windowed-join shape): the
-    exchange key is the COMPOSITE (user_id, coarse time bucket of
-    ``salt_days``), so a pathologically hot user's events split across
-    buckets instead of landing in one unbounded group — per-group work
-    is capped by the user's traffic per bucket. As-of lookback across
-    bucket borders is restored by a carry-in resolved DISTRIBUTEDLY:
-    each block contributes one row per (user, bucket) — the bucket's
-    latest view, or a sentinel for view-less buckets — and a
-    groupby(user_id) over those summary rows (each group is
-    summary-sized, never events) forward-fills latest views over the
-    user's bucket order and emits each bucket's strictly-earlier best
-    view as a ghost view row riding the SAME (user, bucket) exchange
-    as the data. No driver collect, no whole-dict broadcast — driver
-    state is O(1)."""
+    Segmented-sort execution (the window_lag / running_sum recipe):
+    pre-filter to clicks + views (the only event types the join
+    touches), ONE range sort on (user_id, ts, event_id) — no group
+    co-location is needed, so a hot user simply spans several sorted
+    blocks — then a vectorized per-block backward scan. A user
+    straddling blocks heals through an O(blocks) border frame: each
+    block's edge user-segments contribute (v1, v2) = (latest view in
+    the portion, latest view strictly earlier than v1's ts); the
+    driver folds those along block order per user and broadcasts a
+    dict keyed by each straddling block's first-row identity —
+    bounded by BLOCK count, never by users or events."""
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
-    bucket_ns = np.int64(salt_days) * 86_400 * 1_000_000_000
-    cols = ["event_id", "user_id", "event_type", "ts", "bkt", "ghost"]
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        ns = df["ts"].astype("int64") * (
-            1000 if df["ts"].dtype == "datetime64[us]" else 1
-        )
-        df = df.copy()
-        df["bkt"] = (ns // bucket_ns).astype("int64")
-        df["ghost"] = False
-        return df[cols]
-
-    # per-(user, bucket) candidate: the block's latest view in that
-    # bucket, or event_id = -1 when the block has events but no view
-    # there (those buckets still need a carry-in emitted for them)
-    def view_partial(df: pd.DataFrame) -> pd.DataFrame:
-        ts_dtype = df["ts"].dtype
-        df = add_bucket(df)
-        need = df[["user_id", "bkt"]].drop_duplicates()
-        v = df[df["event_type"] == "view"].sort_values(
-            ["user_id", "bkt", "ts", "event_id"]
-        )
-        best = v.groupby(["user_id", "bkt"], sort=False).tail(1)[
-            ["user_id", "bkt", "ts", "event_id"]
-        ]
-        out = need.merge(best, on=["user_id", "bkt"], how="left")
-        out["event_id"] = out["event_id"].fillna(-1).astype("int64")
-        out["user_id"] = out["user_id"].astype("int64")
-        out["bkt"] = out["bkt"].astype("int64")
-        out["ts"] = out["ts"].astype(ts_dtype)  # NaT-safe
-        return out[["user_id", "bkt", "ts", "event_id"]]
-
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        # one user's candidates: true latest view per bucket (NaT
-        # sentinels lose to any real view), forward-filled over bucket
-        # order, shifted to strictly-earlier; emit the result as ghost
-        # view rows for every bucket with an earlier view
-        g = g.sort_values(
-            ["bkt", "ts", "event_id"], na_position="first"
-        )
-        last = g.groupby("bkt", sort=False).tail(1)
-        ids = last["event_id"].to_numpy()
-        valid = ids >= 0
-        idx = np.arange(len(last))
-        ff = np.maximum.accumulate(np.where(valid, idx, -1))
-        # carry for bucket i = latest view at or before bucket i-1
-        if len(last) > 1:
-            src_i = ff[:-1]
-            dst_i = np.arange(1, len(last))
-        else:
-            src_i = np.empty(0, np.int64)
-            dst_i = np.empty(0, np.int64)
-        keep = src_i >= 0
-        src_i, dst_i = src_i[keep], dst_i[keep]
-        return pd.DataFrame(
-            {
-                "event_id": ids[src_i].astype("int64"),
-                "user_id": last["user_id"].to_numpy()[dst_i].astype(
-                    "int64"
-                ),
-                "event_type": pd.Series(
-                    ["view"] * src_i.size, dtype=object
-                ),
-                "ts": last["ts"].iloc[src_i].reset_index(drop=True),
-                "bkt": last["bkt"].to_numpy()[dst_i].astype("int64"),
-                "ghost": pd.Series([True] * src_i.size, dtype="bool"),
-            }
-        )
-
-    carry_ds = (
-        ds.map_batches(view_partial, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(resolve, batch_format="pandas")
-    )
-
-    # segmented-sort execution (the window_lag / running_sum recipe):
-    # ONE range sort of data + carry ghosts on (user, bkt, ts,
-    # event_id), then a vectorized per-block backward scan — no
-    # per-(user, bucket) pandas dispatch. A (user, bkt) segment
-    # straddling blocks heals through an O(blocks) border frame: each
-    # block's edge segments contribute (v1, v2) = (latest view in the
-    # portion, latest view strictly earlier than v1's ts); the driver
-    # folds those along block order per key and broadcasts a dict
-    # keyed by each straddling block's first-row identity — bounded
-    # by BLOCK count, never by users.
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(("click", "view"))]
     import ray
     import ray.data
 
@@ -195,9 +110,8 @@ def asof_join(sf_dir: str, salt_days: int = 7):
     )
 
     srt = (
-        ds.map_batches(add_bucket, batch_format="pandas")
-        .union(carry_ds)
-        .sort(["user_id", "bkt", "ts", "event_id"])
+        ds.map_batches(prefilter, batch_format="pandas")
+        .sort(["user_id", "ts", "event_id"])
         .materialize()
     )
 
@@ -222,7 +136,6 @@ def asof_join(sf_dir: str, salt_days: int = 7):
     def edge_asof(df: pd.DataFrame) -> pd.DataFrame:
         cols = {
             "user_id": pd.Series([], dtype="int64"),
-            "bkt": pd.Series([], dtype="int64"),
             "v1_ts": pd.Series([], dtype="int64"),
             "v1_eid": pd.Series([], dtype="int64"),
             "v2_ts": pd.Series([], dtype="int64"),
@@ -237,12 +150,11 @@ def asof_join(sf_dir: str, salt_days: int = 7):
         if df.empty:
             return pd.DataFrame(cols)
         u = df["user_id"].to_numpy()
-        b = df["bkt"].to_numpy()
         ns = _ns(df["ts"])
         eid = df["event_id"].to_numpy()
         isview = (df["event_type"] == "view").to_numpy()
         start = np.ones(len(df), dtype=bool)
-        start[1:] = (u[1:] != u[:-1]) | (b[1:] != b[:-1])
+        start[1:] = u[1:] != u[:-1]
         starts = np.flatnonzero(start)
         ends = np.concatenate([starts[1:], [len(df)]])
         first_i, last_i = 0, len(starts) - 1
@@ -253,9 +165,9 @@ def asof_join(sf_dir: str, salt_days: int = 7):
             v1t, v1e, v2t, v2e = _portion_views(ns, eid, isview, s, e)
             rows.append(
                 (
-                    int(u[s]), int(b[s]), int(v1t), int(v1e),
+                    int(u[s]), int(v1t), int(v1e),
                     int(v2t), int(v2e),
-                    # SEGMENT first row orders blocks within a key
+                    # SEGMENT first row orders blocks within a user
                     int(ns[s]), int(eid[s]),
                     # BLOCK identity: the block's first row
                     int(ns[0]), int(eid[0]),
@@ -287,18 +199,17 @@ def asof_join(sf_dir: str, salt_days: int = 7):
     offsets: dict[tuple, tuple] = {}
     if len(bd):
         bd = bd.sort_values(
-            ["user_id", "bkt", "seg_ts", "seg_eid"], kind="mergesort"
+            ["user_id", "seg_ts", "seg_eid"], kind="mergesort"
         ).reset_index(drop=True)
         cur = None
         acc = (int(SENT), -1, int(SENT), -1)
         for r in bd.itertuples(index=False):
-            key = (r.user_id, r.bkt)
-            if key != cur:
-                cur = key
+            if r.user_id != cur:
+                cur = r.user_id
                 acc = (int(SENT), -1, int(SENT), -1)
             elif r.is_first:
-                # block continues this key: carry = all earlier blocks
-                offsets[(r.user_id, r.bkt, r.blk_ts, r.blk_eid)] = acc
+                # block continues this user: carry = all earlier blocks
+                offsets[(r.user_id, r.blk_ts, r.blk_eid)] = acc
             if r.is_last:
                 acc = _fold(acc, r.v1_ts, r.v1_eid, r.v2_ts, r.v2_eid)
     # broadcast is O(straddling blocks) entries — block-count-bounded
@@ -310,17 +221,13 @@ def asof_join(sf_dir: str, salt_days: int = 7):
         if "o" not in _memo:
             _memo["o"] = ray.get(off_ref)  # O(straddling blocks), tiny
         u = df["user_id"].to_numpy()
-        b = df["bkt"].to_numpy()
         ns = _ns(df["ts"])
         eid = df["event_id"].to_numpy()
         start = np.ones(len(df), dtype=bool)
-        start[1:] = (u[1:] != u[:-1]) | (b[1:] != b[:-1])
+        start[1:] = u[1:] != u[:-1]
         seg_id = np.cumsum(start) - 1
         isview = (df["event_type"] == "view").to_numpy()
-        cpos = np.flatnonzero(
-            (df["event_type"] == "click").to_numpy()
-            & ~df["ghost"].to_numpy()
-        )
+        cpos = np.flatnonzero((df["event_type"] == "click").to_numpy())
         if cpos.size == 0:
             return empty
         seg_c = seg_id[cpos]
@@ -356,12 +263,10 @@ def asof_join(sf_dir: str, salt_days: int = 7):
             res_ts = np.where(hit, vts[ac], SENT)
             res_eid = np.where(hit, veid[ac], -1)
         # clicks in the block's FIRST segment with no in-block view
-        # resolve through the border carry (earlier blocks, same key)
+        # resolve through the border carry (earlier blocks, same user)
         need = (res_ts == SENT) & (seg_c == 0)
         if need.any():
-            c = _memo["o"].get(
-                (int(u[0]), int(b[0]), int(ns[0]), int(eid[0]))
-            )
+            c = _memo["o"].get((int(u[0]), int(ns[0]), int(eid[0])))
             if c is not None:
                 v1t, v1e, v2t, v2e = c
                 # v1 when strictly earlier, else v2 (v2_ts < v1_ts)

@@ -443,11 +443,10 @@ def test_langs_per_source(ray_session, sf_dir):
 
 def test_running_sum(ray_session, sf_dir):
     """Per-user cumulative sum vs DuckDB's running-window SUM on the
-    tie-heavy events fixture; a 1-day salt forces many carry-in
-    boundaries per user."""
+    tie-heavy events fixture."""
     from fastparquet_ray.functions.analytics import running_sum
 
-    got = _norm(running_sum(sf_dir, salt_days=1).to_pandas())
+    got = _norm(running_sum(sf_dir).to_pandas())
     exp = _norm(
         _duck(sf_dir).execute(
             "SELECT event_id, user_id, ROUND(sum(value) OVER ("
