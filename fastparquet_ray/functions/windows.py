@@ -1,9 +1,9 @@
 """Stream-shaped operators over the events table: tumbling-window
-aggregation and as-of join — custom operators Ray Data lacks natively,
-built per the documented composition rules (ray_guide 'streaming-shaped
-workloads'): windows = truncate-timestamp + partial aggregate +
-groupby; as-of join = per-key sort + pandas merge_asof inside
-map_groups.
+aggregation, as-of join and bounded-lookback windows — custom
+operators Ray Data lacks natively, built per the documented
+composition rules (ray_guide 'streaming-shaped workloads') on the
+segmented-sort recipe: one range sort, vectorized per-block scans,
+O(blocks)-bounded border healing on the driver.
 
 Partitioning assumptions (documented per the build brief):
 - windowed_agg: none — window key is computed per row, aggregation is
@@ -11,12 +11,12 @@ Partitioning assumptions (documented per the build brief):
 - asof_join: ONE range sort on (user_id, ts, event_id) — no group
   co-location, so hot users simply span blocks; unbounded lookback
   heals through an O(blocks) border fold on the driver.
-- rolling_avg / range_join: same composite key; BOUNDED lookback is
-  restored by ghost-replicating boundary rows into the next bucket
-  (_salted_lookback) — fully distributed, ~win/bucket overhead.
-- session_windows: same composite key; interior sessions stream from
-  workers, border sessions (<= 2 per user-bucket) are stitched into
-  cross-bucket chains on the driver.
+- rolling_avg / range_join / funnel_conversion: same sort; BOUNDED
+  lookback heals by replaying each block's win-sized tail into its
+  successors (_sorted_window) — O(blocks x window) driver state.
+- session_windows: composite (user_id, coarse bucket) exchange key;
+  interior sessions stream from workers, border sessions (<= 2 per
+  user-bucket) are stitched into cross-bucket chains distributedly.
 """
 
 from __future__ import annotations
@@ -404,141 +404,258 @@ def session_windows(sf_dir: str, gap_minutes: int = 30, salt_days: int = 7):
     return out.union(fixed)
 
 
-def _salted_lookback(ds, win, salt_days: int, per_group):
-    """Shared skew bound for bounded-lookback window operators
-    (rolling_avg, range_join): rows are assigned to a composite
-    (user_id, coarse ``salt_days`` bucket) key, and every row within
-    ``win`` of the NEXT bucket's start is REPLICATED there as a ghost
-    (ghost rows feed the window math but emit no output). Because
-    win << bucket, the replication overhead is ~win/bucket (0.1% at
-    10 min / 7 days) and the composition is fully distributed — no
-    driver-held carry state at all, unlike the unbounded-lookback
-    asof_join. ``per_group`` receives the sorted group WITH ghosts and
-    a boolean 'ghost' column."""
-    bucket_ns = np.int64(salt_days) * 86_400 * 1_000_000_000
-    win_ns = np.int64(win // np.timedelta64(1, "ns"))
+def _seg_adj(df: pd.DataFrame, win_ns: int):
+    """Per-block segment geometry for bounded-lookback windows: a
+    MONOTONE int64 'adjusted timestamp' array where each user segment
+    is rebased to its first row and shifted by seg_id * M with
+    M > max_span + win, so one global np.searchsorted stays inside
+    the query row's own segment. Returns (adj, win_adj) — in ns, or
+    in us when ns would overflow int64 (the event timestamps here are
+    us-resolution Parquet values, so us is exact)."""
+    u = df["user_id"].to_numpy()
+    start = np.ones(len(df), dtype=bool)
+    start[1:] = u[1:] != u[:-1]
+    seg_id = np.cumsum(start) - 1
+    ns = df["ts"].astype("int64").to_numpy() * (
+        1000 if df["ts"].dtype == "datetime64[us]" else 1
+    )
+    base = ns[np.flatnonzero(start)][seg_id]
+    rel = ns - base
+    span = int(rel.max()) if len(rel) else 0
+    n_seg = int(seg_id[-1]) + 1 if len(df) else 0
+    m = span + win_ns + 2
+    if n_seg * m < 2**62:
+        return seg_id * np.int64(m) + rel, np.int64(win_ns)
+    rel_us = rel // 1000
+    win_us = win_ns // 1000
+    m_us = int(rel_us.max()) + win_us + 2
+    return seg_id * np.int64(m_us) + rel_us, np.int64(win_us)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        ns = df["ts"].astype("int64") * (
-            1000 if df["ts"].dtype == "datetime64[us]" else 1
+
+def _sorted_window(ds, win_ns: int, block_fn):
+    """Shared engine for bounded-lookback window operators
+    (rolling_avg, range_join, funnel_conversion): ONE range sort on
+    (user_id, ts, event_id) — no group co-location, so hot users
+    simply span blocks — then ``block_fn(df, n_ghost)`` vectorized
+    per block, where the first ``n_ghost`` rows are GHOST lookback
+    rows replayed from earlier blocks (they feed the window math but
+    must emit no output).
+
+    Border healing: each block contributes its last user-segment's
+    rows within ``win`` of the block end — O(blocks x window) rows,
+    bounded by block count times the per-user event rate inside one
+    window, never by totals — and the driver replays to each block
+    the earlier-block rows its first user still needs. (A tiny block
+    fully inside a window is covered too: any row a later block needs
+    is within ``win`` of its OWN block's end, so every needed row is
+    in some emitted tail.)"""
+    import ray
+    import ray.data
+
+    srt = ds.sort(["user_id", "ts", "event_id"]).materialize()
+    win_td = pd.Timedelta(int(win_ns), unit="ns")
+
+    def edge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(kind=pd.Series([], dtype="int8"))
+        u = df["user_id"].to_numpy()
+        changes = np.flatnonzero(u[1:] != u[:-1])
+        ls = int(changes[-1]) + 1 if changes.size else 0
+        tail = df.iloc[ls:]
+        tail = tail[tail["ts"] >= df["ts"].iloc[-1] - win_td]
+        out = pd.concat([df.iloc[[0]], tail], ignore_index=True)
+        kind = np.ones(len(out), dtype=np.int8)
+        kind[0] = 0  # head row = block identity + first user/ts
+        return out.assign(kind=kind)
+
+    # O(blocks x window) edge rows — head + win-tail per block, never
+    # totals (the documented worst case: a user emitting the whole
+    # window's traffic into one border)
+    bd = (
+        srt.map_batches(edge, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    carry: dict[tuple, pd.DataFrame] = {}
+    heads = bd[bd["kind"] == 0].sort_values(
+        ["user_id", "ts", "event_id"]
+    ).reset_index(drop=True)
+    tails = bd[bd["kind"] == 1]
+    if len(heads) > 1 and len(tails):
+        # tails ordered like their owning blocks (sorted blocks are
+        # contiguous ranges, so row order == block order)
+        tails = tails.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
         )
-        bkt = (ns // bucket_ns).to_numpy()
-        own = df.copy()
-        own["bkt"] = bkt.astype("int64")
-        own["ghost"] = False
-        tail = ((ns % bucket_ns) >= bucket_ns - win_ns).to_numpy()
-        gh = df[tail].copy()
-        gh["bkt"] = (bkt[tail] + 1).astype("int64")
-        gh["ghost"] = True
-        return pd.concat([own, gh], ignore_index=True)
+        tu = tails["user_id"].to_numpy()
+        tts = tails["ts"].to_numpy()
+        teid = tails["event_id"].to_numpy()
+        for h in heads.iloc[1:].itertuples(index=False):
+            # rows an earlier block must replay into this one: same
+            # user, within win of the block's first row, and sorted
+            # strictly before it
+            need = (
+                (tu == h.user_id)
+                & (tts >= h.ts - win_td)
+                & (
+                    (tts < h.ts)
+                    | ((tts == h.ts) & (teid < h.event_id))
+                )
+            )
+            if need.any():
+                carry[(h.ts, h.event_id)] = (
+                    tails[need].drop(columns=["kind"])
+                )
+    # broadcast is O(straddling blocks x window) rows — block-bounded
+    ref = ray.put(carry)
 
-    return (
-        ds.map_batches(assign, batch_format="pandas")
-        .groupby(["user_id", "bkt"])
-        .map_groups(per_group, batch_format="pandas")
+    def wrapped(df: pd.DataFrame, _memo={}) -> pd.DataFrame:
+        if df.empty:
+            return block_fn(df, 0)
+        if "c" not in _memo:
+            _memo["c"] = ray.get(ref)  # O(blocks x window), tiny
+        gh = _memo["c"].get(
+            (df["ts"].iloc[0], int(df["event_id"].iloc[0]))
+        )
+        if gh is None:
+            return block_fn(df, 0)
+        return block_fn(
+            pd.concat([gh, df], ignore_index=True), len(gh)
+        )
+
+    return srt.map_batches(
+        wrapped, batch_format="pandas", batch_size=None
     )
 
 
-def rolling_avg(sf_dir: str, window_minutes: int = 10, salt_days: int = 7):
+def rolling_avg(sf_dir: str, window_minutes: int = 10):
     """Moving time-window average per user: for every event, the mean
     of `value` over the user's events in the preceding
     ``window_minutes`` RANGE frame (inclusive of the current row and
     of ts ties on both frame edges — SQL RANGE semantics, not ROWS).
-    Composition: the _salted_lookback composite-key exchange (hot
-    users split across time buckets; ghost-replicated boundary rows
-    supply cross-border lookback), then ONE sorted prefix-sum + two
-    searchsorteds per group — O(n log n) in the group's events with
-    no pairwise expansion."""
+    Composition: the _sorted_window engine (one range sort, ghost
+    lookback rows replayed across block borders), then ONE prefix-sum
+    + two segment-bounded searchsorteds per BLOCK — O(n log n), no
+    per-group dispatch, no pairwise expansion."""
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
-    win = np.timedelta64(window_minutes * 60, "s")
+    win_ns = 60_000_000_000 * window_minutes
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts = g["ts"].to_numpy()
-        vals = g["value"].to_numpy(np.float64)
-        cs = np.concatenate([[0.0], np.cumsum(vals)])
-        # RANGE frame: every row with ts in [t - win, t], including
-        # equal-ts rows positioned after the current one
-        lo = np.searchsorted(ts, ts - win, side="left")
-        hi = np.searchsorted(ts, ts, side="right")
-        avg = (cs[hi] - cs[lo]) / (hi - lo)
-        keep = ~g["ghost"].to_numpy()
-        return pd.DataFrame(
-            {
-                "event_id": g["event_id"].astype("int64")[keep],
-                "user_id": g["user_id"].astype("int64")[keep],
-                "avg_win": np.round(avg, 6)[keep],
-            }
-        )
-
-    return _salted_lookback(ds, win, salt_days, per_group)
-
-
-def range_join(sf_dir: str, salt_days: int = 7):
-    """Range (band) join: pair each 'error' event with the count of
-    events of the same user within the preceding 5 minutes.
-    Composition: the _salted_lookback composite (user, bucket)
-    exchange with 5-minute ghost overlap, then a per-group sorted
-    searchsorted (vectorized) — no pairwise blowup, no driver state,
-    hot users bounded by their per-bucket traffic."""
-    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
-    win = np.timedelta64(300, "s")
-
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts").reset_index(drop=True)
-        errors = g[(g["event_type"] == "error") & ~g["ghost"]]
-        if errors.empty:
+    def block_fn(df: pd.DataFrame, ng: int) -> pd.DataFrame:
+        if df.empty:
             return pd.DataFrame(
                 {
                     "event_id": pd.Series([], dtype="int64"),
                     "user_id": pd.Series([], dtype="int64"),
-                    "preceding_5min": pd.Series([], dtype="int64"),
+                    "avg_win": pd.Series([], dtype="float64"),
                 }
             )
-        ts = g["ts"].to_numpy()
-        lo = np.searchsorted(ts, errors["ts"].to_numpy() - win, side="left")
-        hi = np.searchsorted(ts, errors["ts"].to_numpy(), side="left")
+        adj, w = _seg_adj(df, win_ns)
+        v = df["value"].to_numpy(np.float64)
+        cs = np.concatenate([[0.0], np.cumsum(v)])
+        # RANGE frame: every row with ts in [t - win, t], including
+        # equal-ts rows positioned after the current one
+        lo = np.searchsorted(adj, adj - w, side="left")
+        hi = np.searchsorted(adj, adj, side="right")
+        avg = (cs[hi] - cs[lo]) / (hi - lo)
+        keep = np.ones(len(df), dtype=bool)
+        keep[:ng] = False  # ghosts feed the math, emit nothing
         return pd.DataFrame(
             {
-                "event_id": errors["event_id"].astype("int64").to_numpy(),
-                "user_id": errors["user_id"].astype("int64").to_numpy(),
+                "event_id": df["event_id"].to_numpy()[keep].astype(
+                    "int64"
+                ),
+                "user_id": df["user_id"].to_numpy()[keep].astype(
+                    "int64"
+                ),
+                "avg_win": np.round(avg, 6)[keep],
+            }
+        )
+
+    return _sorted_window(ds, win_ns, block_fn)
+
+
+def range_join(sf_dir: str):
+    """Range (band) join: pair each 'error' event with the count of
+    events of the same user within the preceding 5 minutes.
+    Composition: the _sorted_window engine (one range sort, ghost
+    lookback rows replayed across block borders), then a per-block
+    segment-bounded searchsorted — no pairwise blowup, no per-group
+    dispatch."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    win_ns = 300_000_000_000
+
+    def block_fn(df: pd.DataFrame, ng: int) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "preceding_5min": pd.Series([], dtype="int64"),
+            }
+        )
+        if df.empty:
+            return empty
+        err = (df["event_type"] == "error").to_numpy()
+        err[:ng] = False  # ghosts emit nothing
+        epos = np.flatnonzero(err)
+        if epos.size == 0:
+            return empty
+        adj, w = _seg_adj(df, win_ns)
+        lo = np.searchsorted(adj, adj[epos] - w, side="left")
+        hi = np.searchsorted(adj, adj[epos], side="left")
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[epos].astype(
+                    "int64"
+                ),
+                "user_id": df["user_id"].to_numpy()[epos].astype(
+                    "int64"
+                ),
                 "preceding_5min": (hi - lo).astype("int64"),
             }
         )
 
-    return _salted_lookback(ds, win, salt_days, per_group)
+    return _sorted_window(ds, win_ns, block_fn)
 
 
-def funnel_conversion(sf_dir: str, window_minutes: int = 30,
-                      salt_days: int = 7):
+def funnel_conversion(sf_dir: str, window_minutes: int = 30):
     """Event funnel: how many distinct users clicked within
     ``window_minutes`` of a prior view — the conversion join every
-    product-analytics pipeline runs. Composition: the _salted_lookback
-    composite (user, bucket) exchange with a 30-minute ghost overlap
-    (views within the window before a bucket border replicate into the
-    next bucket), a per-group vectorized searchsorted view-before-click
-    test, then a distinct-user fold whose footprint is the converted
-    USER set, never the event stream."""
+    product-analytics pipeline runs. Composition: pre-filter to
+    clicks + views, the _sorted_window engine (one range sort, ghost
+    lookback rows replayed across block borders), a per-block
+    segment-bounded searchsorted view-before-click test, then a
+    distinct-user fold whose footprint is the converted USER set,
+    never the event stream."""
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
-    win = np.timedelta64(window_minutes * 60, "s")
+    win_ns = 60_000_000_000 * window_minutes
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts").reset_index(drop=True)
-        views = g[g["event_type"] == "view"]  # ghosts feed the window
-        clicks = g[(g["event_type"] == "click") & ~g["ghost"]]
-        if clicks.empty or views.empty:
-            return pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
-        vts = views["ts"].to_numpy()
-        cts = clicks["ts"].to_numpy()
-        lo = np.searchsorted(vts, cts - win, side="left")
-        hi = np.searchsorted(vts, cts, side="left")  # strictly earlier
-        conv = clicks[hi > lo]
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(("click", "view"))]
+
+    def block_fn(df: pd.DataFrame, ng: int) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+        if df.empty:
+            return empty
+        isview = (df["event_type"] == "view").to_numpy()
+        click = (df["event_type"] == "click").to_numpy()
+        click[:ng] = False  # ghosts feed the window, emit nothing
+        cpos = np.flatnonzero(click)
+        if cpos.size == 0 or not isview.any():
+            return empty
+        adj, w = _seg_adj(df, win_ns)
+        vadj = adj[isview]
+        lo = np.searchsorted(vadj, adj[cpos] - w, side="left")
+        hi = np.searchsorted(vadj, adj[cpos], side="left")  # strict
+        conv = cpos[hi > lo]
         return pd.DataFrame(
-            {"user_id": np.unique(conv["user_id"].to_numpy()).astype(
-                "int64"
-            )}
+            {
+                "user_id": np.unique(
+                    df["user_id"].to_numpy()[conv]
+                ).astype("int64")
+            }
         )
 
-    users = _salted_lookback(ds, win, salt_days, per_group)
+    users = _sorted_window(
+        ds.map_batches(prefilter, batch_format="pandas"), win_ns, block_fn
+    )
     n = len(users.unique("user_id"))
     return pd.DataFrame({"converted_users": pd.array([n], dtype="int64")})

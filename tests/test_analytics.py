@@ -523,7 +523,7 @@ def test_funnel_conversion_vs_duckdb(ray_session, sf_dir):
     the tie-heavy events fixture; 1-day salt forces border ghosts."""
     from fastparquet_ray.functions.windows import funnel_conversion
 
-    got = funnel_conversion(sf_dir, window_minutes=30, salt_days=1)
+    got = funnel_conversion(sf_dir, window_minutes=30)
     exp = _duck(sf_dir).execute(
         "SELECT count(DISTINCT c.user_id) AS converted_users "
         "FROM events c JOIN events v ON v.user_id = c.user_id "

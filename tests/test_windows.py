@@ -331,7 +331,7 @@ def test_funnel_ghost_across_bucket_border(ray_session, tmp_path):
     d = tmp_path / "funnel"
     d.mkdir()
     sf = _write_events(d, events)
-    got = funnel_conversion(sf, window_minutes=30, salt_days=7)
+    got = funnel_conversion(sf, window_minutes=30)
     assert int(got["converted_users"].iloc[0]) == 2
     exp = duckdb.connect().execute(
         "SELECT count(DISTINCT c.user_id) AS cu FROM "
@@ -345,15 +345,14 @@ def test_funnel_ghost_across_bucket_border(ray_session, tmp_path):
 
 
 def test_window_carry_resolved_distributed():
-    """The per-user carry-in family must never pull the per-(user,
-    bucket) summaries to the driver or broadcast them as one dict:
-    at 100 TB `users` is data-scaled, so the carry has to ride the
-    same (user, bucket) exchange as the data (ghost rows from a
-    groupby(user_id).map_groups over summary rows). Driver pulls /
-    broadcasts bounded by BLOCK count (the segmented-sort border
-    fix) are fine — but each such site must carry an explicit
-    O(blocks)-scale comment within the preceding lines, so a future
-    edit can't silently reintroduce user-scaled driver state."""
+    """The window family must never pull user-scaled state to the
+    driver or broadcast it as one dict: at 100 TB `users` is
+    data-scaled, so cross-block healing has to be bounded by BLOCK
+    count (the segmented-sort border fold). Driver pulls /
+    broadcasts bounded by block count are fine — but each such site
+    must carry an explicit O(blocks)-scale comment within the
+    preceding lines, so a future edit can't silently reintroduce
+    user-scaled driver state."""
     import inspect
 
     from fastparquet_ray.functions import analytics, windows
@@ -363,6 +362,7 @@ def test_window_carry_resolved_distributed():
         analytics.running_sum,
         windows.asof_join,
         windows.funnel_conversion,
+        windows._sorted_window,
     ):
         lines = inspect.getsource(fn).splitlines()
         for i, ln in enumerate(lines):
@@ -376,4 +376,103 @@ def test_window_carry_resolved_distributed():
                     "O(blocks)" in ctx
                     or "O(straddling blocks)" in ctx
                     or "O(2 x blocks)" in ctx
+                    or "O(blocks x window)" in ctx
+                    or "O(straddling blocks x window)" in ctx
                 ), f"{fn.__name__}: unannotated driver pull: {ln.strip()}"
+
+
+def test_bounded_windows_many_blocks(ray_session, tmp_path):
+    """_sorted_window border replay: force MANY tiny sorted blocks so
+    windows straddle several block boundaries (clusters of events
+    spaced well inside the 5/10/30-minute windows), and check
+    rolling_avg / range_join / funnel_conversion against DuckDB."""
+    import duckdb
+    from ray.data import DataContext
+
+    from fastparquet_ray.functions.windows import (
+        funnel_conversion,
+        range_join,
+        rolling_avg,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    base = pd.Timestamp("2024-03-01")
+    # one hot user with dense minute-scale bursts + background users
+    user = np.where(rng.random(n) < 0.6, 1, rng.integers(2, 8, n))
+    # bursts: offsets clustered so 10-minute windows hold many rows
+    offs = np.sort(
+        rng.integers(0, 5 * 86_400, n) * 1_000_000
+        + rng.integers(0, 1_000_000, n)
+    )
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": base + pd.to_timedelta(offs, unit="us"),
+            "user_id": user.astype(np.int64),
+            "event_type": rng.choice(
+                ["click", "view", "error"], n, p=[0.3, 0.5, 0.2]
+            ),
+        }
+    )
+    events["value"] = np.round(rng.normal(3, 5, n), 4)
+    d = tmp_path / "bw"
+    d.mkdir()
+    sf = _write_events(d, events)
+    con = duckdb.connect()
+
+    ctx = DataContext.get_current()
+    old_target = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024  # tiny blocks -> straddles
+    try:
+        got_avg = (
+            rolling_avg(sf)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        got_rj = (
+            range_join(sf)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        got_fc = int(funnel_conversion(sf)["converted_users"].iloc[0])
+    finally:
+        ctx.target_max_block_size = old_target
+
+    want_avg = con.execute(
+        f"""
+        SELECT event_id, user_id, ROUND(avg(value) OVER (
+          PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW
+        ), 6) AS avg_win
+        FROM read_parquet('{sf}/events.parquet') ORDER BY event_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got_avg, want_avg, check_dtype=False)
+
+    want_rj = con.execute(
+        f"""
+        SELECT a.event_id, a.user_id, count(b.event_id) AS preceding_5min
+        FROM read_parquet('{sf}/events.parquet') a
+        LEFT JOIN read_parquet('{sf}/events.parquet') b
+          ON b.user_id = a.user_id AND b.ts < a.ts
+          AND b.ts >= a.ts - INTERVAL 5 MINUTE
+        WHERE a.event_type = 'error'
+        GROUP BY a.event_id, a.user_id ORDER BY a.event_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got_rj, want_rj, check_dtype=False)
+
+    want_fc = con.execute(
+        f"""
+        SELECT count(DISTINCT c.user_id) FROM
+          read_parquet('{sf}/events.parquet') c
+          JOIN read_parquet('{sf}/events.parquet') v
+          ON v.user_id = c.user_id AND v.event_type = 'view'
+          AND c.event_type = 'click' AND v.ts < c.ts
+          AND v.ts >= c.ts - INTERVAL 30 MINUTE
+        """
+    ).fetchone()[0]
+    assert got_fc == int(want_fc)
