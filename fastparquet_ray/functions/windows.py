@@ -294,114 +294,122 @@ def asof_join(sf_dir: str):
     )
 
 
-def session_windows(sf_dir: str, gap_minutes: int = 30, salt_days: int = 7):
+def session_windows(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user (gap > ``gap_minutes`` starts a new
     session): per-session start time and event count.
 
-    Skew-bounded sessionization: the exchange keys on the composite
-    (user_id, coarse ``salt_days`` bucket); each group sessionizes
-    locally (sort + diff + cumsum), emits its INTERIOR sessions
-    directly into the streaming output, and routes only its
-    first/last border sessions (<= 2 rows per (user, bucket)) into a
-    DISTRIBUTED per-user stitch — a groupby(user_id) interval
-    gap-union over candidate rows, vectorized per user. An empty
-    bucket can never hide a mergeable pair (its width >> gap), and
-    the stitch compares real timestamps, not bucket adjacency, so it
-    is exact regardless. Driver state is O(1); event rows never
-    leave the workers."""
+    Segmented-sort sessionization: ONE range sort on (user_id, ts) —
+    no group co-location, so hot users simply span blocks — then a
+    vectorized per-block sessionize (user-change | gap break +
+    reduceat). Each block emits its INTERIOR sessions directly into
+    the streaming output; only its FIRST and LAST sessions (<= 2 per
+    block — the only ones that can continue into a neighbor block)
+    route to a driver stitch, a single vectorized interval-gap-union
+    over O(2 x blocks) candidate rows. The stitch compares real
+    timestamps and user ids, so chains spanning any number of blocks
+    merge exactly. Event rows never leave the workers."""
     import ray
     import ray.data
 
     ds = _events(sf_dir, ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
-    bucket_ns = np.int64(salt_days) * 86_400 * 1_000_000_000
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        ns = df["ts"].astype("int64") * (
-            1000 if df["ts"].dtype == "datetime64[us]" else 1
-        )
-        df = df.copy()
-        df["bkt"] = (ns // bucket_ns).astype("int64")
-        return df
+    srt = ds.sort(["user_id", "ts"]).materialize()
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts").reset_index(drop=True)
-        brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        sid = brk.cumsum()
-        s = (
-            pd.DataFrame({"user_id": g["user_id"], "ts": g["ts"], "sid": sid})
-            .groupby(["user_id", "sid"], as_index=False)
-            .agg(
-                session_start=("ts", "min"),
-                n_events=("ts", "size"),
-                last_ts=("ts", "max"),
-            )
-        )
-        border = (s["sid"] == s["sid"].iloc[0]) | (
-            s["sid"] == s["sid"].iloc[-1]
-        )
-        s = s.drop(columns=["sid"])
-        s["border"] = border.to_numpy()
-        return s[["user_id", "session_start", "n_events", "last_ts", "border"]]
-
-    sessions = (
-        ds.map_batches(add_bucket, batch_format="pandas")
-        .groupby(["user_id", "bkt"])
-        .map_groups(per_group, batch_format="pandas")
-        .materialize()  # consumed twice: interior stream + border pull
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "session_start": pd.Series([], dtype="datetime64[us]"),
+            "n_events": pd.Series([], dtype="int64"),
+        }
     )
+
+    def block_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.assign(
+                last_ts=pd.Series([], dtype="datetime64[us]"),
+                border=pd.Series([], dtype="bool"),
+            )
+        u = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        brk = np.ones(len(df), dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap)
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [len(df)]])
+        border = np.zeros(starts.size, dtype=bool)
+        border[0] = border[-1] = True  # may continue into neighbors
+        return pd.DataFrame(
+            {
+                "user_id": u[starts].astype("int64"),
+                "session_start": ts[starts],
+                "n_events": (ends - starts).astype("int64"),
+                "last_ts": ts[ends - 1],
+                "border": border,
+            }
+        )
+
+    sessions = srt.map_batches(
+        block_sessions, batch_format="pandas", batch_size=None
+    ).materialize()  # consumed twice: interior stream + border pull
 
     def interior(df: pd.DataFrame) -> pd.DataFrame:
         keep = df[~df["border"]]
         return keep[["user_id", "session_start", "n_events"]]
 
-    # distributed border stitch (was a driver itertuples walk over
-    # O(users x buckets) candidate rows): per user, the candidates
-    # sorted by start merge with the standard interval-gap-union —
-    # break exactly where start exceeds the running max end + gap
-    # (equivalent to the sequential chain walk: an older chain's end
-    # is always > gap before any later chain's starts, so the global
-    # running max and the in-chain running max decide identically).
-    def stitch(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["session_start", "last_ts"], kind="mergesort"
-        ).reset_index(drop=True)
-        starts = g["session_start"].to_numpy()
-        lasts = g["last_ts"].to_numpy()
-        brk = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            brk[1:] = (
-                starts[1:] - np.maximum.accumulate(lasts)[:-1]
-            ) > gap
-        sid = np.cumsum(brk)
-        out = (
-            pd.DataFrame(
-                {
-                    "user_id": g["user_id"].astype("int64"),
-                    "session_start": g["session_start"],
-                    "n_events": g["n_events"].astype("int64"),
-                    "sid": sid,
-                }
-            )
-            .groupby("sid", as_index=False, sort=False)
-            .agg(
-                user_id=("user_id", "first"),
-                session_start=("session_start", "min"),
-                n_events=("n_events", "sum"),
-            )
-        )
-        return out[["user_id", "session_start", "n_events"]]
-
-    fixed = (
+    # driver stitch over O(2 x blocks) border-session rows — never
+    # users or events: one vectorized interval-gap-union, breaking
+    # where the user changes or the start exceeds the user's running
+    # max end + gap (per-user running max via a biased accumulate —
+    # segments can never leak: bias step > the global ts range)
+    bd = (
         sessions.map_batches(
-            lambda df: df[df["border"]], batch_format="pandas"
+            lambda df: df[df["border"]], batch_format="pandas",
+            batch_size=None,
         )
-        .groupby("user_id")
-        .map_groups(stitch, batch_format="pandas")
+        .to_pandas()
     )
+    fixed = empty
+    if len(bd):
+        bd = bd.sort_values(
+            ["user_id", "session_start", "last_ts"], kind="mergesort"
+        ).reset_index(drop=True)
+        u = bd["user_id"].to_numpy()
+        starts = bd["session_start"].to_numpy()
+        lasts_i = bd["last_ts"].to_numpy().astype("datetime64[ns]").astype(
+            np.int64
+        )
+        starts_i = starts.astype("datetime64[ns]").astype(np.int64)
+        newu = np.ones(len(bd), dtype=bool)
+        newu[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(newu) - 1
+        # per-user running max end (frame is O(2 x blocks) rows, so a
+        # pandas grouped cummax is fine and can't overflow)
+        runmax = (
+            pd.Series(lasts_i).groupby(seg).cummax().to_numpy()
+        )
+        gap_ns = np.int64(gap // np.timedelta64(1, "ns"))
+        brk = np.ones(len(bd), dtype=bool)
+        brk[1:] = newu[1:] | (
+            (starts_i[1:] - runmax[:-1]) > gap_ns
+        )
+        sid_starts = np.flatnonzero(brk)
+        sid_ends = np.concatenate([sid_starts[1:], [len(bd)]])
+        n = bd["n_events"].to_numpy()
+        csum = np.concatenate([[0], np.cumsum(n)])
+        fixed = pd.DataFrame(
+            {
+                "user_id": u[sid_starts].astype("int64"),
+                "session_start": starts[sid_starts],
+                "n_events": (
+                    csum[sid_ends] - csum[sid_starts]
+                ).astype("int64"),
+            }
+        )
 
     out = sessions.map_batches(interior, batch_format="pandas")
-    return out.union(fixed)
+    if len(fixed):
+        out = out.union(ray.data.from_pandas(fixed))
+    return out
 
 
 def _seg_adj(df: pd.DataFrame, win_ns: int):

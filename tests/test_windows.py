@@ -476,3 +476,70 @@ def test_bounded_windows_many_blocks(ray_session, tmp_path):
         """
     ).fetchone()[0]
     assert got_fc == int(want_fc)
+
+
+def test_session_windows_many_blocks(ray_session, tmp_path):
+    """Sessions chaining across MANY tiny sorted blocks (a hot user
+    with an unbroken minute-spaced run spanning the whole corpus must
+    collapse to ONE session) vs DuckDB's gap-based sessionization."""
+    import duckdb
+    from ray.data import DataContext
+
+    from fastparquet_ray.functions.windows import session_windows
+
+    rng = np.random.default_rng(23)
+    base = pd.Timestamp("2024-05-01")
+    # user 1: 2000 events spaced 5 min apart -> one giant session
+    # users 2..6: sparse bursts -> many small sessions
+    rows = [
+        (1, base + pd.Timedelta(minutes=5 * i)) for i in range(2000)
+    ]
+    for uid in range(2, 7):
+        t = base
+        for _ in range(100):
+            t += pd.Timedelta(hours=int(rng.integers(1, 20)))
+            for j in range(int(rng.integers(1, 5))):
+                rows.append((uid, t + pd.Timedelta(minutes=7 * j)))
+    events = pd.DataFrame(rows, columns=["user_id", "ts"])
+    events["event_id"] = np.arange(len(events), dtype=np.int64)
+    events["event_type"] = "view"
+    d = tmp_path / "sess"
+    d.mkdir()
+    sf = _write_events(d, events)
+
+    ctx = DataContext.get_current()
+    old_target = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024  # tiny blocks -> long chains
+    try:
+        got = (
+            session_windows(sf)
+            .to_pandas()
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True)
+        )
+    finally:
+        ctx.target_max_block_size = old_target
+
+    want = duckdb.connect().execute(
+        f"""
+        WITH marked AS (
+          SELECT user_id, ts,
+            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 > INTERVAL 30 MINUTE OR
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+            THEN 1 ELSE 0 END AS brk
+          FROM read_parquet('{sf}/events.parquet')
+        ), sess AS (
+          SELECT user_id, ts,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          FROM marked
+        )
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the hot user's unbroken run collapsed into one session
+    assert (got[got["user_id"] == 1]["n_events"] == 2000).all()
