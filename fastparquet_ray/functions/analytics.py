@@ -8,9 +8,9 @@ Partitioning assumptions (documented per the build brief):
   groupby(user_id); a per-batch partial prunes every block to its
   per-user top-k BEFORE the exchange, so the shuffle carries at most
   k rows per (block, user) regardless of corpus size.
-- window_lag: composite (user_id, coarse time bucket) exchange key
-  with a per-bucket predecessor carry-in (windows.asof_join's salt
-  recipe), so hot users split across groups.
+- window_lag / running_sum: ONE range sort on (user_id, ts,
+  event_id) — no group co-location, so hot users simply span sorted
+  blocks — healed by an O(blocks) border fold on the driver.
 - rollup / pivot / moments: grouping keys are low-cardinality, so the
   exchange after the per-batch partials is a few-hundred-row groupby;
   all subtotal/pivot/variance math happens on the tiny merged result.
@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 
 from ._util import pool_max as _pool_max
+from ._util import task_state as _task_state
 import pyarrow as pa
 
 
@@ -467,10 +468,8 @@ def grouped_quantiles(sf_dir: str, qs=(0.5, 0.9)):
             return pd.concat(outs, ignore_index=True)
 
     p2 = ds.map_batches(
-        Hist,
-        fn_constructor_kwargs={"ref": params_ref},
+        _task_state(lambda: Hist(params_ref)),
         batch_format="pandas",
-        concurrency=(1, _pool_max()),
     ).to_pandas()
 
     cums, cands = {}, {}
@@ -515,10 +514,8 @@ def grouped_quantiles(sf_dir: str, qs=(0.5, 0.9)):
 
     p3 = (
         ds.map_batches(
-            CandValues,
-            fn_constructor_kwargs={"pref": params_ref, "cref": cand_ref},
+            _task_state(lambda: CandValues(params_ref, cand_ref)),
             batch_format="pandas",
-            concurrency=(1, _pool_max()),
         )
         .to_pandas()
         .groupby([gcol, "value"], sort=True)["cnt"]
@@ -1097,8 +1094,7 @@ def zscore_outliers(sf_dir: str, z: float = 2.0):
             )
 
     return ds.map_batches(
-        Flag, fn_constructor_kwargs={"r": ref}, batch_format="pandas",
-        concurrency=(1, _pool_max(4, 4)),
+        _task_state(lambda: Flag(ref)), batch_format="pandas",
     )
 
 

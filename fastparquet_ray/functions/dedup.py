@@ -15,6 +15,7 @@ import pyarrow as pa
 import pandas as pd
 
 from ._util import pool_max as _pool_max
+from ._util import task_state as _task_state
 
 _SEED = np.uint64(0x9E3779B97F4A7C15)
 _PRIME = np.uint64(1099511628211)
@@ -346,10 +347,8 @@ def _pairs_in_buckets(ds, key_col: str, star_cap: int | None = None):
             return df[self.keys[idx] == v]
 
     bucket_rows = ds.map_batches(
-        KeepBuckets,
-        fn_constructor_kwargs={"ref": multi_ref},
+        _task_state(lambda: KeepBuckets(multi_ref)),
         batch_format="pandas",
-        concurrency=(1, _pool_max()),
     )
 
     def _run_pairs(run_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -513,20 +512,18 @@ def minhash_lsh_pairs(
     import ray.data
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    # autoscaling (1, _pool_max) pools: this pipeline stacks TWO actor pools
-    # plus read/sort tasks — fixed pools of 2 each can reserve every
-    # CPU of a small session before the read stage gets one, wedging
-    # the whole DAG (observed on the 4-CPU test session). A min of 1
-    # per pool always leaves CPUs for upstream tasks.
+    # task pool with once-per-worker state (_util.task_state): the
+    # hasher's permutation constants build per worker, and the stage
+    # skips the per-query actor-pool spin-up (~2 s/stage at 32 cpus)
     buckets = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={
-            "bands": bands,
-            "rows_per_band": rows_per_band,
-            "num_hashes": bands * rows_per_band,
-        },
+        _task_state(
+            lambda: MinHasher(
+                bands=bands,
+                rows_per_band=rows_per_band,
+                num_hashes=bands * rows_per_band,
+            )
+        ),
         batch_format="pyarrow",
-        concurrency=(1, _pool_max()),
         batch_size=4096,
     )
     cand_ds = _pairs_in_buckets(
@@ -599,10 +596,8 @@ def _verify_candidate_pairs(
     sh_df = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(
-            CandidateShingles,
-            fn_constructor_kwargs={"ref": ids_ref},
+            _task_state(lambda: CandidateShingles(ids_ref)),
             batch_format="pandas",
-            concurrency=(1, _pool_max()),
         )
         .to_pandas()  # candidate-bounded, not corpus-bounded
     )
@@ -633,11 +628,9 @@ def _verify_candidate_pairs(
 
     verified = (
         cand_ds.map_batches(
-            VerifyJaccard,
-            fn_constructor_kwargs={"ref": smap_ref},
+            _task_state(lambda: VerifyJaccard(smap_ref)),
             batch_format="pandas",
             batch_size=16384,
-            concurrency=(1, _pool_max(2, 8)),
         )
         .filter(expr=f"jaccard >= {jaccard_threshold}")
         .to_pandas()  # OUTPUT-bounded: verified near-dup pairs only
@@ -777,10 +770,8 @@ def ngram_jaccard_pairs(
             )
 
     prefixes = docs.map_batches(
-        PrefixEmit,
-        fn_constructor_kwargs={"ref": df_ref},
+        _task_state(lambda: PrefixEmit(df_ref)),
         batch_format="pandas",
-        concurrency=(1, _pool_max()),
         batch_size=4096,
     )
 
@@ -853,7 +844,7 @@ class SimHasher:
 def simhash(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
-        SimHasher, batch_format="pandas", concurrency=(1, _pool_max()), batch_size=4096
+        _task_state(SimHasher), batch_format="pandas", batch_size=4096
     )
 
 
@@ -961,15 +952,33 @@ def _window_hashes(flat: np.ndarray, offs: np.ndarray, w: int):
     if flat.size < w:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
     # wraparound mod 2^64 is the hash definition — silence the
-    # overflow warning numpy raises on intentional uint64 wrap
+    # overflow warning numpy raises on intentional uint64 wrap.
+    # O(n) prefix-sum form of the same polynomial (bit-identical to
+    # the naive window sum): with S_k = sum_{t<k} flat[t] * p^t,
+    # hash(i) = (S_{i+w} - S_i) * p^{-i}; p is odd, so p^{-1} exists
+    # mod 2^64 — replaces the O(n*w) sliding-window product and its
+    # n x w temp (measured 6x on 6M tokens at w=8).
     with np.errstate(over="ignore"):
-        pows = np.ones(w, dtype=np.uint64)
-        for j in range(1, w):
-            pows[j] = pows[j - 1] * _NGRAM_P
-        view = np.lib.stride_tricks.sliding_window_view(
-            flat.astype(np.uint64), w
-        )
-        h = (view * pows).sum(axis=1, dtype=np.uint64)
+        n = flat.size
+        f = flat.astype(np.uint64)
+        m = n - w + 1
+        pv = np.empty(n, dtype=np.uint64)
+        pv[0] = 1
+        if n > 1:
+            np.cumprod(
+                np.full(n - 1, _NGRAM_P, dtype=np.uint64), out=pv[1:]
+            )
+        pinv = np.uint64(pow(int(_NGRAM_P), -1, 1 << 64))
+        piv = np.empty(m, dtype=np.uint64)
+        piv[0] = 1
+        if m > 1:
+            np.cumprod(
+                np.full(m - 1, pinv, dtype=np.uint64), out=piv[1:]
+            )
+        s = np.empty(n + 1, dtype=np.uint64)
+        s[0] = 0
+        np.cumsum(f * pv, out=s[1:])
+        h = (s[w:] - s[:m]) * piv
         h = (h ^ (h >> np.uint64(31))) * _NGRAM_MIX
         h ^= h >> np.uint64(27)
     pos = np.arange(h.size, dtype=np.int64)
@@ -1092,10 +1101,8 @@ def dup_ngram_spans(sf_dir: str, w: int = 8):
             )
 
     return ds.map_batches(
-        CountDups,
-        fn_constructor_kwargs={"ref": dup_ref},
+        _task_state(lambda: CountDups(dup_ref)),
         batch_format="pyarrow",
-        concurrency=(1, _pool_max(4, 4)),
     )
 
 
@@ -1172,42 +1179,41 @@ def decontaminate(sf_dir: str, w: int = 8, mod: int = 29):
     ev = ds.map_batches(eval_hashes, batch_format="pyarrow").to_pandas()
     ev_ref = ray.put(np.unique(ev["h"].to_numpy(dtype=np.int64)))
 
-    class Hits:
-        def __init__(self, ref):
-            self.ev = ray.get(ref)  # sorted distinct eval hashes
+    # task pool, not an actor pool: the broadcast eval set is fetched
+    # once per WORKER through the zero-copy object store (per-process
+    # memo), and tasks skip the per-query actor spin-up cost
+    def hits(t: pa.Table, _memo={}) -> pa.Table:
+        if "e" not in _memo:
+            _memo["e"] = ray.get(ev_ref)  # sorted distinct eval hashes
+        evh = _memo["e"]
+        flat, offs, ids, num = _flat(t)
+        h, di = _window_hashes(flat, offs, w)
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.string()),
+             "n_windows": pa.array([], pa.int64()),
+             "n_hits": pa.array([], pa.int64())}
+        )
+        if h.size == 0:
+            return empty
+        pos = np.searchsorted(evh, h.view(np.int64))
+        pos[pos == evh.size] = 0
+        hit = (
+            (evh[pos] == h.view(np.int64))
+            if evh.size
+            else np.zeros(h.size, bool)
+        )
+        ndoc = len(offs) - 1
+        nwin = np.maximum(np.diff(offs) - w + 1, 0).astype(np.int64)
+        nhit = np.bincount(
+            di, weights=hit.astype(np.float64), minlength=ndoc
+        ).astype(np.int64)
+        keep = (nhit > 0) & ((num % m) != 0)
+        if not keep.any():
+            return empty
+        return pa.table(
+            {"doc_id": pa.array(ids[keep], pa.string()),
+             "n_windows": pa.array(nwin[keep], pa.int64()),
+             "n_hits": pa.array(nhit[keep], pa.int64())}
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            flat, offs, ids, num = _flat(t)
-            h, di = _window_hashes(flat, offs, w)
-            empty = pa.table(
-                {"doc_id": pa.array([], pa.string()),
-                 "n_windows": pa.array([], pa.int64()),
-                 "n_hits": pa.array([], pa.int64())}
-            )
-            if h.size == 0:
-                return empty
-            pos = np.searchsorted(self.ev, h.view(np.int64))
-            pos[pos == self.ev.size] = 0
-            hit = (
-                (self.ev[pos] == h.view(np.int64))
-                if self.ev.size
-                else np.zeros(h.size, bool)
-            )
-            ndoc = len(offs) - 1
-            nwin = np.maximum(np.diff(offs) - w + 1, 0).astype(np.int64)
-            nhit = np.bincount(
-                di, weights=hit.astype(np.float64), minlength=ndoc
-            ).astype(np.int64)
-            keep = (nhit > 0) & ((num % m) != 0)
-            if not keep.any():
-                return empty
-            return pa.table(
-                {"doc_id": pa.array(ids[keep], pa.string()),
-                 "n_windows": pa.array(nwin[keep], pa.int64()),
-                 "n_hits": pa.array(nhit[keep], pa.int64())}
-            )
-
-    return ds.map_batches(
-        Hits, fn_constructor_kwargs={"ref": ev_ref},
-        batch_format="pyarrow", concurrency=(1, _pool_max()),
-    )
+    return ds.map_batches(hits, batch_format="pyarrow")

@@ -13,6 +13,7 @@ import numpy as np
 import pandas as pd
 
 from ._util import pool_max as _pool_max
+from ._util import task_state as _task_state
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -319,10 +320,8 @@ def join_broadcast(sf_dir: str):
             return g.rename_columns(["c_mktsegment", "n", "total"])
 
     partials = ds.map_batches(
-        SegmentJoin,
-        fn_constructor_kwargs={"ref": lookup_ref},
+        _task_state(lambda: SegmentJoin(lookup_ref)),
         batch_format="pyarrow",
-        concurrency=(1, _pool_max()),
     )
     return partials.groupby("c_mktsegment").aggregate(
         Sum("n", alias_name="n"), Sum("total", alias_name="total")
@@ -360,8 +359,8 @@ def semi_join(sf_dir: str):
             return t.select(["o_orderkey"]).filter(mask)
 
     return ds.map_batches(
-        Semi, fn_constructor_kwargs={"ref": keys_ref},
-        batch_format="pyarrow", concurrency=(1, _pool_max()),
+        _task_state(lambda: Semi(keys_ref)),
+        batch_format="pyarrow",
     )
 
 
@@ -385,8 +384,8 @@ def anti_join(sf_dir: str):
             return t.select(["o_orderkey"]).filter(mask)
 
     return ds.map_batches(
-        Anti, fn_constructor_kwargs={"ref": keys_ref},
-        batch_format="pyarrow", concurrency=(1, _pool_max()),
+        _task_state(lambda: Anti(keys_ref)),
+        batch_format="pyarrow",
     )
 
 
@@ -462,10 +461,8 @@ def multi_join(sf_dir: str):
             return g.rename_columns(["r_name", "n", "sum_bal"])
 
     parts = ds.map_batches(
-        RegionJoin,
-        fn_constructor_kwargs={"ref": lookup_ref},
+        _task_state(lambda: RegionJoin(lookup_ref)),
         batch_format="pyarrow",
-        concurrency=(1, _pool_max()),
     )
     out = parts.groupby("r_name").aggregate(
         Sum("n", alias_name="n"), Sum("sum_bal", alias_name="sum_bal_raw")
@@ -787,8 +784,8 @@ def cross_join_small(sf_dir: str):
             return df.merge(self.n, how="cross")
 
     return region.map_batches(
-        Product, fn_constructor_kwargs={"ref": n_ref},
-        batch_format="pandas", concurrency=(1, _pool_max()),
+        _task_state(lambda: Product(n_ref)),
+        batch_format="pandas",
     )
 
 

@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 
 from ._util import pool_max as _pool_max
+from ._util import task_state as _task_state
 
 
 def _emb(sf_dir: str):
@@ -74,11 +75,9 @@ def ann_topk(sf_dir: str, k: int = 10):
             )
 
     partials = _emb(sf_dir).map_batches(
-        Scorer,
-        fn_constructor_kwargs={"ref": q_ref, "k": k},
+        _task_state(lambda: Scorer(q_ref, k)),
         batch_format="pandas",
         batch_size=8192,
-        concurrency=(1, _pool_max()),
     )
     df = partials.to_pandas()
     df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
@@ -149,11 +148,9 @@ def ann_topk_ivf(sf_dir: str, k: int = 10, n_centroids: int = 8, n_probe: int = 
             )
 
     partials = _emb(sf_dir).map_batches(
-        IvfScorer,
-        fn_constructor_kwargs={"ref": cent_ref, "k": k},
+        _task_state(lambda: IvfScorer(cent_ref, k)),
         batch_format="pandas",
         batch_size=8192,
-        concurrency=(1, _pool_max()),
     )
     df = partials.to_pandas()
     df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)

@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 
 from ._util import pool_max as _pool_max
+from ._util import task_state as _task_state
 import pyarrow as pa
 
 
@@ -259,10 +260,8 @@ def distinct_count_approx(sf_dir: str):
             os.path.join(sf_dir, "lineitem.parquet"), columns=[col]
         )
         parts = ds.map_batches(
-            HLLPartial,
-            fn_constructor_kwargs={"column": col},
+            _task_state(lambda col=col: HLLPartial(col)),
             batch_format="pyarrow",
-            concurrency=(1, _pool_max()),
         ).to_pandas()  # one 4 KB row per batch
         regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
         for blob in parts["regs"]:
@@ -441,10 +440,8 @@ def _rank_select_ds(ds, col, ranks_fn, transform=None, stats=None):
 
     p3 = (
         ds.map_batches(
-            CandValues,
-            fn_constructor_kwargs={"ref": cand_ref},
+            _task_state(lambda: CandValues(cand_ref)),
             batch_format="pyarrow",
-            concurrency=(1, _pool_max()),
         )
         .to_pandas()
         .groupby("value", sort=True)["cnt"]
@@ -607,10 +604,8 @@ def inverted_index(sf_dir: str, k: int = 10, min_df: int = 2):
 
     posts = (
         ds.map_batches(
-            CollectPostings,
-            fn_constructor_kwargs={"ref": pick_ref},
+            _task_state(lambda: CollectPostings(pick_ref)),
             batch_format="pyarrow",
-            concurrency=(1, _pool_max()),
         )
         .to_pandas()  # postings-bounded: k rare tokens only
         .drop_duplicates(["tok", "doc_id"])

@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 
 from ._util import pool_max as _pool_max
+from ._util import task_state as _task_state
 import pyarrow as pa
 
 
@@ -60,7 +61,7 @@ class BpeishCounter:
 def token_count_bpe(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
-        BpeishCounter, batch_format="pandas", concurrency=(1, _pool_max()), batch_size=4096
+        _task_state(BpeishCounter), batch_format="pandas", batch_size=4096
     )
 
 
@@ -277,7 +278,7 @@ class LangId:
 def lang_id(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     return ds.map_batches(
-        LangId, batch_format="pandas", concurrency=(1, _pool_max()), batch_size=4096
+        _task_state(LangId), batch_format="pandas", batch_size=4096
     )
 
 

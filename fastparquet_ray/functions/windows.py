@@ -444,19 +444,24 @@ def _sorted_window(ds, win_ns: int, block_fn):
     """Shared engine for bounded-lookback window operators
     (rolling_avg, range_join, funnel_conversion): ONE range sort on
     (user_id, ts, event_id) — no group co-location, so hot users
-    simply span blocks — then ``block_fn(df, n_ghost)`` vectorized
-    per block, where the first ``n_ghost`` rows are GHOST lookback
-    rows replayed from earlier blocks (they feed the window math but
-    must emit no output).
+    simply span blocks — then ``block_fn(df, n_front, n_back)``
+    vectorized per block, where the first ``n_front`` rows are GHOST
+    lookback rows replayed from earlier blocks and the last
+    ``n_back`` rows are GHOST equal-ts tie rows replayed from later
+    blocks (both feed the window math but must emit no output; the
+    tie replay is what keeps SQL RANGE CURRENT ROW semantics — a
+    frame includes equal-ts rows positioned after the current one,
+    which can land in the next sorted block).
 
     Border healing: each block contributes its last user-segment's
-    rows within ``win`` of the block end — O(blocks x window) rows,
-    bounded by block count times the per-user event rate inside one
-    window, never by totals — and the driver replays to each block
-    the earlier-block rows its first user still needs. (A tiny block
-    fully inside a window is covered too: any row a later block needs
-    is within ``win`` of its OWN block's end, so every needed row is
-    in some emitted tail.)"""
+    rows within ``win`` of the block end plus its leading equal-ts
+    tie run — O(blocks x window) rows, bounded by block count times
+    the per-user event rate inside one window, never by totals — and
+    the driver replays to each block the neighbor-block rows its
+    border rows still need. (A tiny block fully inside a window is
+    covered too: any row a later block needs is within ``win`` of
+    its OWN block's end, so every needed row is in some emitted
+    tail.)"""
     import ray
     import ray.data
 
@@ -467,33 +472,49 @@ def _sorted_window(ds, win_ns: int, block_fn):
         if df.empty:
             return df.assign(kind=pd.Series([], dtype="int8"))
         u = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
         changes = np.flatnonzero(u[1:] != u[:-1])
         ls = int(changes[-1]) + 1 if changes.size else 0
         tail = df.iloc[ls:]
         tail = tail[tail["ts"] >= df["ts"].iloc[-1] - win_td]
-        out = pd.concat([df.iloc[[0]], tail], ignore_index=True)
-        kind = np.ones(len(out), dtype=np.int8)
-        kind[0] = 0  # head row = block identity + first user/ts
+        # leading tie run: same user and ts as the block's first row
+        # (earlier blocks need these to close their RANGE tie frames)
+        nt = int(
+            np.argmin((u == u[0]) & (ts == ts[0]))
+            or ((u == u[0]) & (ts == ts[0])).sum()
+        )
+        hties = df.iloc[:nt]
+        out = pd.concat(
+            [df.iloc[[0]], df.iloc[[len(df) - 1]], tail, hties],
+            ignore_index=True,
+        )
+        kind = np.concatenate(
+            [
+                np.array([0, 3], dtype=np.int8),  # head / last row
+                np.ones(len(tail), dtype=np.int8),  # win-tail
+                np.full(len(hties), 2, dtype=np.int8),  # head ties
+            ]
+        )
         return out.assign(kind=kind)
 
-    # O(blocks x window) edge rows — head + win-tail per block, never
-    # totals (the documented worst case: a user emitting the whole
-    # window's traffic into one border)
+    # O(blocks x window) edge rows — head/last + win-tail + tie run
+    # per block, never totals (the documented worst case: a user
+    # emitting the whole window's traffic into one border)
     bd = (
         srt.map_batches(edge, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
     carry: dict[tuple, pd.DataFrame] = {}
+    back: dict[tuple, pd.DataFrame] = {}
     heads = bd[bd["kind"] == 0].sort_values(
         ["user_id", "ts", "event_id"]
     ).reset_index(drop=True)
+    lasts = bd[bd["kind"] == 3].sort_values(
+        ["user_id", "ts", "event_id"]
+    ).reset_index(drop=True)
     tails = bd[bd["kind"] == 1]
+    hties = bd[bd["kind"] == 2]
     if len(heads) > 1 and len(tails):
-        # tails ordered like their owning blocks (sorted blocks are
-        # contiguous ranges, so row order == block order)
-        tails = tails.sort_values(
-            ["user_id", "ts", "event_id"], kind="mergesort"
-        )
         tu = tails["user_id"].to_numpy()
         tts = tails["ts"].to_numpy()
         teid = tails["event_id"].to_numpy()
@@ -513,21 +534,42 @@ def _sorted_window(ds, win_ns: int, block_fn):
                 carry[(h.ts, h.event_id)] = (
                     tails[need].drop(columns=["kind"])
                 )
+    if len(heads) > 1 and len(hties):
+        hu = hties["user_id"].to_numpy()
+        hts = hties["ts"].to_numpy()
+        heid = hties["event_id"].to_numpy()
+        for i in range(len(lasts) - 1):  # the last block needs none
+            last = lasts.iloc[i]
+            h = heads.iloc[i]
+            # equal-ts tie rows sorted strictly after this block's
+            # last row live at the head of later blocks
+            need = (
+                (hu == last["user_id"])
+                & (hts == last["ts"])
+                & (heid > last["event_id"])
+            )
+            if need.any():
+                back[(h["ts"], int(h["event_id"]))] = (
+                    hties[need].drop(columns=["kind"])
+                )
     # broadcast is O(straddling blocks x window) rows — block-bounded
-    ref = ray.put(carry)
+    ref = ray.put((carry, back))
 
     def wrapped(df: pd.DataFrame, _memo={}) -> pd.DataFrame:
         if df.empty:
-            return block_fn(df, 0)
+            return block_fn(df, 0, 0)
         if "c" not in _memo:
             _memo["c"] = ray.get(ref)  # O(blocks x window), tiny
-        gh = _memo["c"].get(
-            (df["ts"].iloc[0], int(df["event_id"].iloc[0]))
-        )
-        if gh is None:
-            return block_fn(df, 0)
+        key = (df["ts"].iloc[0], int(df["event_id"].iloc[0]))
+        gh = _memo["c"][0].get(key)
+        bk = _memo["c"][1].get(key)
+        if gh is None and bk is None:
+            return block_fn(df, 0, 0)
+        parts = [p for p in (gh, df, bk) if p is not None]
         return block_fn(
-            pd.concat([gh, df], ignore_index=True), len(gh)
+            pd.concat(parts, ignore_index=True),
+            0 if gh is None else len(gh),
+            0 if bk is None else len(bk),
         )
 
     return srt.map_batches(
@@ -547,7 +589,7 @@ def rolling_avg(sf_dir: str, window_minutes: int = 10):
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
     win_ns = 60_000_000_000 * window_minutes
 
-    def block_fn(df: pd.DataFrame, ng: int) -> pd.DataFrame:
+    def block_fn(df: pd.DataFrame, ng: int, nb: int) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame(
                 {
@@ -566,6 +608,8 @@ def rolling_avg(sf_dir: str, window_minutes: int = 10):
         avg = (cs[hi] - cs[lo]) / (hi - lo)
         keep = np.ones(len(df), dtype=bool)
         keep[:ng] = False  # ghosts feed the math, emit nothing
+        if nb:
+            keep[-nb:] = False
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].to_numpy()[keep].astype(
@@ -591,7 +635,7 @@ def range_join(sf_dir: str):
     ds = _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
     win_ns = 300_000_000_000
 
-    def block_fn(df: pd.DataFrame, ng: int) -> pd.DataFrame:
+    def block_fn(df: pd.DataFrame, ng: int, nb: int) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "event_id": pd.Series([], dtype="int64"),
@@ -603,6 +647,8 @@ def range_join(sf_dir: str):
             return empty
         err = (df["event_type"] == "error").to_numpy()
         err[:ng] = False  # ghosts emit nothing
+        if nb:
+            err[-nb:] = False
         epos = np.flatnonzero(err)
         if epos.size == 0:
             return empty
@@ -639,13 +685,15 @@ def funnel_conversion(sf_dir: str, window_minutes: int = 30):
     def prefilter(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["event_type"].isin(("click", "view"))]
 
-    def block_fn(df: pd.DataFrame, ng: int) -> pd.DataFrame:
+    def block_fn(df: pd.DataFrame, ng: int, nb: int) -> pd.DataFrame:
         empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
         if df.empty:
             return empty
         isview = (df["event_type"] == "view").to_numpy()
         click = (df["event_type"] == "click").to_numpy()
         click[:ng] = False  # ghosts feed the window, emit nothing
+        if nb:
+            click[-nb:] = False
         cpos = np.flatnonzero(click)
         if cpos.size == 0 or not isview.any():
             return empty
