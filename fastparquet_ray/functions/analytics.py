@@ -59,11 +59,17 @@ def window_rank(sf_dir: str, k: int = 3):
 
     Scale shape: a per-batch partial first prunes every block to its
     own per-user top-k (a block can contribute at most k rows per user
-    to the exchange), then ONE groupby(user_id) co-locates the
-    survivors and a final per-group sort assigns ranks. The shuffle
-    payload is bounded by k x users x blocks-touching-that-user, not by
-    the event count — the select_k-before-exchange pattern of
-    sketches.token_topk applied to a window function."""
+    to the sort), then ONE range sort on (user_id, ts DESC, event_id
+    DESC) — no group co-location, so hot users simply span sorted
+    blocks — and a vectorized per-block rank pass. A user straddling
+    blocks gets its rank offset (count of the user's rows in earlier
+    blocks, the running_sum border recipe with a count fold) from an
+    O(blocks) border frame; rows ranked past k are dropped
+    block-locally. The sort payload is bounded by k x users x
+    blocks-touching-that-user, never the event count."""
+    import ray
+    import ray.data
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def prune(df: pd.DataFrame) -> pd.DataFrame:
@@ -74,22 +80,136 @@ def window_rank(sf_dir: str, k: int = 3):
         )
         return df.groupby("user_id", sort=False).head(k)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["ts", "event_id"], ascending=[False, False], kind="mergesort"
-        ).head(k)
+    srt = (
+        ds.map_batches(prune, batch_format="pandas")
+        .sort(["user_id", "ts", "event_id"], descending=[False, True, True])
+        .materialize()  # consumed twice: border pull + rank pass
+    )
+
+    def edge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "user_id": pd.Series([], dtype="int64"),
+            "seg_n": pd.Series([], dtype="int64"),
+            "seg_ts": pd.Series([], dtype="datetime64[us]"),
+            "seg_eid": pd.Series([], dtype="int64"),
+            "blk_ts": pd.Series([], dtype="datetime64[us]"),
+            "blk_eid": pd.Series([], dtype="int64"),
+            "is_first": pd.Series([], dtype="bool"),
+            "is_last": pd.Series([], dtype="bool"),
+        }
+        if df.empty:
+            return pd.DataFrame(cols)
+        u = df["user_id"].to_numpy()
+        start = np.ones(len(df), dtype=bool)
+        start[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(start)
+        ends = np.concatenate([starts[1:], [len(df)]])
+        first_i, last_i = 0, len(starts) - 1
+        take = sorted({first_i, last_i})
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].astype("int64").to_numpy(),
-                "user_id": g["user_id"].astype("int64").to_numpy(),
-                "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+                "user_id": u[starts[take]].astype("int64"),
+                "seg_n": (ends - starts)[take].astype("int64"),
+                "seg_ts": df["ts"].iloc[starts[take]].reset_index(
+                    drop=True
+                ),
+                "seg_eid": df["event_id"].to_numpy()[starts[take]].astype(
+                    "int64"
+                ),
+                "blk_ts": pd.Series(
+                    [df["ts"].iloc[0]] * len(take), dtype=df["ts"].dtype
+                ),
+                "blk_eid": np.full(
+                    len(take), df["event_id"].iloc[0], dtype=np.int64
+                ),
+                "is_first": np.array(
+                    [i == first_i for i in take], dtype=bool
+                ),
+                "is_last": np.array(
+                    [i == last_i for i in take], dtype=bool
+                ),
             }
         )
 
-    return (
-        ds.map_batches(prune, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+    # O(2 x blocks) edge rows — never events or users
+    bd = (
+        srt.map_batches(edge_counts, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    offsets: dict[tuple, int] = {}
+    if len(bd):
+        # block order within a user == order of the SEGMENTS' first
+        # rows under the DESC sort (contiguous key runs)
+        bd = bd.sort_values(
+            ["user_id", "seg_ts", "seg_eid"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        ).reset_index(drop=True)
+        u = bd["user_id"].to_numpy()
+        newkey = np.ones(len(bd), dtype=bool)
+        newkey[1:] = u[1:] != u[:-1]
+        contrib = np.where(
+            bd["is_last"].to_numpy(), bd["seg_n"].to_numpy(), 0
+        )
+        cum = np.cumsum(contrib)
+        before = cum - contrib
+        key_base = pd.Series(
+            np.where(newkey, before, np.nan)
+        ).ffill().to_numpy()
+        off = (before - key_base).astype(np.int64)
+        want = bd["is_first"].to_numpy() & ~newkey
+        for i in np.flatnonzero(want):
+            offsets[
+                (
+                    int(u[i]),
+                    bd["blk_ts"].iloc[i],
+                    int(bd["blk_eid"].iloc[i]),
+                )
+            ] = int(off[i])
+    # broadcast is O(straddling blocks) entries — block-count-bounded
+    off_ref = ray.put(offsets)
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "rn": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def block_ranks(df: pd.DataFrame, _memo={}) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        if "o" not in _memo:
+            _memo["o"] = ray.get(off_ref)  # O(straddling blocks), tiny
+        u = df["user_id"].to_numpy()
+        start = np.ones(len(df), dtype=bool)
+        start[1:] = u[1:] != u[:-1]
+        seg_id = np.cumsum(start) - 1
+        starts = np.flatnonzero(start)
+        rn = np.arange(len(df), dtype=np.int64) - starts[seg_id] + 1
+        off = _memo["o"].get(
+            (
+                int(u[0]),
+                df["ts"].iloc[0],
+                int(df["event_id"].iloc[0]),
+            )
+        )
+        if off:
+            rn = np.where(seg_id == 0, rn + off, rn)
+        keep = rn <= k
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[keep].astype(
+                    "int64"
+                ),
+                "user_id": u[keep].astype("int64"),
+                "rn": rn[keep],
+            }
+        )
+
+    return srt.map_batches(
+        block_ranks, batch_format="pandas", batch_size=None
     )
 
 

@@ -846,3 +846,63 @@ def test_repetition_ratio_hand_case(ray_session, tmp_path):
     assert int(out.loc["s2", "n_docs"]) == 1
     assert int(out.loc["s2", "n_repetitive"]) == 1
     assert abs(float(out.loc["s2", "mean_ratio"]) - 1.0) < 1e-9
+
+
+def test_window_rank_many_blocks(ray_session, tmp_path):
+    """window_rank's border-healed rank pass: force MANY tiny sorted
+    blocks so a hot user's pruned top-k rows straddle block borders,
+    and check ranks against DuckDB's row_number."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from ray.data import DataContext
+
+    from fastparquet_ray.functions.analytics import window_rank
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    users = np.where(
+        rng.random(n) < 0.5, 3, rng.integers(0, 50, n)
+    ).astype(np.int64)
+    ts = pd.Timestamp("2024-01-01").value // 1000 + np.sort(
+        rng.choice(90 * 86_400_000_000, n, replace=False)
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": users,
+            "event_type": "view",
+            "ts": pd.to_datetime(ts, unit="us"),
+            "value": 0.0,
+            "props": "{}",
+        }
+    )
+    d = tmp_path / "wr"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(df), d / "events.parquet", row_group_size=256
+    )
+
+    ctx = DataContext.get_current()
+    old_target = ctx.target_max_block_size
+    ctx.target_max_block_size = 4 * 1024  # tiny blocks -> straddles
+    try:
+        got = (
+            window_rank(str(d))
+            .to_pandas()
+            .sort_values(["user_id", "rn"])
+            .reset_index(drop=True)
+        )
+    finally:
+        ctx.target_max_block_size = old_target
+
+    want = duckdb.connect().execute(
+        f"""
+        SELECT event_id, user_id, rn FROM (
+          SELECT event_id, user_id,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+          FROM read_parquet('{d}/events.parquet'))
+        WHERE rn <= 3 ORDER BY user_id, rn
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
