@@ -14,7 +14,6 @@ import numpy as np
 import pyarrow as pa
 import pandas as pd
 
-from ._util import pool_max as _pool_max
 from ._util import task_state as _task_state
 
 _SEED = np.uint64(0x9E3779B97F4A7C15)

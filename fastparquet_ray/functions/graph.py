@@ -13,11 +13,13 @@ Two modes, same contract as groupagg.merge_partials:
   magnitude smaller than the corpus). O(E alpha(N)) single-core.
 - ``dist``: the alternating large-star / small-star algorithm
   (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  SoCC'14 — public algorithm) over a Ray Dataset of edges. Each round
-  is ONE hash exchange (groupby node + map_groups); the edge list
+  SoCC'14 — public algorithm) over a Ray Dataset of edges. Each star
+  step is ONE range sort keyed on the star center plus a vectorized
+  per-block emission (no per-node map_groups dispatch); straddling
+  centers heal from an O(blocks) border min-frame. The edge list
   converges to a star forest pointing every node at its component
   minimum in O(log^2 n) rounds. No driver materialization of the edge
-  set; convergence is detected with a scalar checksum aggregate.
+  set; convergence is detected with an exact distinct-edge checksum.
 
 The reference has no graph surface (fastparquet stops at columnar
 I/O); this is part of the training-data-pipeline family the engine
@@ -60,6 +62,109 @@ def _union_find(edges_a: np.ndarray, edges_b: np.ndarray) -> pd.DataFrame:
     )
 
 
+def _hash_edges(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Order-independent-summable per-edge fingerprints (uint64)."""
+    k = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b.astype(
+        np.uint64
+    )
+    return k ^ (k >> np.uint64(33))
+
+
+def _star_minmap(srt, kcol: str, vcol: str, with_checksum: bool):
+    """Global per-key min of ``vcol`` for the sorted edge stream's
+    border segments, plus (optionally) an exact distinct-edge
+    checksum. A key straddling blocks has ALL its portions at block
+    edges, so the driver min over the O(2 x blocks) edge-portion
+    rows is the key's true global min; keys interior to one block
+    never appear here and fall back to their in-block min. The
+    checksum sums per-block fingerprints over in-block-adjacent-
+    deduped rows with k < v (the canonical orientation), then
+    subtracts once per block boundary whose adjacent rows are equal
+    — exact distinct-set arithmetic, independent of block layout.
+    Returns ((keys_sorted, mins), (csum, count) | None)."""
+
+    def frame(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "kind": pd.Series([], dtype="int8"),  # 0 block, 1 segment
+            "k": pd.Series([], dtype="int64"),
+            "vmin": pd.Series([], dtype="int64"),
+            "fk": pd.Series([], dtype="int64"),
+            "fv": pd.Series([], dtype="int64"),
+            "lk": pd.Series([], dtype="int64"),
+            "lv": pd.Series([], dtype="int64"),
+            "cs": pd.Series([], dtype="uint64"),
+            "cnt": pd.Series([], dtype="int64"),
+        }
+        if df.empty:
+            return pd.DataFrame(cols)
+        k = df[kcol].to_numpy(dtype=np.int64)
+        v = df[vcol].to_numpy(dtype=np.int64)
+        start = np.ones(len(df), dtype=bool)
+        start[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(start)
+        take = sorted({0, len(starts) - 1})
+        cs, cnt = np.uint64(0), 0
+        if with_checksum:
+            keep = np.ones(len(df), dtype=bool)
+            keep[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+            canonical = keep & (k < v)
+            with np.errstate(over="ignore"):
+                cs = _hash_edges(k[canonical], v[canonical]).sum(
+                    dtype=np.uint64
+                )
+            cnt = int(canonical.sum())
+        rows = [
+            (0, 0, 0, int(k[0]), int(v[0]), int(k[-1]), int(v[-1]),
+             cs, cnt)
+        ] + [
+            (1, int(k[starts[i]]), int(v[starts[i]]), 0, 0, 0, 0,
+             np.uint64(0), 0)
+            for i in take
+        ]
+        return pd.DataFrame(rows, columns=list(cols)).astype(
+            {c: s.dtype for c, s in cols.items()}
+        )
+
+    # O(3 x blocks) rows — never edges or nodes
+    bd = srt.map_batches(
+        frame, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    if bd.empty:
+        return (np.empty(0, np.int64), np.empty(0, np.int64)), (0, 0)
+    seg = bd[bd["kind"] == 1]
+    mins = seg.groupby("k", sort=True)["vmin"].min()
+    keys = mins.index.to_numpy(dtype=np.int64)
+    vals = mins.to_numpy(dtype=np.int64)
+    check = None
+    if with_checksum:
+        blk = bd[bd["kind"] == 0]
+        with np.errstate(over="ignore"):
+            total = np.uint64(blk["cs"].to_numpy(dtype=np.uint64).sum())
+        count = int(blk["cnt"].sum())
+        # block order == (first-row, last-row) order (contiguous
+        # sorted ranges; the last-row tiebreak orders whole-duplicate
+        # blocks correctly); subtract each boundary whose adjacent
+        # rows are the same canonical edge — exact distinct-set math
+        blk = blk.sort_values(
+            ["fk", "fv", "lk", "lv"], kind="mergesort"
+        ).reset_index(drop=True)
+        fk = blk["fk"].to_numpy(dtype=np.int64)
+        fv = blk["fv"].to_numpy(dtype=np.int64)
+        lk = blk["lk"].to_numpy(dtype=np.int64)
+        lv = blk["lv"].to_numpy(dtype=np.int64)
+        dup = (lk[:-1] == fk[1:]) & (lv[:-1] == fv[1:]) & (
+            lk[:-1] < lv[:-1]
+        )
+        if dup.any():
+            with np.errstate(over="ignore"):
+                total -= _hash_edges(lk[:-1][dup], lv[:-1][dup]).sum(
+                    dtype=np.uint64
+                )
+            count -= int(dup.sum())
+        check = (int(total) & 0xFFFFFFFFFFFFFFFF, count)
+    return (keys, vals), check
+
+
 def _cc_distributed(edges_ds, max_rounds: int = 50) -> pd.DataFrame:
     """Large-star/small-star over a Ray Dataset of (a, b) edges.
 
@@ -68,11 +173,21 @@ def _cc_distributed(edges_ds, max_rounds: int = 50) -> pd.DataFrame:
     smaller neighbors intact), small-star re-points every <=-neighbor
     of each node at the neighborhood minimum. Both preserve
     connectivity; alternating them converges to edges (v, min(C(v))).
-    Each step is one groupby exchange keyed on the star center; skew
-    is bounded because star sizes shrink geometrically toward the
-    final hub, whose group is O(component size) — the same footprint
-    the OUTPUT (node -> component min) necessarily has.
+
+    Segmented-sort execution (round 4): each star step is ONE range
+    sort keyed on the star center + a vectorized per-block emission —
+    no per-node map_groups dispatch. A center straddling blocks gets
+    its true neighborhood min from an O(blocks) border frame (min is
+    commutative, so no block ordering is needed); duplicate edges are
+    adjacent-deduped in-block, the bounded residue at block borders
+    is tolerated (next round's sort collapses it), and convergence is
+    detected with an EXACT distinct-edge checksum (per-block deduped
+    fingerprint sums minus the border-duplicate corrections, computed
+    from the same O(blocks) frame). Skew is bounded because a sorted
+    block never holds more than a block's worth of any star; the
+    driver holds O(blocks) state, never nodes or edges.
     """
+    import ray
     import ray.data
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -89,44 +204,76 @@ def _cc_distributed(edges_ds, max_rounds: int = 50) -> pd.DataFrame:
             {"u": np.concatenate([a, b]), "v": np.concatenate([b, a])}
         )
 
-    def large_star(g: pd.DataFrame) -> pd.DataFrame:
-        # emit (larger-neighbor, neighborhood-min) ONLY — Kiveris'14
-        # Lemma 1 proves this alone preserves connectivity
-        u = int(g["u"].iloc[0])
-        nbrs = np.unique(g["v"].to_numpy(dtype=np.int64))
-        m = min(u, int(nbrs[0]))
-        big = nbrs[nbrs > u]
-        return pd.DataFrame(
-            {"a": np.full(big.size, m, dtype=np.int64), "b": big}
-        )
+    def _seg_mins(k, v, minmap):
+        """Per-row global neighborhood min for a sorted block: the
+        in-block per-segment min (first v of the run), overridden by
+        the border map wherever the key appears there (a key in the
+        map is border-straddling somewhere, and the map min is its
+        global min)."""
+        keys, vals = minmap
+        start = np.ones(k.size, dtype=bool)
+        start[1:] = k[1:] != k[:-1]
+        seg_id = np.cumsum(start) - 1
+        seg_keys = k[start]
+        seg_min = v[np.flatnonzero(start)]
+        if keys.size:
+            pos = np.searchsorted(keys, seg_keys)
+            pos_c = np.clip(pos, 0, keys.size - 1)
+            hit = keys[pos_c] == seg_keys
+            seg_min = np.where(
+                hit, np.minimum(seg_min, vals[pos_c]), seg_min
+            )
+        return seg_id, seg_min, seg_keys
 
-    def small_star(g: pd.DataFrame) -> pd.DataFrame:
-        # groups keyed on b = the LARGER endpoint (canonical edges):
-        # re-point every <=-neighbor plus the center at the minimum
-        u = int(g["b"].iloc[0])
-        nbrs = np.unique(g["a"].to_numpy(dtype=np.int64))
-        m = int(nbrs[0])
-        out_b = nbrs.copy()
-        out_b[0] = u  # slot of m itself becomes the (m, center) edge
-        return pd.DataFrame(
-            {"a": np.full(nbrs.size, m, dtype=np.int64), "b": out_b}
-        )
+    def large_emit(minmap):
+        def fn(df: pd.DataFrame, _memo={}) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {"a": pd.Series([], dtype="int64"),
+                     "b": pd.Series([], dtype="int64")}
+                )
+            if "m" not in _memo:
+                _memo["m"] = ray.get(minmap)  # O(blocks) entries
+            k = df["u"].to_numpy(dtype=np.int64)
+            v = df["v"].to_numpy(dtype=np.int64)
+            seg_id, seg_min, seg_keys = _seg_mins(k, v, _memo["m"])
+            m = np.minimum(seg_keys, seg_min)[seg_id]
+            keep = np.ones(k.size, dtype=bool)
+            keep[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+            # emit (neighborhood-min, larger-neighbor) ONLY —
+            # Kiveris'14 Lemma 1 proves this preserves connectivity
+            keep &= v > k
+            return pd.DataFrame({"a": m[keep], "b": v[keep]})
+
+        return fn
+
+    def small_emit(minmap):
+        def fn(df: pd.DataFrame, _memo={}) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {"a": pd.Series([], dtype="int64"),
+                     "b": pd.Series([], dtype="int64")}
+                )
+            if "m" not in _memo:
+                _memo["m"] = ray.get(minmap)  # O(blocks) entries
+            k = df["b"].to_numpy(dtype=np.int64)
+            v = df["a"].to_numpy(dtype=np.int64)
+            seg_id, seg_min, _sk = _seg_mins(k, v, _memo["m"])
+            m = seg_min[seg_id]
+            keep = np.ones(k.size, dtype=bool)
+            keep[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+            # re-point every <=-neighbor at the min, plus one
+            # (min, center) edge per center portion (cross-portion
+            # duplicates collapse in the next round's sort)
+            start = np.ones(k.size, dtype=bool)
+            start[1:] = k[1:] != k[:-1]
+            out_a = np.concatenate([m[keep & (v != m)], m[start]])
+            out_b = np.concatenate([v[keep & (v != m)], k[start]])
+            return pd.DataFrame({"a": out_a, "b": out_b})
+
+        return fn
 
     ds = edges_ds.map_batches(canon, batch_format="pandas")
-
-    def checksum(d) -> int:
-        # order-independent scalar fingerprint of the distinct edge set
-        def h(df: pd.DataFrame) -> pd.DataFrame:
-            a = df["a"].to_numpy(dtype=np.uint64)
-            b = df["b"].to_numpy(dtype=np.uint64)
-            k = a * np.uint64(0x9E3779B97F4A7C15) ^ b
-            k ^= k >> np.uint64(33)
-            return pd.DataFrame({"s": [int(k.sum(dtype=np.uint64))],
-                                 "n": [len(df)]})
-
-        t = d.map_batches(h, batch_format="pandas").to_pandas()
-        return (int(t["s"].sum()) & 0xFFFFFFFFFFFFFFFF, int(t["n"].sum()))
-
     prev = None
     if ds.count() == 0:  # self-loop-only input
         return pd.DataFrame(
@@ -135,21 +282,25 @@ def _cc_distributed(edges_ds, max_rounds: int = 50) -> pd.DataFrame:
         )
     converged = False
     for _ in range(max_rounds):
-        ds = (
-            ds.map_batches(bidir, batch_format="pandas")
-            .groupby("u")
-            .map_groups(large_star, batch_format="pandas")
-            .map_batches(canon, batch_format="pandas")
-            .groupby("b")
-            .map_groups(small_star, batch_format="pandas")
-            .map_batches(canon, batch_format="pandas")
-            .materialize()
-        )
-        cur = checksum(ds)
+        big = ds.map_batches(bidir, batch_format="pandas")
+        srt = big.sort(["u", "v"]).materialize()
+        minmap, cur = _star_minmap(srt, "u", "v", with_checksum=True)
         if cur == prev:
             converged = True
             break
         prev = cur
+        # broadcast is O(blocks) entries — block-count-bounded
+        mref = ray.put(minmap)
+        mid = srt.map_batches(
+            large_emit(mref), batch_format="pandas", batch_size=None
+        )
+        srt2 = mid.sort(["b", "a"]).materialize()
+        minmap2, _ = _star_minmap(srt2, "b", "a", with_checksum=False)
+        # broadcast is O(blocks) entries — block-count-bounded
+        mref2 = ray.put(minmap2)
+        ds = srt2.map_batches(
+            small_emit(mref2), batch_format="pandas", batch_size=None
+        ).materialize()
     if not converged:
         # non-convergence (or an astronomically unlikely checksum
         # collision masking it) must not silently return a non-star

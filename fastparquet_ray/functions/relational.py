@@ -12,7 +12,6 @@ import os
 import numpy as np
 import pandas as pd
 
-from ._util import pool_max as _pool_max
 from ._util import task_state as _task_state
 import pyarrow as pa
 import pyarrow.compute as pc

@@ -240,8 +240,8 @@ def decode_dataset(
     # native datasource: decode happens inside stateless read tasks on
     # the warm worker pool (symbol tables are KBs, shipped once with
     # the serialized datasource) — no actor-pool spin-up cost. (The
-    # encode side stays an actor pool: it holds encoder state and
-    # writes shards.)
+    # encode side matches since round 4: a task pool with
+    # once-per-worker state via _util.task_state.)
     from ..sources.fprs import read_fprs
     from .hive import parse_hive_parts
 

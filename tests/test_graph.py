@@ -152,3 +152,41 @@ def test_distributed_large_edge_count(ray_session):
     ds = ray.data.from_pandas(df).repartition(8)
     got = _as_map(connected_components(ds, mode="auto"))
     assert got == _bfs_truth(df)
+
+
+def test_distributed_many_tiny_blocks(ray_session):
+    """Sorted-segment star rounds under adversarial block splits: tiny
+    target block size forces star centers and duplicate edges to
+    straddle block borders; the border min-frame and the exact
+    distinct-edge checksum must still converge to BFS truth."""
+    import ray.data
+    from ray.data import DataContext
+
+    rng = np.random.default_rng(17)
+    # a long path (worst case for round count) + random clutter +
+    # heavy duplicate edges
+    path = pd.DataFrame(
+        {"id_a": np.arange(0, 400), "id_b": np.arange(1, 401)}
+    )
+    clutter = pd.DataFrame(
+        {"id_a": rng.integers(500, 700, 300),
+         "id_b": rng.integers(500, 700, 300)}
+    )
+    df = pd.concat(
+        [path, clutter, path.iloc[::3], clutter.iloc[::2]],
+        ignore_index=True,
+    )
+    df = df[df.id_a != df.id_b].reset_index(drop=True)
+
+    ctx = DataContext.get_current()
+    old_target = ctx.target_max_block_size
+    ctx.target_max_block_size = 2 * 1024
+    try:
+        got = _as_map(
+            connected_components(
+                ray.data.from_pandas(df).repartition(7), mode="dist"
+            )
+        )
+    finally:
+        ctx.target_max_block_size = old_target
+    assert got == _bfs_truth(df)
