@@ -1,11 +1,13 @@
 """map_batches callables for the encode/decode/verify pipelines.
 
-EncodeShard / DecodeShard are callable CLASSES — Ray Data runs them as
-an actor pool (`concurrency=N`), so symbol-table deserialization and
-plan parsing happen once per actor in ``__init__`` (SURVEY.md ST1:
-the reference reads its dict page once per column chunk and reuses it
-across pages, core.py:459-479; here the trained tables are broadcast
-once and reused across ALL batches an actor sees).
+EncodeShard / DecodeShard are callable CLASSES run as task pools with
+once-per-worker state (`_util.task_state`, round 4 — an autoscaling
+actor pool added ~2 s spin-up per call): symbol-table
+deserialization and plan parsing happen once per worker process in
+``__init__`` (SURVEY.md ST1: the reference reads its dict page once
+per column chunk and reuses it across pages, core.py:459-479; here
+the trained tables are broadcast once and reused across ALL batches
+a worker sees).
 """
 
 from __future__ import annotations
