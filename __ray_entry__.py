@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- windowed analytics / OLAP (analytics.py) ---
         "window_rank": analytics.window_rank,
         "window_lag": analytics.window_lag,
+        "lead_value": analytics.lead_value,
         "rollup_agg": analytics.rollup_agg,
         "cube_agg": analytics.cube_agg,
         "pivot_counts": analytics.pivot_counts,
@@ -120,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_docfreq": sketches.token_docfreq,
         "tfidf_topk": sketches.tfidf_topk,
         "entropy_by_source": sketches.entropy_by_source,
+        "nucleus_coverage": sketches.nucleus_coverage,
+        "zipf_slope": sketches.zipf_slope,
         "distinct_count_approx": sketches.distinct_count_approx,
         "quantiles": sketches.quantiles,
         "codec_plan": flagship.codec_plan_report,
@@ -129,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": dedup.corpus_clean,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "editdist_neardup": dedup.editdist_neardup,
         "dedup_clusters": dedup.dedup_clusters,
         "simhash": dedup.simhash,
         # --- deterministic sampling / mixture assembly ---
@@ -158,24 +162,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # The driver's correctness gate samples a ~50-query window per
     # round in dict order; float this round's newest / most-recently-
     # changed operators to the front so they sit inside the sampled
-    # window (VERDICT r03 #8). Every query remains registered; only
-    # the ordering changes.
+    # window (VERDICT r03 #8). Round-4 rotation: r03's window covered
+    # the relational/analytics half under oracle — this round fronts
+    # (a) the four operators new this session and (b) every family the
+    # driver last hash-checked in r02 (dedup / text / similarity /
+    # sampling / flagship), whose code saw the late-r4 task-state and
+    # Arrow-native rewrites. Only declared rows-only checks (multi-
+    # modal stubs, HLL, IVF) stay outside — they cannot hash-verify
+    # anyway. Every query remains registered; only ordering changes.
     front = [
-        "repetition_ratio", "tz_hourly_activity", "window_lag", "running_sum", "asof_join",
-        "funnel_conversion", "rolling_avg", "session_windows",
-        "mad_value", "quantiles_cont", "ntile", "bigram_pmi",
+        # new this session
+        "editdist_neardup", "lead_value", "nucleus_coverage",
+        "zipf_slope",
+        # flagship / encode-decode surface (task-state encode rewrite)
+        "tokens_roundtrip", "tokens_checksum", "tokens_groupby_source",
+        "tokens_export_parquet", "codec_plan", "shard_stats",
+        "nested_roundtrip", "events_roundtrip", "hive_partition_counts",
+        "clustered_lookup", "bloom_lookup",
+        # dedup family (Arrow-native MinHash + sorted-segment CC)
+        "dedup_exact", "corpus_clean", "minhash_lsh_pairs",
+        "ngram_jaccard_pairs", "dedup_clusters", "simhash",
+        "embedding_neardup", "dup_ngram_spans", "decontaminate",
+        # text analysis
+        "token_count", "token_count_bpe", "quality_score",
+        "quality_filter", "repetition_ratio", "fingerprint",
+        "adjacent_similarity", "lang_id",
+        # similarity / embeddings
+        "ann_topk", "embedding_centroids",
+        # deterministic sampling
+        "sample_hash", "sample_stratified", "mixture_sample",
+        # sketches / token analytics
         "token_topk", "token_docfreq", "tfidf_topk",
-        "entropy_by_source", "histogram", "langs_per_source",
-        "minhash_lsh_pairs", "dedup_clusters", "cohort_retention",
-        "zscore_outliers", "tokens_export_parquet", "groupby_agg",
-        "groupby_having", "left_outer_join", "projection",
-        "filter_predicate", "dtype_convert_time", "partition_counts",
-        "null_counts", "stats_minmax", "count_rows", "distinct_count",
-        "distinct_values", "sort_topk", "head_limit", "semi_join",
-        "anti_join", "join_broadcast", "multi_join", "hash_join",
-        "mode_per_group", "json_field_agg", "window_rank",
-        "stats_moments", "grouped_quantiles", "regression_by_group",
-        "range_join", "windowed_agg", "normalized_dedup",
+        "entropy_by_source", "quantiles", "quantiles_cont",
+        "mad_value", "source_vocab_jaccard",
+        # analytics not in the r03 window
+        "tz_hourly_activity", "cohort_retention", "langs_per_source",
+        "unpivot_metrics", "cross_join_small",
     ]
     assert set(front) <= set(q)
     return {
@@ -491,6 +513,12 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id) AS prev "
             "FROM events) WHERE prev IS NOT NULL"
         ),
+        "lead_value": (
+            "SELECT event_id, user_id, next_value "
+            "FROM (SELECT event_id, user_id, lead(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS next_value "
+            "FROM events) WHERE next_value IS NOT NULL"
+        ),
         "rollup_agg": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(count(*) AS BIGINT) AS n, "
@@ -685,6 +713,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, unnest(tokens) AS tok FROM "
             f"read_parquet('{_TOKENS_GLOB}')) GROUP BY source"
         ),
+        # nucleus size = count of tokens whose EXCLUSIVE cumulative
+        # mass (most-frequent-first, tok tie-break) is below p*total
+        "nucleus_coverage": (
+            "WITH tf AS (SELECT source, tok, count(*) AS n FROM ("
+            "SELECT source, unnest(tokens) AS tok FROM "
+            f"read_parquet('{_TOKENS_GLOB}')) GROUP BY source, tok), "
+            "tot AS (SELECT source, sum(n) AS total FROM tf "
+            "GROUP BY source), "
+            "c AS (SELECT tf.source AS source, n, sum(n) OVER ("
+            "PARTITION BY tf.source ORDER BY n DESC, tok) AS cum, total "
+            "FROM tf JOIN tot ON tf.source = tot.source) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_tokens "
+            "FROM c WHERE cum - n < 0.9 * total GROUP BY source"
+        ),
+        # least-squares slope of ln(freq) on ln(rank): DuckDB's
+        # regr_slope over the same exact integer frequency table;
+        # 6-dp rounding absorbs summation-order float drift
+        "zipf_slope": (
+            "WITH tf AS (SELECT source, tok, count(*) AS n FROM ("
+            "SELECT source, unnest(tokens) AS tok FROM "
+            f"read_parquet('{_TOKENS_GLOB}')) GROUP BY source, tok), "
+            "r AS (SELECT source, n, row_number() OVER ("
+            "PARTITION BY source ORDER BY n DESC, tok) AS rank FROM tf) "
+            "SELECT source, ROUND(regr_slope(ln(n), ln(rank)), 6) "
+            "AS slope FROM r GROUP BY source"
+        ),
         "quantiles": (
             "SELECT q, value FROM ("
             "SELECT CAST(0.01 AS DOUBLE) AS q, "
@@ -819,6 +873,17 @@ def oracle_sql() -> dict[str, str]:
             "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) "
             "AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
             "WHERE jaccard >= 0.5"
+        ),
+        # exact all-pairs ground truth for the Ed-Join prefix filter:
+        # the Ray side's candidate generation is provably complete, so
+        # the oracle is the unconditional quadratic join
+        "editdist_neardup": (
+            "SELECT id_a, id_b, dist FROM ("
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "levenshtein(lower(substr(a.text, 1, 40)), "
+            "lower(substr(b.text, 1, 40)))::BIGINT AS dist "
+            "FROM documents a JOIN documents b ON a.doc_id < b.doc_id"
+            ") WHERE dist <= 2"
         ),
         # deterministic hash sampling — the SQL computes the IDENTICAL
         # md5-prefix hash the Ray operators key on (simhash precedent)

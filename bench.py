@@ -45,6 +45,24 @@ def _cpu_calibration() -> float:
     return len(buf) / dt / 1e9
 
 
+def _bw_calibration() -> float:
+    """Single-process memcpy bandwidth (GB/s, read+write) on a 64 MB
+    buffer. The zstd probe above tracks the VM's CPU throttle but NOT
+    its independent memory-bandwidth clamp (measured round 4: two
+    back-to-back bench runs with flat cal_gbps differed 2-9x per
+    query while the clamp was active). Recording both lets a reader
+    attribute a slow run to the right machine axis."""
+    import numpy as np
+
+    src = np.zeros(64 << 20, dtype=np.uint8)
+    dst = np.empty_like(src)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.copyto(dst, src)
+    dt = time.perf_counter() - t0
+    return 3 * 2 * src.nbytes / dt / 1e9
+
+
 def _quiet_ray_internal_noise():
     """Filter known-harmless Ray-internal warnings (reproduced with
     VANILLA ray.data groupby().aggregate() on 2.49.2 — the
@@ -126,6 +144,7 @@ def run_bench() -> dict:
     cal = [_cpu_calibration()]  # machine-state probe, pre-job: lets a
     # reader normalize this run's wall times against the VM's current
     # per-core throttle window (BASELINE.md documents 50x swings)
+    bw = [_bw_calibration()]
     encode_secs = []
     for rep in range(reps):
         if rep:
@@ -198,7 +217,8 @@ def run_bench() -> dict:
             "funnel_conversion", "zscore_outliers", "ntile",
             "bigram_pmi", "dedup_clusters", "decontaminate",
             "cohort_retention", "mad_value", "tz_hourly_activity",
-            "repetition_ratio",
+            "repetition_ratio", "editdist_neardup", "lead_value",
+            "nucleus_coverage", "zipf_slope",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)
@@ -220,6 +240,9 @@ def run_bench() -> dict:
         total_tokens += int(
             pq.read_table(p, columns=["n_tok"]).column("n_tok").to_numpy().sum()
         )
+
+    bw.append(_bw_calibration())  # post-run: brackets the query loop
+    result_extra["bw_samples_gbps"] = [round(b, 2) for b in bw]
 
     raw = summary["raw_bytes"]
     result = {

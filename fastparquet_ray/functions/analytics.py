@@ -325,6 +325,108 @@ def window_lag(sf_dir: str):
     return out
 
 
+def lead_value(sf_dir: str):
+    """lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id):
+    each event paired with its user's NEXT event value (rows with no
+    successor are dropped, matching SQL's NULL-lead filter) — the
+    forward mirror of window_lag on the same segmented-sort engine:
+    ONE range sort, a vectorized per-block adjacent pass, and an
+    O(2 x blocks) border frame healing the one successor a
+    block-straddling user misses (the nearest LATER same-user
+    block-FIRST row). Driver state stays bounded by block count."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    import ray.data
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "next_value": pd.Series([], dtype="float64"),
+        }
+    )
+
+    srt = (
+        ds.sort(["user_id", "ts", "event_id"])
+        .materialize()  # consumed twice: border pull + lead pass
+    )
+
+    def block_leads(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return empty
+        u = df["user_id"].to_numpy()
+        v = df["value"].to_numpy()
+        emit = u[1:] == u[:-1]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[:-1][emit].astype(
+                    "int64"
+                ),
+                "user_id": u[:-1][emit].astype("int64"),
+                "next_value": v[1:][emit],
+            }
+        )
+
+    def border_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(pos=pd.Series([], dtype="int8"))
+        out = df.iloc[[0, len(df) - 1]].copy()
+        out["pos"] = np.array([0, 1], dtype=np.int8)  # 0 = first, 1 = last
+        return out
+
+    bd = (
+        srt.map_batches(border_rows, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    fix = empty
+    if len(bd):
+        # REVERSED global order: "nearest later first-row" becomes
+        # "nearest earlier" in the reversed frame, so the same
+        # per-segment cummax recipe as window_lag applies with the
+        # f/l roles swapped; a row's own f-copy sits after its l-copy
+        # here, so the strict cm[:-1] lookback can never self-pair
+        bd = (
+            bd.sort_values(
+                ["user_id", "ts", "event_id", "pos"], kind="mergesort"
+            )
+            .iloc[::-1]
+            .reset_index(drop=True)
+        )
+        u = bd["user_id"].to_numpy()
+        newkey = np.ones(len(bd), dtype=bool)
+        newkey[1:] = u[1:] != u[:-1]
+        idx = np.arange(len(bd))
+        last_f = np.where(bd["pos"].to_numpy() == 0, idx, -1)
+        seg = np.cumsum(newkey) - 1
+        STEP = np.int64(len(bd) + 1)
+        biased = last_f + seg * STEP
+        cm = np.maximum.accumulate(biased) - seg * STEP
+        succ = np.empty(len(bd), dtype=np.int64)
+        succ[0] = -1
+        succ[1:] = np.where(newkey[1:], -1, cm[:-1])
+        succ = np.where(succ < 0, -1, succ)
+        is_l = bd["pos"].to_numpy() == 1
+        want = is_l & (succ >= 0)
+        if want.any():
+            si = succ[want]
+            fix = pd.DataFrame(
+                {
+                    "event_id": bd["event_id"].to_numpy()[want].astype(
+                        "int64"
+                    ),
+                    "user_id": u[want].astype("int64"),
+                    "next_value": bd["value"].to_numpy()[si],
+                }
+            )
+
+    out = srt.map_batches(
+        block_leads, batch_format="pandas", batch_size=None
+    )
+    if len(fix):
+        out = out.union(ray.data.from_pandas(fix))
+    return out
+
+
 # --------------------------------------------------------------------
 # OLAP: rollup / pivot / statistical moments
 # --------------------------------------------------------------------

@@ -1216,3 +1216,318 @@ def decontaminate(sf_dir: str, w: int = 8, mod: int = 29):
         )
 
     return ds.map_batches(hits, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------
+# Edit-distance similarity join (Ed-Join family)
+# --------------------------------------------------------------------
+
+def _qgram_sets(buf: np.ndarray, offs: np.ndarray, q: int):
+    """Per-doc DISTINCT q-gram values over a concatenated byte buffer.
+    ``buf``: uint8 concat of all keys; ``offs``: int64 doc offsets
+    (len n_docs+1). Returns (doc_idx, gram) int64 arrays, per-doc
+    deduplicated, grams as the little-endian uint32 view of the q-byte
+    window (q must be 4). One vectorized pass — no per-doc loop."""
+    assert q == 4
+    lens = np.diff(offs)
+    cnt = np.maximum(lens - q + 1, 0)
+    total = int(cnt.sum())
+    if total == 0 or buf.size < q:
+        e = np.empty(0, np.int64)
+        return e, e
+    doc_idx = np.repeat(np.arange(lens.size, dtype=np.int64), cnt)
+    cum = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(cnt[:-1], out=cum[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum, cnt)
+    starts = np.repeat(offs[:-1], cnt) + within
+    swv = np.lib.stride_tricks.sliding_window_view(buf, q)
+    grams = (
+        np.ascontiguousarray(swv[starts])
+        .view(np.uint32)
+        .ravel()
+        .astype(np.int64)
+    )
+    # per-doc distinct: sort by (doc, gram), drop adjacent dups
+    o = np.lexsort((grams, doc_idx))
+    d, g = doc_idx[o], grams[o]
+    keep = np.ones(d.size, dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+    return d[keep], g[keep]
+
+
+def _levenshtein_pairs(A, la, B, lb) -> np.ndarray:
+    """Unit-cost Levenshtein distance for P (a, b) pairs at once.
+    ``A``/``B``: (P, Lmax) uint8 padded char matrices, ``la``/``lb``
+    true lengths. Classic DP; the row recurrence is sequential in the
+    column index, so the loops run over the (small, <= prefix_chars)
+    string dims while every operation vectorizes over the pair axis P
+    — O(La*Lb) numpy ops regardless of P."""
+    P, LA = A.shape
+    LB = B.shape[1]
+    v = np.broadcast_to(
+        np.arange(LA + 1, dtype=np.int32), (P, LA + 1)
+    ).copy()
+    out = la.astype(np.int32).copy()  # lb == 0 -> dist = la
+    for j in range(1, LB + 1):
+        nv = np.empty_like(v)
+        nv[:, 0] = j
+        sub = A != B[:, j - 1][:, None]
+        for i in range(1, LA + 1):
+            nv[:, i] = np.minimum(
+                np.minimum(nv[:, i - 1] + 1, v[:, i] + 1),
+                v[:, i - 1] + sub[:, i - 1],
+            )
+        v = nv
+        done = lb == j
+        if done.any():
+            out[done] = v[done, la[done]]
+    return out
+
+
+def editdist_neardup(
+    sf_dir: str,
+    k: int = 2,
+    q: int = 4,
+    prefix_chars: int = 40,
+    df_table_size: int = 32768,
+):
+    """EXACT edit-distance similarity join on the normalized key
+    ``lower(text[:prefix_chars])``: all pairs (id_a < id_b) with
+    levenshtein(key_a, key_b) <= k, via q-gram prefix filtering — the
+    Ed-Join family (Gravano et al. VLDB'01 count filter; Xiao, Wang &
+    Lin VLDB'08 Ed-Join; public literature — the reference has no
+    similarity join). Like ngram_jaccard_pairs the DuckDB all-pairs
+    oracle holds unconditionally: candidate generation is provably
+    complete, then every candidate is verified with the exact DP.
+
+    Distance semantics: unit-cost Levenshtein over the UTF-8 BYTES of
+    the key — exactly DuckDB's levenshtein() (verified: it scores
+    cafe/café as 2, i.e. bytewise), which keeps the whole filter
+    chain consistent at the byte level with no multibyte special
+    cases.
+
+    Completeness argument (count filter on DISTINCT byte q-grams):
+    one byte edit alters <= q distinct grams per side, so ed(a,b) <= k
+    implies |G(a) n G(b)| >= max|G| - q*k. Under ANY total global
+    gram order, the standard prefix filter then forces a shared gram
+    within both prefixes of length q*k + 1 (the short side needs
+    |G_s| - |G_l| + q*k + 1 <= q*k + 1 since |G| is monotone in
+    length). The filter only binds when max|G| > q*k, i.e. the longer
+    key has > q*(k+1) - 1 bytes; every doc with a shorter key ALSO
+    lands in one reserved bucket (if the longer side of a pair is
+    that short, so is the other: lengths differ by <= k <= the slack).
+    Global order = (df ascending, gram) with a broadcast top-M df
+    table, rarest-first — absent grams tie at df 1, any consistent
+    order stays lossless (ngram_jaccard_pairs precedent).
+
+    Scale shape: per-doc fan-out is <= q*k + 1 prefix grams (9 at the
+    defaults); buckets are keyed on the RAREST grams so bucket sizes
+    stay small by construction; candidates stay a Dataset through the
+    distinct; the verify tail is candidate-bounded and the DP kernel
+    vectorizes over the pair axis."""
+    import ray
+    import ray.data
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    short_cap = q * (k + 1) - 1  # keys this short skip the gram filter
+    SPECIAL = np.int64(-2)  # grams are uint32 >= 0: no collision
+
+    def _keys(texts: pd.Series):
+        keyser = texts.str.slice(0, prefix_chars).str.lower()
+        raw = [s.encode("utf-8") for s in keyser]
+        lens = np.array([len(b) for b in raw], dtype=np.int64)
+        return raw, lens
+
+    # ---- pass 1: gram document frequency (top-M, rarest-first order)
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        raw, lens = _keys(df["text"])
+        buf = np.frombuffer(b"".join(raw), dtype=np.uint8)
+        offs = np.zeros(len(raw) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        _, grams = _qgram_sets(buf, offs, q)
+        if grams.size == 0:
+            return pd.DataFrame(
+                {"g": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        uniq, cnt = np.unique(grams, return_counts=True)
+        return pd.DataFrame({"g": uniq, "n": cnt.astype(np.int64)})
+
+    def block_topm(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows <= df_table_size:
+            return t
+        idx = pc.select_k_unstable(
+            t, df_table_size, [("n", "descending"), ("g", "ascending")]
+        )
+        return t.take(idx)
+
+    parts = (
+        docs.map_batches(df_partial, batch_format="pandas", batch_size=4096)
+        .map_batches(block_topm, batch_format="pyarrow")
+        .to_pandas()
+    )
+    parts = parts.groupby("g", sort=False)["n"].sum().reset_index()
+    parts = parts[parts["n"] >= 2]
+    parts = parts.sort_values(["n", "g"], ascending=[False, True]).head(
+        df_table_size
+    )
+    df_keys = np.sort(parts["g"].to_numpy().astype(np.int64))
+    order = np.argsort(parts["g"].to_numpy().astype(np.int64), kind="stable")
+    df_vals = parts["n"].to_numpy()[order].astype(np.int64)
+    df_ref = ray.put((df_keys, df_vals))
+
+    # ---- pass 2: prefix emission (q*k+1 rarest grams per doc) ------
+    class PrefixEmit:
+        def __init__(self, ref):
+            self.keys, self.vals = ray.get(ref)
+
+        def _df_of(self, g: np.ndarray) -> np.ndarray:
+            out = np.ones(g.size, dtype=np.int64)
+            if self.keys.size:
+                idx = np.searchsorted(self.keys, g)
+                idx[idx == self.keys.size] = 0
+                hit = self.keys[idx] == g
+                out[hit] = self.vals[idx[hit]]
+            return out
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            raw, lens = _keys(df["text"])
+            ids = df["doc_id"].to_numpy().astype(np.int64)
+            buf = np.frombuffer(b"".join(raw), dtype=np.uint8)
+            offs = np.zeros(len(raw) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            d, g = _qgram_sets(buf, offs, q)
+            out_g: list[np.ndarray] = []
+            out_id: list[np.ndarray] = []
+            if d.size:
+                dfv = self._df_of(g)
+                # within-doc rank under (df, gram): keep q*k+1 rarest
+                o = np.lexsort((g, dfv, d))
+                ds_, gs_ = d[o], g[o]
+                seg_start = np.ones(ds_.size, dtype=bool)
+                seg_start[1:] = ds_[1:] != ds_[:-1]
+                starts = np.flatnonzero(seg_start)
+                seg_id = np.cumsum(seg_start) - 1
+                rank = np.arange(ds_.size, dtype=np.int64) - starts[seg_id]
+                keep = rank < (q * k + 1)
+                out_g.append(gs_[keep])
+                out_id.append(ids[ds_[keep]])
+            special = lens <= short_cap
+            if special.any():
+                out_g.append(np.full(int(special.sum()), SPECIAL))
+                out_id.append(ids[special])
+            if not out_g:
+                return pd.DataFrame(
+                    {"sh": pd.Series([], dtype="int64"),
+                     "doc_id": pd.Series([], dtype="int64")}
+                )
+            return pd.DataFrame(
+                {"sh": np.concatenate(out_g),
+                 "doc_id": np.concatenate(out_id)}
+            )
+
+    prefixes = docs.map_batches(
+        _task_state(lambda: PrefixEmit(df_ref)),
+        batch_format="pandas",
+        batch_size=4096,
+    )
+
+    # ---- pass 3: bucket pairs -> distinct -> exact DP verify -------
+    cand_ds = _pairs_in_buckets(prefixes, "sh", star_cap=None)
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "dist": pd.Series([], dtype="int64"),
+        }
+    )
+    if cand_ds is None:
+        return empty
+    cand_ids = set(
+        cand_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [
+                            t.column("id_a").combine_chunks().cast(pa.int64()),
+                            t.column("id_b").combine_chunks().cast(pa.int64()),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).unique("doc_id")
+    )
+    if not cand_ids:
+        return empty
+    ids_ref = ray.put(cand_ids)
+
+    class CandidateKeys:
+        def __init__(self, ref):
+            self.ids = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["doc_id"].isin(self.ids)]
+            if df.empty:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "key": pd.Series([], dtype=object)}
+                )
+            raw, _ = _keys(df["text"])
+            return pd.DataFrame(
+                {"doc_id": df["doc_id"].to_numpy(), "key": raw}
+            )
+
+    key_df = (
+        docs.map_batches(
+            _task_state(lambda: CandidateKeys(ids_ref)),
+            batch_format="pandas",
+        )
+        .to_pandas()  # candidate-bounded, not corpus-bounded
+    )
+    kmap_ref = ray.put(dict(zip(key_df["doc_id"], key_df["key"])))
+
+    class VerifyEd:
+        def __init__(self, ref):
+            self.kmap = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            kmap = self.kmap
+            a_keys = [kmap[int(i)] for i in df["id_a"]]
+            b_keys = [kmap[int(i)] for i in df["id_b"]]
+            la = np.array([len(b) for b in a_keys], dtype=np.int64)
+            lb = np.array([len(b) for b in b_keys], dtype=np.int64)
+            # length filter: |la-lb| > k can never verify
+            cand = np.abs(la - lb) <= k
+            dist = np.full(len(df), k + 1, dtype=np.int64)
+            if cand.any():
+                ai = np.flatnonzero(cand)
+                lmax = int(max(la[ai].max(), lb[ai].max(), 1))
+                A = np.zeros((ai.size, lmax), dtype=np.uint8)
+                B = np.full((ai.size, lmax), 255, dtype=np.uint8)
+                for r, i in enumerate(ai):
+                    A[r, : la[i]] = np.frombuffer(a_keys[i], np.uint8)
+                    B[r, : lb[i]] = np.frombuffer(b_keys[i], np.uint8)
+                dist[ai] = _levenshtein_pairs(
+                    A, la[ai], B, lb[ai]
+                ).astype(np.int64)
+            return df.assign(dist=dist)
+
+    verified = (
+        cand_ds.map_batches(
+            _task_state(lambda: VerifyEd(kmap_ref)),
+            batch_format="pandas",
+            batch_size=16384,
+        )
+        .filter(expr=f"dist <= {k}")
+        .to_pandas()  # OUTPUT-bounded: verified near-dup pairs only
+    )
+    if verified.empty:
+        return empty
+    return (
+        verified.drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )

@@ -850,3 +850,100 @@ def source_vocab_jaccard(sf_dir: str):
          "src_b": [r[1] for r in rows],
          "jaccard": np.array([r[2] for r in rows], dtype=np.float64)}
     )
+
+
+def _source_token_counts(sf_dir: str) -> pd.DataFrame:
+    """(source, tok, n) occurrence counts over the decoded corpus —
+    the shared vocabulary-profile input of entropy_by_source /
+    nucleus_coverage / zipf_slope. One streaming scan of packed
+    (source-code << 32 | tok) partials merged by groupagg; the result
+    is vocabulary x sources sized (summary-scaled)."""
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+
+    _, enc = ensure_encoded(sf_dir)
+    ds = decode_dataset(enc, columns=["source", "tokens"])
+
+    empty = pa.table(
+        {"source": pa.array([], pa.string()),
+         "tok": pa.array([], pa.int64()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if flat.size == 0:
+            return empty
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        row_code = np.repeat(codes.astype(np.int64), np.diff(offs))
+        key, cnt = np.unique((row_code << np.int64(32)) | flat,
+                             return_counts=True)
+        return pa.table(
+            {"source": pa.array(uniq[key >> np.int64(32)], pa.string()),
+             "tok": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
+             "n": pa.array(cnt, pa.int64())}
+        )
+
+    from .groupagg import merge_partials
+
+    return merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "tok"], {"n": "sum"},
+    )
+
+
+def nucleus_coverage(sf_dir: str, p: float = 0.9):
+    """Per-source nucleus size: how many DISTINCT token ids (taken
+    most-frequent-first, tok-ascending tie-break) cover >= p of the
+    source's total token mass — the vocabulary-concentration signal
+    a tokenizer/mixture audit reads (top-p a la nucleus sampling,
+    applied to corpus statistics). The minimal prefix length equals
+    the count of tokens whose EXCLUSIVE cumulative mass is still
+    below p*total, which is how the SQL window oracle states it.
+    Per-source fold runs on the merged vocab profile (summary-scaled,
+    never corpus-scaled)."""
+    agg = _source_token_counts(sf_dir)
+    out_s, out_n = [], []
+    for s, sub in agg.groupby("source", sort=True):
+        n = sub["n"].to_numpy(np.int64)
+        tok = sub["tok"].to_numpy(np.int64)
+        o = np.lexsort((tok, -n))
+        ns = n[o]
+        cum = np.cumsum(ns)
+        need = int(np.count_nonzero((cum - ns) < p * float(n.sum())))
+        out_s.append(s)
+        out_n.append(need)
+    return pd.DataFrame(
+        {"source": out_s, "n_tokens": pd.array(out_n, dtype="int64")}
+    )
+
+
+def zipf_slope(sf_dir: str):
+    """Per-source Zipf exponent: the least-squares slope of
+    ln(frequency) on ln(rank) over the source's token frequency
+    table (rank = most-frequent-first row number, tok tie-break) —
+    a corpus-health fingerprint (natural text tracks slope ~= -1;
+    synthetic or degenerate sources drift). Closed-form fit on the
+    merged vocab profile; 6-dp rounding on both sides absorbs
+    summation-order float drift (regression_by_group precedent)."""
+    agg = _source_token_counts(sf_dir)
+    out_s, out_m = [], []
+    for s, sub in agg.groupby("source", sort=True):
+        n = sub["n"].to_numpy(np.int64)
+        tok = sub["tok"].to_numpy(np.int64)
+        o = np.lexsort((tok, -n))
+        y = np.log(n[o].astype(np.float64))
+        x = np.log(np.arange(1, y.size + 1, dtype=np.float64))
+        m = float(y.size)
+        denom = m * (x * x).sum() - x.sum() ** 2
+        slope = (
+            (m * (x * y).sum() - x.sum() * y.sum()) / denom
+            if denom != 0.0
+            else 0.0
+        )
+        out_s.append(s)
+        out_m.append(round(slope, 6))
+    return pd.DataFrame({"source": out_s, "slope": out_m})

@@ -906,3 +906,91 @@ def test_window_rank_many_blocks(ray_session, tmp_path):
         """
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lead_value(ray_session, sf_dir):
+    from fastparquet_ray.functions.analytics import lead_value
+
+    got = _norm(lead_value(sf_dir).to_pandas())
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT event_id, user_id, next_value "
+            "FROM (SELECT event_id, user_id, lead(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS next_value "
+            "FROM events) WHERE next_value IS NOT NULL"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
+    # single-event users have no successor
+    assert not got["user_id"].isin([900, 901, 902]).any()
+
+
+def test_lead_value_tiny_blocks(ray_session, sf_dir):
+    """Force many tiny sorted blocks so users straddle block borders:
+    the border-frame successor fix must restore every missing lead."""
+    import ray.data
+
+    from fastparquet_ray.functions.analytics import lead_value
+
+    ctx = ray.data.DataContext.get_current()
+    old_target = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        got = _norm(lead_value(sf_dir).to_pandas())
+    finally:
+        ctx.target_max_block_size = old_target
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT event_id, user_id, lead(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS next_value "
+            "FROM events QUALIFY next_value IS NOT NULL"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
+
+
+def test_nucleus_coverage_vs_duckdb(ray_session):
+    from fastparquet_ray.functions.sketches import nucleus_coverage
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    sf_dir = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf_dir)
+    got = nucleus_coverage(sf_dir)
+    glob = paths[0].rsplit("/", 1)[0] + "/*.parquet"
+    exp = duckdb.connect().execute(
+        "WITH tf AS (SELECT source, tok, count(*) AS n FROM ("
+        f"SELECT source, unnest(tokens) AS tok FROM read_parquet('{glob}')"
+        ") GROUP BY source, tok), "
+        "tot AS (SELECT source, sum(n) AS total FROM tf GROUP BY source), "
+        "c AS (SELECT tf.source AS source, n, sum(n) OVER ("
+        "PARTITION BY tf.source ORDER BY n DESC, tok) AS cum, total "
+        "FROM tf JOIN tot ON tf.source = tot.source) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_tokens "
+        "FROM c WHERE cum - n < 0.9 * total GROUP BY source "
+        "ORDER BY source"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["n_tokens"] > 0).all()
+
+
+def test_zipf_slope_vs_duckdb(ray_session):
+    from fastparquet_ray.functions.sketches import zipf_slope
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    sf_dir = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf_dir)
+    got = zipf_slope(sf_dir)
+    glob = paths[0].rsplit("/", 1)[0] + "/*.parquet"
+    exp = duckdb.connect().execute(
+        "WITH tf AS (SELECT source, tok, count(*) AS n FROM ("
+        f"SELECT source, unnest(tokens) AS tok FROM read_parquet('{glob}')"
+        ") GROUP BY source, tok), "
+        "r AS (SELECT source, n, row_number() OVER ("
+        "PARTITION BY source ORDER BY n DESC, tok) AS rank FROM tf) "
+        "SELECT source, ROUND(regr_slope(ln(n), ln(rank)), 6) AS slope "
+        "FROM r GROUP BY source ORDER BY source"
+    ).df()
+    assert got["source"].tolist() == exp["source"].tolist()
+    np.testing.assert_allclose(got["slope"], exp["slope"], atol=2e-6)
+    # a token-frequency table should be Zipf-ish: negative slope
+    assert (got["slope"] < 0).all()
