@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustered_lookup": flagship.clustered_lookup,
         "bloom_lookup": flagship.bloom_lookup,
         "tokens_export_parquet": flagship.tokens_export_roundtrip,
+        "tokens_export_jsonl": flagship.tokens_export_jsonl_roundtrip,
         "nested_roundtrip": flagship.nested_roundtrip,
         "events_roundtrip": flagship.events_roundtrip,
         "hive_partition_counts": flagship.hive_partition_counts,
@@ -176,7 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope",
         # flagship / encode-decode surface (task-state encode rewrite)
         "tokens_roundtrip", "tokens_checksum", "tokens_groupby_source",
-        "tokens_export_parquet", "codec_plan", "shard_stats",
+        "tokens_export_parquet", "tokens_export_jsonl", "codec_plan",
+        "shard_stats",
         "nested_roundtrip", "events_roundtrip", "hive_partition_counts",
         "clustered_lookup", "bloom_lookup",
         # dedup family (Arrow-native MinHash + sorted-segment CC)
@@ -197,7 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_value", "source_vocab_jaccard",
         # analytics not in the r03 window
         "tz_hourly_activity", "cohort_retention", "langs_per_source",
-        "unpivot_metrics", "cross_join_small",
+        "unpivot_metrics",
     ]
     assert set(front) <= set(q)
     return {
@@ -642,6 +644,15 @@ def oracle_sql() -> dict[str, str]:
         "tokens_export_parquet": (
             "SELECT source, count(*) AS n, "
             "CAST(sum(n_tok) AS BIGINT) AS sum_tok "
+            f"FROM read_parquet('{_TOKENS_GLOB}') GROUP BY source"
+        ),
+        # JSONL sink roundtrip: also sums the token stream itself, so
+        # equality proves the integer arrays survive the text format
+        "tokens_export_jsonl": (
+            "SELECT source, count(*) AS n, "
+            "CAST(sum(n_tok) AS BIGINT) AS sum_tok, "
+            "CAST(sum(list_aggregate(tokens, 'sum')) AS BIGINT) "
+            "AS tok_sum "
             f"FROM read_parquet('{_TOKENS_GLOB}') GROUP BY source"
         ),
         "token_topk": (

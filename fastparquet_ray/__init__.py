@@ -20,7 +20,10 @@ __version__ = "0.1.0"
 def __getattr__(name):
     # lazy re-export of the user API (api.py pulls in the Ray pipelines;
     # keep `import fastparquet_ray` cheap for codec-only users)
-    if name in ("write", "EncodedDataset", "write_simple", "read_simple"):
+    if name in (
+        "write", "EncodedDataset", "write_simple", "read_simple",
+        "read_jsonl",
+    ):
         from . import api
 
         return getattr(api, name)

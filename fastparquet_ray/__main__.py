@@ -129,6 +129,14 @@ def main(argv: list[str] | None = None) -> int:
         "atomically: a re-run skips finished files (kill-resumable "
         "export; incompatible with --filter)",
     )
+    dec.add_argument(
+        "--format",
+        default="parquet",
+        choices=["parquet", "jsonl"],
+        help="output format; jsonl = JSON-Lines interchange files "
+        "(integer payloads lossless; incompatible with --resumable/"
+        "--times)",
+    )
 
     ver = sub.add_parser("verify")
     ver.add_argument("src")
@@ -200,7 +208,17 @@ def main(argv: list[str] | None = None) -> int:
             filters = None
             if args.filter:
                 filters = [_parse_filter(f) for f in args.filter]
-            if filters:
+            if args.format == "jsonl":
+                if args.resumable:
+                    raise SystemExit(
+                        "--resumable is incompatible with --format jsonl"
+                    )
+                from .pipelines.decode import decode_dataset
+
+                ds = decode_dataset(args.enc, columns=cols, filters=filters)
+                ds.write_json(args.out)
+                print(json.dumps({"out": args.out, "format": "jsonl"}))
+            elif filters:
                 if args.resumable:
                     raise SystemExit("--resumable is incompatible with --filter")
                 from .pipelines.decode import decode_dataset

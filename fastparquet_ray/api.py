@@ -335,3 +335,16 @@ class EncodedDataset:
 
     def verify_against(self, src_paths: list[str] | str) -> dict:
         return verify_roundtrip(src_paths, self.out_dir)
+
+
+def read_jsonl(path: str, columns: list[str] | None = None):
+    """Lazy ray.data.Dataset over JSON-Lines files (a file, a dir, or
+    a glob) — the ingest side of ``pipelines.export.export_jsonl``.
+    List columns come back as Arrow lists; integer payloads roundtrip
+    losslessly."""
+    import ray.data
+
+    ds = ray.data.read_json(path)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds

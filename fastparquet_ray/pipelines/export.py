@@ -51,6 +51,22 @@ def export_parquet(
     return out_dir
 
 
+def export_jsonl(
+    enc_dir: str,
+    out_dir: str,
+    columns: list[str] | None = None,
+) -> str:
+    """Write the decoded dataset as JSON-Lines files (streaming, one
+    file per block) — the interchange format LLM data pipelines pass
+    between curation stages. List columns (token arrays) serialize as
+    JSON arrays; `read_jsonl` / DuckDB `read_json_auto` read the
+    output back losslessly for integer payloads. For floats prefer
+    the Parquet sink (JSON text roundtrips are not bit-exact)."""
+    ds = decode_dataset(enc_dir, columns=columns)
+    ds.write_json(out_dir)
+    return out_dir
+
+
 def export_parquet_resumable(
     enc_dir: str,
     out_dir: str,

@@ -239,6 +239,56 @@ def tokens_export_roundtrip(sf_dir: str):
     )
 
 
+def tokens_export_jsonl_roundtrip(sf_dir: str):
+    """Encoded shards -> decode -> JSON-Lines sink -> read back with
+    ray.data.read_json -> per-source aggregates INCLUDING the summed
+    token stream. The oracle reads the ORIGINAL parquet, so equality
+    proves encode -> decode -> JSONL-export keeps the integer token
+    arrays lossless through the text format — the interchange path
+    LLM curation stages hand each other."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..api import read_jsonl
+    from .export import export_jsonl
+
+    sf = sf_from_dir(sf_dir)
+    _, enc = ensure_encoded(sf_dir)
+    out_dir = os.path.join(TOKENS_BASE, f"sf{sf:g}_export_jsonl")
+    if not os.path.isdir(out_dir) or not os.listdir(out_dir):
+        export_jsonl(enc, out_dir, columns=["tokens", "n_tok", "source"])
+    ds = read_jsonl(out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        vals = flat.to_numpy(zero_copy_only=False).astype(np.int64)
+        csum = np.add.reduceat(vals, offs[:-1]) if vals.size else np.zeros(0)
+        # reduceat quirk: empty segments repeat the next value — mask
+        lens = np.diff(offs)
+        csum = np.where(lens > 0, csum, 0).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "source": t.column("source").to_numpy(zero_copy_only=False),
+                "n": np.int64(1),
+                "sum_tok": t.column("n_tok")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "tok_sum": csum,
+            }
+        ).groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("source").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_tok", alias_name="sum_tok"),
+        Sum("tok_sum", alias_name="tok_sum"),
+    )
+
+
 def nested_roundtrip(sf_dir: str):
     """list<string> through the FULL engine: documents.text is split
     into a words list<string> column, encoded into shards (recursive

@@ -93,6 +93,47 @@ def test_export_parquet_interop(ray_session, tmp_path):
     )
 
 
+def test_export_jsonl_roundtrip(ray_session, tmp_path):
+    """Our JSONL sink -> DuckDB read_json_auto AND fastparquet_ray.
+    read_jsonl with bit-identical integer token arrays (the LLM
+    curation interchange path)."""
+    import duckdb
+
+    import fastparquet_ray as fr
+    from fastparquet_ray.pipelines import encode_pipeline
+    from fastparquet_ray.pipelines.export import export_jsonl
+
+    src = str(tmp_path / "src")
+    paths = write_tokens_dataset(src, 1500, n_fragments=2)
+    enc_dir = str(tmp_path / "enc")
+    encode_pipeline(paths, enc_dir)
+    out_dir = str(tmp_path / "jl")
+    export_jsonl(enc_dir, out_dir, columns=["doc_id", "tokens", "n_tok"])
+
+    orig = pa.concat_tables([pq.read_table(p) for p in paths])
+    b = orig.sort_by("doc_id").to_pandas()
+
+    # ray read-back
+    a = fr.read_jsonl(out_dir).to_pandas().sort_values("doc_id")
+    assert len(a) == len(b)
+    assert (a["n_tok"].to_numpy() == b["n_tok"].to_numpy()).all()
+    assert all(
+        list(x) == list(y)
+        for x, y in zip(a["tokens"].tolist(), b["tokens"].tolist())
+    )
+
+    # cross-engine: DuckDB reads the same files
+    d = duckdb.connect().execute(
+        "SELECT count(*) AS n, sum(n_tok) AS s, "
+        "sum(list_aggregate(tokens, 'sum')) AS ts "
+        f"FROM read_json_auto('{out_dir}/*.json')"
+    ).fetchone()
+    flat = np.concatenate([np.asarray(t) for t in b["tokens"]])
+    assert d[0] == len(b)
+    assert int(d[1]) == int(b["n_tok"].sum())
+    assert int(d[2]) == int(flat.sum())
+
+
 def test_export_parquet_resumable(ray_session, tmp_path):
     """Per-shard deterministic parquet export: a re-run skips every
     finished file; deleting one output re-exports exactly that shard;
