@@ -124,12 +124,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_by_source": sketches.entropy_by_source,
         "nucleus_coverage": sketches.nucleus_coverage,
         "zipf_slope": sketches.zipf_slope,
+        "kl_divergence": sketches.kl_divergence,
         "distinct_count_approx": sketches.distinct_count_approx,
         "quantiles": sketches.quantiles,
         "codec_plan": flagship.codec_plan_report,
         "shard_stats": flagship.shard_stats_report,
         # --- dedup family ---
         "dedup_exact": dedup.dedup_exact,
+        "doc_dup_profile": dedup.doc_dup_profile,
         "corpus_clean": dedup.corpus_clean,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -174,11 +176,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # new this session
         "editdist_neardup", "lead_value", "nucleus_coverage",
-        "zipf_slope",
+        "zipf_slope", "kl_divergence", "doc_dup_profile",
+        "tokens_export_jsonl",
         # flagship / encode-decode surface (task-state encode rewrite)
         "tokens_roundtrip", "tokens_checksum", "tokens_groupby_source",
-        "tokens_export_parquet", "tokens_export_jsonl", "codec_plan",
-        "shard_stats",
+        "tokens_export_parquet", "codec_plan", "shard_stats",
         "nested_roundtrip", "events_roundtrip", "hive_partition_counts",
         "clustered_lookup", "bloom_lookup",
         # dedup family (Arrow-native MinHash + sorted-segment CC)
@@ -198,8 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_by_source", "quantiles", "quantiles_cont",
         "mad_value", "source_vocab_jaccard",
         # analytics not in the r03 window
-        "tz_hourly_activity", "cohort_retention", "langs_per_source",
-        "unpivot_metrics",
+        "tz_hourly_activity", "cohort_retention",
     ]
     assert set(front) <= set(q)
     return {
@@ -738,6 +739,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(count(*) AS BIGINT) AS n_tokens "
             "FROM c WHERE cum - n < 0.9 * total GROUP BY source"
         ),
+        # per-source KL (nats) from the corpus unigram distribution;
+        # 6-dp rounding on both sides (regression precedent)
+        "kl_divergence": (
+            "WITH tf AS (SELECT source, tok, count(*) AS n FROM ("
+            "SELECT source, unnest(tokens) AS tok FROM "
+            f"read_parquet('{_TOKENS_GLOB}')) GROUP BY source, tok), "
+            "tot AS (SELECT source, sum(n) AS total FROM tf "
+            "GROUP BY source), "
+            "g AS (SELECT tok, sum(n) AS gn FROM tf GROUP BY tok), "
+            "gt AS (SELECT sum(n) AS grand FROM tf) "
+            "SELECT tf.source AS source, ROUND(SUM((n / total) * "
+            "ln((n / total) / (gn / grand))), 6) AS kl "
+            "FROM tf JOIN tot ON tf.source = tot.source "
+            "JOIN g ON tf.tok = g.tok CROSS JOIN gt GROUP BY tf.source"
+        ),
         # least-squares slope of ln(freq) on ln(rank): DuckDB's
         # regr_slope over the same exact integer frequency table;
         # 6-dp rounding absorbs summation-order float drift
@@ -884,6 +900,12 @@ def oracle_sql() -> dict[str, str]:
             "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) "
             "AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
             "WHERE jaccard >= 0.5"
+        ),
+        "doc_dup_profile": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS docs, "
+            "CAST(count(DISTINCT text) AS BIGINT) AS n_distinct, "
+            "ROUND(1 - count(DISTINCT text)::DOUBLE / count(*), 6) "
+            "AS dup_rate FROM documents GROUP BY source"
         ),
         # exact all-pairs ground truth for the Ed-Join prefix filter:
         # the Ray side's candidate generation is provably complete, so

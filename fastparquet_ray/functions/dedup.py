@@ -1531,3 +1531,63 @@ def editdist_neardup(
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )
+
+
+def doc_dup_profile(sf_dir: str):
+    """Per-source duplication accounting: document count, distinct
+    text count and the duplicate rate (1 - distinct/docs) — the
+    mixture-report row a curation pipeline publishes per source
+    before dedup. Scale shape: the block partial collapses to
+    distinct (h1, h2, source) rows plus a per-source doc count, so
+    the ONE exchange is keyed on the 16-byte text hash and moves one
+    row per (block, distinct text, source) — the text itself never
+    leaves the scan (dedup_exact precedent)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pandas().to_numpy(dtype=object)
+        h1, h2 = _text_hash128(texts)
+        tt = pa.table(
+            {"h1": h1, "h2": h2, "source": t.column("source")}
+        )
+        g = tt.group_by(["h1", "h2", "source"]).aggregate(
+            [("source", "count")]
+        )
+        return g.rename_columns(["h1", "h2", "source", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    # one exchange: global per-(text, source) doc counts
+    agg = parts.groupby(["h1", "h2", "source"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        # each (h1, h2, source) row is globally unique here: distinct
+        # contribution = 1 per row, docs contribution = n
+        g = t.group_by(["source"]).aggregate(
+            [("n", "sum"), ("n", "count")]
+        )
+        return g.rename_columns(["source", "docs", "distinct"])
+
+    from .groupagg import merge_partials
+
+    prof = merge_partials(
+        agg.map_batches(fold, batch_format="pyarrow"),
+        ["source"], {"docs": "sum", "distinct": "sum"},
+    )
+    prof = prof.sort_values("source").reset_index(drop=True)
+    prof["dup_rate"] = np.round(
+        1.0 - prof["distinct"].to_numpy(np.float64)
+        / prof["docs"].to_numpy(np.float64),
+        6,
+    )
+    return pd.DataFrame(
+        {
+            "source": prof["source"],
+            "docs": prof["docs"].astype("int64"),
+            "n_distinct": prof["distinct"].astype("int64"),
+            "dup_rate": prof["dup_rate"],
+        }
+    )

@@ -947,3 +947,27 @@ def zipf_slope(sf_dir: str):
         out_s.append(s)
         out_m.append(round(slope, 6))
     return pd.DataFrame({"source": out_s, "slope": out_m})
+
+
+def kl_divergence(sf_dir: str):
+    """Per-source KL divergence (nats) of the source's token-id
+    distribution from the CORPUS distribution — the mixture-weighting
+    signal a data curator reads next to entropy_by_source (how far
+    each source's unigram profile sits from the blend it feeds).
+    KL(p_s || p) = sum_t p_s(t) * ln(p_s(t) / p(t)); p_s(t) > 0
+    implies p(t) > 0 (the corpus includes the source), so every term
+    is finite. One corpus scan (the shared vocab-profile partials);
+    the fold runs on the merged summary-scaled table. 6-dp rounding
+    on both sides absorbs summation-order float drift."""
+    agg = _source_token_counts(sf_dir)
+    gtok = agg.groupby("tok", sort=False)["n"].sum()
+    grand = float(agg["n"].sum())
+    out_s, out_k = [], []
+    for s, sub in agg.groupby("source", sort=True):
+        n = sub["n"].to_numpy(np.float64)
+        total = n.sum()
+        ps = n / total
+        p = gtok.loc[sub["tok"]].to_numpy(np.float64) / grand
+        out_s.append(s)
+        out_k.append(round(float((ps * np.log(ps / p)).sum()), 6))
+    return pd.DataFrame({"source": out_s, "kl": out_k})

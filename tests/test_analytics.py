@@ -994,3 +994,30 @@ def test_zipf_slope_vs_duckdb(ray_session):
     np.testing.assert_allclose(got["slope"], exp["slope"], atol=2e-6)
     # a token-frequency table should be Zipf-ish: negative slope
     assert (got["slope"] < 0).all()
+
+
+def test_kl_divergence_vs_duckdb(ray_session):
+    from fastparquet_ray.functions.sketches import kl_divergence
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    sf_dir = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf_dir)
+    got = kl_divergence(sf_dir)
+    glob = paths[0].rsplit("/", 1)[0] + "/*.parquet"
+    exp = duckdb.connect().execute(
+        "WITH tf AS (SELECT source, tok, count(*) AS n FROM ("
+        f"SELECT source, unnest(tokens) AS tok FROM read_parquet('{glob}')"
+        ") GROUP BY source, tok), "
+        "tot AS (SELECT source, sum(n) AS total FROM tf GROUP BY source), "
+        "g AS (SELECT tok, sum(n) AS gn FROM tf GROUP BY tok), "
+        "gt AS (SELECT sum(n) AS grand FROM tf) "
+        "SELECT tf.source AS source, ROUND(SUM((n / total) * "
+        "ln((n / total) / (gn / grand))), 6) AS kl "
+        "FROM tf JOIN tot ON tf.source = tot.source "
+        "JOIN g ON tf.tok = g.tok CROSS JOIN gt "
+        "GROUP BY tf.source ORDER BY source"
+    ).df()
+    assert got["source"].tolist() == exp["source"].tolist()
+    np.testing.assert_allclose(got["kl"], exp["kl"], atol=2e-6)
+    # KL is non-negative and strictly positive for a non-uniform mix
+    assert (got["kl"] >= 0).all() and got["kl"].max() > 0

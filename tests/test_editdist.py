@@ -131,3 +131,20 @@ def test_qgram_sets_dedup_and_offsets():
     assert d.tolist() == [0, 0, 0, 0, 1, 1, 1, 1]
     v = np.frombuffer(b"abcd", np.uint8).view(np.uint32)[0]
     assert int(v) in g[d == 1].tolist()
+
+
+def test_doc_dup_profile(ray_session, sf_dir):
+    from fastparquet_ray.functions.dedup import doc_dup_profile
+
+    got = doc_dup_profile(sf_dir)
+    exp = duckdb.connect().execute(
+        "SELECT source, CAST(count(*) AS BIGINT) AS docs, "
+        "CAST(count(DISTINCT text) AS BIGINT) AS n_distinct, "
+        "ROUND(1 - count(DISTINCT text)::DOUBLE / count(*), 6) AS dup_rate "
+        f"FROM '{sf_dir}/documents.parquet' GROUP BY source ORDER BY source"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got, exp, check_dtype=False, atol=1e-9
+    )
+    # the fixture has one exact dup pair -> dup_rate > 0
+    assert got["dup_rate"].max() > 0
