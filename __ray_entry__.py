@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_rank": analytics.window_rank,
         "window_lag": analytics.window_lag,
         "lead_value": analytics.lead_value,
+        "percent_rank": analytics.percent_rank_value,
         "rollup_agg": analytics.rollup_agg,
         "cube_agg": analytics.cube_agg,
         "pivot_counts": analytics.pivot_counts,
@@ -176,7 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # new this session
         "editdist_neardup", "lead_value", "nucleus_coverage",
-        "zipf_slope", "kl_divergence", "doc_dup_profile",
+        "zipf_slope", "kl_divergence", "doc_dup_profile", "percent_rank",
         "tokens_export_jsonl",
         # flagship / encode-decode surface (task-state encode rewrite)
         "tokens_roundtrip", "tokens_checksum", "tokens_groupby_source",
@@ -200,7 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_by_source", "quantiles", "quantiles_cont",
         "mad_value", "source_vocab_jaccard",
         # analytics not in the r03 window
-        "tz_hourly_activity", "cohort_retention",
+        "tz_hourly_activity",
     ]
     assert set(front) <= set(q)
     return {
@@ -521,6 +522,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT event_id, user_id, lead(value) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS next_value "
             "FROM events) WHERE next_value IS NOT NULL"
+        ),
+        "percent_rank": (
+            "SELECT event_id, user_id, ROUND(percent_rank() OVER ("
+            "PARTITION BY user_id ORDER BY value, event_id), 6) AS pr "
+            "FROM events"
         ),
         "rollup_agg": (
             "SELECT l_returnflag, l_linestatus, "

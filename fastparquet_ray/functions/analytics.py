@@ -427,6 +427,163 @@ def lead_value(sf_dir: str):
     return out
 
 
+def percent_rank_value(sf_dir: str):
+    """percent_rank() OVER (PARTITION BY user_id ORDER BY value,
+    event_id) — every event's within-user rank position scaled to
+    [0, 1] (single-event users get 0, SQL semantics). The event_id
+    tiebreak makes the order total, so percent_rank ==
+    (row_number - 1) / (n_user - 1) with no tie plateau to heal.
+
+    Scale shape (window_rank recipe + a count fold): ONE range sort
+    on (user_id, value, event_id), vectorized per-block rank pass;
+    rank offsets for block-straddling users come from the O(blocks)
+    border frame. The denominator n_user is block-local for users
+    fully inside one block; a straddling user's EVERY segment is an
+    edge segment of some block (middle blocks are single-user), so
+    the border frame also yields straddler totals — both driver
+    dicts stay block-count-bounded, never user-bounded."""
+    import ray
+    import ray.data
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    srt = (
+        ds.sort(["user_id", "value", "event_id"])
+        .materialize()  # consumed twice: border pull + rank pass
+    )
+
+    def edge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "user_id": pd.Series([], dtype="int64"),
+            "seg_n": pd.Series([], dtype="int64"),
+            "seg_val": pd.Series([], dtype="float64"),
+            "seg_eid": pd.Series([], dtype="int64"),
+            "blk_val": pd.Series([], dtype="float64"),
+            "blk_eid": pd.Series([], dtype="int64"),
+            "is_first": pd.Series([], dtype="bool"),
+        }
+        if df.empty:
+            return pd.DataFrame(cols)
+        u = df["user_id"].to_numpy()
+        start = np.ones(len(df), dtype=bool)
+        start[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(start)
+        ends = np.concatenate([starts[1:], [len(df)]])
+        first_i, last_i = 0, len(starts) - 1
+        take = sorted({first_i, last_i})
+        return pd.DataFrame(
+            {
+                "user_id": u[starts[take]].astype("int64"),
+                "seg_n": (ends - starts)[take].astype("int64"),
+                "seg_val": df["value"].to_numpy()[starts[take]],
+                "seg_eid": df["event_id"].to_numpy()[starts[take]].astype(
+                    "int64"
+                ),
+                "blk_val": np.full(len(take), df["value"].iloc[0]),
+                "blk_eid": np.full(
+                    len(take), df["event_id"].iloc[0], dtype=np.int64
+                ),
+                "is_first": np.array(
+                    [i == first_i for i in take], dtype=bool
+                ),
+            }
+        )
+
+    bd = (
+        srt.map_batches(edge_counts, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    offsets: dict[tuple, int] = {}
+    totals: dict[int, int] = {}
+    if len(bd):
+        bd = bd.sort_values(
+            ["user_id", "seg_val", "seg_eid"], kind="mergesort"
+        ).reset_index(drop=True)
+        u = bd["user_id"].to_numpy()
+        newkey = np.ones(len(bd), dtype=bool)
+        newkey[1:] = u[1:] != u[:-1]
+        seg_n = bd["seg_n"].to_numpy()
+        cum = np.cumsum(seg_n)
+        before = cum - seg_n
+        key_base = pd.Series(
+            np.where(newkey, before, np.nan)
+        ).ffill().to_numpy()
+        off = (before - key_base).astype(np.int64)
+        want = bd["is_first"].to_numpy() & ~newkey
+        for i in np.flatnonzero(want):
+            offsets[
+                (
+                    int(u[i]),
+                    float(bd["blk_val"].iloc[i]),
+                    int(bd["blk_eid"].iloc[i]),
+                )
+            ] = int(off[i])
+        # straddler totals: a user in >= 2 blocks has ALL its segments
+        # in bd (its middle blocks are single-user); single-bd-row
+        # users get their true block-local count anyway
+        straddle = u[~newkey]
+        if straddle.size:
+            tot = (
+                bd[np.isin(u, straddle)]
+                .groupby("user_id", sort=False)["seg_n"]
+                .sum()
+            )
+            totals = {int(k): int(v) for k, v in tot.items()}
+    off_ref = ray.put((offsets, totals))
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "pr": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def block_pr(df: pd.DataFrame, _memo={}) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        if "o" not in _memo:
+            _memo["o"] = ray.get(off_ref)  # O(blocks) entries, tiny
+        offs, tots = _memo["o"]
+        u = df["user_id"].to_numpy()
+        start = np.ones(len(df), dtype=bool)
+        start[1:] = u[1:] != u[:-1]
+        seg_id = np.cumsum(start) - 1
+        starts = np.flatnonzero(start)
+        ends = np.concatenate([starts[1:], [len(df)]])
+        rn = np.arange(len(df), dtype=np.int64) - starts[seg_id] + 1
+        off = offs.get(
+            (
+                int(u[0]),
+                float(df["value"].iloc[0]),
+                int(df["event_id"].iloc[0]),
+            )
+        )
+        if off:
+            rn = np.where(seg_id == 0, rn + off, rn)
+        cnt = (ends - starts)[seg_id].astype(np.int64)
+        if tots:
+            seg_u = u[starts]
+            seg_tot = np.array(
+                [tots.get(int(x), 0) for x in seg_u], dtype=np.int64
+            )
+            cnt = np.where(seg_tot[seg_id] > 0, seg_tot[seg_id], cnt)
+        pr = np.where(
+            cnt > 1, (rn - 1) / np.maximum(cnt - 1, 1), 0.0
+        )
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy().astype("int64"),
+                "user_id": u.astype("int64"),
+                "pr": np.round(pr, 6),
+            }
+        )
+
+    return srt.map_batches(
+        block_pr, batch_format="pandas", batch_size=None
+    )
+
+
 # --------------------------------------------------------------------
 # OLAP: rollup / pivot / statistical moments
 # --------------------------------------------------------------------

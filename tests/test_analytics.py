@@ -1021,3 +1021,44 @@ def test_kl_divergence_vs_duckdb(ray_session):
     np.testing.assert_allclose(got["kl"], exp["kl"], atol=2e-6)
     # KL is non-negative and strictly positive for a non-uniform mix
     assert (got["kl"] >= 0).all() and got["kl"].max() > 0
+
+
+def test_percent_rank(ray_session, sf_dir):
+    from fastparquet_ray.functions.analytics import percent_rank_value
+
+    got = _norm(percent_rank_value(sf_dir).to_pandas())
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT event_id, user_id, ROUND(percent_rank() OVER ("
+            "PARTITION BY user_id ORDER BY value, event_id), 6) AS pr "
+            "FROM events"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-6)
+    # single-event users rank 0.0 (SQL semantics), present in output
+    single = got[got["user_id"] == 900]
+    assert len(single) == 1 and single["pr"].iloc[0] == 0.0
+
+
+def test_percent_rank_tiny_blocks(ray_session, sf_dir):
+    """Many tiny sorted blocks: straddler rank offsets AND straddler
+    total counts must both come from the border frame."""
+    import ray.data
+
+    from fastparquet_ray.functions.analytics import percent_rank_value
+
+    ctx = ray.data.DataContext.get_current()
+    old_target = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        got = _norm(percent_rank_value(sf_dir).to_pandas())
+    finally:
+        ctx.target_max_block_size = old_target
+    exp = _norm(
+        _duck(sf_dir).execute(
+            "SELECT event_id, user_id, ROUND(percent_rank() OVER ("
+            "PARTITION BY user_id ORDER BY value, event_id), 6) AS pr "
+            "FROM events"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-6)
