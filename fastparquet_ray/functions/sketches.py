@@ -852,16 +852,23 @@ def source_vocab_jaccard(sf_dir: str):
     )
 
 
+_VOCAB_PROFILE_CACHE: dict = {}
+
+
 def _source_token_counts(sf_dir: str) -> pd.DataFrame:
     """(source, tok, n) occurrence counts over the decoded corpus —
-    the shared vocabulary-profile input of entropy_by_source /
-    nucleus_coverage / zipf_slope. One streaming scan of packed
+    the shared vocabulary-profile input of nucleus_coverage /
+    zipf_slope / kl_divergence. One streaming scan of packed
     (source-code << 32 | tok) partials merged by groupagg; the result
-    is vocabulary x sources sized (summary-scaled)."""
+    is vocabulary x sources sized (summary-scaled), so it is memoized
+    per encoded dir — the three consumers pay ONE corpus scan between
+    them instead of three (the inputs are immutable per dir)."""
     from ..pipelines.decode import decode_dataset
     from ..pipelines.flagship import ensure_encoded
 
     _, enc = ensure_encoded(sf_dir)
+    if enc in _VOCAB_PROFILE_CACHE:
+        return _VOCAB_PROFILE_CACHE[enc]
     ds = decode_dataset(enc, columns=["source", "tokens"])
 
     empty = pa.table(
@@ -889,10 +896,13 @@ def _source_token_counts(sf_dir: str) -> pd.DataFrame:
 
     from .groupagg import merge_partials
 
-    return merge_partials(
+    prof = merge_partials(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["source", "tok"], {"n": "sum"},
     )
+    _VOCAB_PROFILE_CACHE.clear()  # hold ONE profile (dirs are rare)
+    _VOCAB_PROFILE_CACHE[enc] = prof
+    return prof
 
 
 def nucleus_coverage(sf_dir: str, p: float = 0.9):
