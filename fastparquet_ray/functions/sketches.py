@@ -469,45 +469,10 @@ def entropy_by_source(sf_dir: str):
     (source-code << 32 | tok) packed count partials (the tfidf_topk
     recipe); the merged table is vocabulary x sources sized, and the
     entropy H = log2(N) - sum(c*log2 c)/N folds per source on the
-    driver. Matches DuckDB's entropy() aggregate (log base 2)."""
-    from ..pipelines.decode import decode_dataset
-    from ..pipelines.flagship import ensure_encoded
-
-    _, enc = ensure_encoded(sf_dir)
-    ds = decode_dataset(enc, columns=["source", "tokens"])
-
-    empty = pa.table(
-        {"source": pa.array([], pa.string()),
-         "tok": pa.array([], pa.int64()),
-         "n": pa.array([], pa.int64())}
-    )
-
-    def partial(t: pa.Table) -> pa.Table:
-        col = t.column("tokens").combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        if flat.size == 0:
-            return empty
-        offs = col.offsets.to_numpy(zero_copy_only=False)
-        # factorize sources inside the block: the pack code is block-
-        # LOCAL (uniques order varies per block), so partial rows carry
-        # the decoded string key — merge_partials handles multi-key
-        src = t.column("source").to_numpy(zero_copy_only=False)
-        codes, uniq = pd.factorize(src)
-        row_code = np.repeat(codes.astype(np.int64), np.diff(offs))
-        key, cnt = np.unique((row_code << np.int64(32)) | flat,
-                             return_counts=True)
-        return pa.table(
-            {"source": pa.array(uniq[key >> np.int64(32)], pa.string()),
-             "tok": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
-             "n": pa.array(cnt, pa.int64())}
-        )
-
-    from .groupagg import merge_partials
-
-    agg = merge_partials(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["source", "tok"], {"n": "sum"},
-    )
+    driver. Matches DuckDB's entropy() aggregate (log base 2).
+    Shares the memoized vocab-profile scan with nucleus_coverage /
+    zipf_slope / kl_divergence."""
+    agg = _source_token_counts(sf_dir)
     out = []
     for s, sub in agg.groupby("source", sort=True):
         n = sub["n"].to_numpy(dtype=np.float64)
