@@ -27,34 +27,12 @@ def token_topk(sf_dir: str, k: int = 20):
     """Top-k token ids by total occurrence count over the encoded
     corpus (answered FROM DECODED SHARDS like the other tokens
     queries, proving the token stream roundtrip under an aggregate the
-    oracle can cross-check)."""
-    from ..pipelines.decode import decode_dataset
-    from ..pipelines.flagship import ensure_encoded
-
-    _, enc = ensure_encoded(sf_dir)
-    ds = decode_dataset(enc, columns=["tokens"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        flat = t.column("tokens").combine_chunks().flatten().to_numpy(
-            zero_copy_only=False
-        )
-        if flat.size == 0:
-            return pa.table(
-                {"tok": pa.array([], pa.int64()),
-                 "n": pa.array([], pa.int64())}
-            )
-        counts = np.bincount(flat)
-        nz = np.flatnonzero(counts)
-        return pa.table(
-            {"tok": pa.array(nz, pa.int64()),
-             "n": pa.array(counts[nz], pa.int64())}
-        )
-
-    from .groupagg import merge_partials
-
-    agg = merge_partials(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["tok"], {"n": "sum"},
+    oracle can cross-check). Folds the shared memoized vocab profile
+    over sources — with any sibling profile consumer in the same
+    session the corpus scan is paid once."""
+    agg = (
+        _source_token_counts(sf_dir)
+        .groupby("tok", sort=False)["n"].sum().reset_index()
     )
     out = agg.sort_values(["n", "tok"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
@@ -753,48 +731,16 @@ def source_vocab_jaccard(sf_dir: str):
     weighting or merging sources (near-identical vocabularies suggest
     near-identical crawls).
 
-    Scale shape: the entropy_by_source recipe — one streaming decode
-    pass emits per-block distinct (source, tok) partials (packed
-    source-code<<32|tok np.unique), merged at sources x vocabulary
-    cardinality by groupagg.merge_partials. Pairwise intersections
-    then run on the merged frame with per-source sorted id arrays +
-    np.intersect1d: O(S^2) pairs x O(V log V), driver-side because S
-    is small (dozens) and V is vocabulary-bounded — the same footprint
-    the output necessarily has. Zero-intersection pairs are omitted
-    (matching the SQL inner-join shape)."""
-    from ..pipelines.decode import decode_dataset
-    from ..pipelines.flagship import ensure_encoded
-    from .groupagg import merge_partials
-
-    _, enc = ensure_encoded(sf_dir)
-    ds = decode_dataset(enc, columns=["source", "tokens"])
-
-    empty = pa.table(
-        {"source": pa.array([], pa.string()),
-         "tok": pa.array([], pa.int64()),
-         "n": pa.array([], pa.int64())}
-    )
-
-    def partial(t: pa.Table) -> pa.Table:
-        col = t.column("tokens").combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        if flat.size == 0:
-            return empty
-        offs = col.offsets.to_numpy(zero_copy_only=False)
-        src = t.column("source").to_numpy(zero_copy_only=False)
-        codes, uniq = pd.factorize(src)
-        row_code = np.repeat(codes.astype(np.int64), np.diff(offs))
-        key = np.unique((row_code << np.int64(32)) | flat)
-        return pa.table(
-            {"source": pa.array(uniq[key >> np.int64(32)], pa.string()),
-             "tok": pa.array(key & np.int64(0xFFFFFFFF), pa.int64()),
-             "n": pa.array(np.ones(key.size, np.int64), pa.int64())}
-        )
-
-    agg = merge_partials(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["source", "tok"], {"n": "sum"},
-    )
+    Scale shape: the distinct (source, tok) pairs are exactly the
+    rows of the shared memoized vocab profile (occurrence counts
+    ignored), so this costs zero extra scans after any profile
+    consumer has run. Pairwise intersections run on the merged frame
+    with per-source sorted id arrays + np.intersect1d: O(S^2) pairs
+    x O(V log V), driver-side because S is small (dozens) and V is
+    vocabulary-bounded — the same footprint the output necessarily
+    has. Zero-intersection pairs are omitted (matching the SQL
+    inner-join shape)."""
+    agg = _source_token_counts(sf_dir)
     vocab = {
         s: np.sort(sub["tok"].to_numpy(dtype=np.int64))
         for s, sub in agg.groupby("source", sort=True)
