@@ -218,7 +218,8 @@ def run_bench() -> dict:
             "bigram_pmi", "dedup_clusters", "decontaminate",
             "cohort_retention", "mad_value", "tz_hourly_activity",
             "repetition_ratio", "editdist_neardup", "lead_value",
-            "nucleus_coverage", "zipf_slope",
+            "nucleus_coverage", "zipf_slope", "kl_divergence",
+            "doc_dup_profile", "percent_rank",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)
