@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         analytics,
         dedup,
         multimodal,
+        packing,
         relational,
         sampling,
         similarity,
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_lookup": flagship.bloom_lookup,
         "tokens_export_parquet": flagship.tokens_export_roundtrip,
         "tokens_export_jsonl": flagship.tokens_export_jsonl_roundtrip,
+        "pack_stats": packing.pack_stats,
         "nested_roundtrip": flagship.nested_roundtrip,
         "events_roundtrip": flagship.events_roundtrip,
         "hive_partition_counts": flagship.hive_partition_counts,
@@ -178,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this session
         "editdist_neardup", "lead_value", "nucleus_coverage",
         "zipf_slope", "kl_divergence", "doc_dup_profile", "percent_rank",
+        "pack_stats",
         "tokens_export_jsonl",
         # flagship / encode-decode surface (task-state encode rewrite)
         "tokens_roundtrip", "tokens_checksum", "tokens_groupby_source",
@@ -198,7 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash", "sample_stratified", "mixture_sample",
         # sketches / token analytics
         "token_topk", "token_docfreq", "tfidf_topk",
-        "entropy_by_source", "quantiles", "quantiles_cont",
+        "entropy_by_source", "quantiles_cont",
         "mad_value", "source_vocab_jaccard",
         # analytics not in the r03 window
         "tz_hourly_activity",
@@ -652,6 +655,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n, "
             "CAST(sum(n_tok) AS BIGINT) AS sum_tok "
             f"FROM read_parquet('{_TOKENS_GLOB}') GROUP BY source"
+        ),
+        # packing invariant: per-example token count + sum derived in
+        # SQL from per-token global positions (window cumsum +
+        # generate_subscripts) under the same doc_id order; the ragged
+        # tail past (total // L) * L is dropped on both sides
+        "pack_stats": (
+            "WITH t AS (SELECT doc_id, tokens, n_tok, "
+            "COALESCE(sum(n_tok) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            f"AS prev FROM read_parquet('{_TOKENS_GLOB}')), "
+            "tot AS (SELECT (sum(n_tok) // 512) * 512 AS cut "
+            f"FROM read_parquet('{_TOKENS_GLOB}')), "
+            "pos AS (SELECT prev + generate_subscripts(tokens, 1) - 1 "
+            "AS gpos, unnest(tokens) AS tok FROM t) "
+            "SELECT CAST(gpos // 512 AS BIGINT) AS example_id, "
+            "CAST(count(*) AS BIGINT) AS n_tok, "
+            "CAST(sum(tok) AS BIGINT) AS tok_sum "
+            "FROM pos, tot WHERE gpos < cut GROUP BY example_id"
         ),
         # JSONL sink roundtrip: also sums the token stream itself, so
         # equality proves the integer arrays survive the text format

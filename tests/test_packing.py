@@ -1,0 +1,78 @@
+"""Sequence packing: bit-identical to the concat-then-chunk ground
+truth, including under tiny blocks where one example is assembled
+from 3+ boundary fragments of single-doc blocks."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fastparquet_ray.functions.packing import pack_sequences, pack_stats
+
+
+def _ground_truth(paths, length):
+    t = pa.concat_tables(
+        [pq.read_table(p, columns=["doc_id", "tokens"]) for p in paths]
+    )
+    tdf = t.to_pandas().sort_values("doc_id")
+    stream = np.concatenate(
+        [np.asarray(x, dtype=np.int32) for x in tdf["tokens"]]
+    )
+    n_ex = len(stream) // length
+    return stream[: n_ex * length].reshape(n_ex, length)
+
+
+def _assert_packed_equal(ds, want, length):
+    df = ds.to_pandas().sort_values("example_id").reset_index(drop=True)
+    assert df["example_id"].is_unique
+    assert (df["example_id"].to_numpy() == np.arange(len(df))).all()
+    assert (df["tokens"].map(len) == length).all()
+    got = np.stack(df["tokens"].map(np.asarray).to_numpy())
+    assert got.shape == want.shape
+    assert (got == want).all()
+
+
+def test_pack_sequences_bit_identical(ray_session):
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    sf = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf)
+    want = _ground_truth(paths, 512)
+    _assert_packed_equal(pack_sequences(sf, length=512), want, 512)
+
+
+def test_pack_sequences_multi_fragment_examples(ray_session):
+    """length far above the per-block token count: every example is
+    stitched from MANY block fragments on the driver fix-up path."""
+    import ray.data
+
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    sf = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf)
+    ctx = ray.data.DataContext.get_current()
+    old_target = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024  # many tiny sorted blocks
+    try:
+        want = _ground_truth(paths, 4096)
+        _assert_packed_equal(pack_sequences(sf, length=4096), want, 4096)
+    finally:
+        ctx.target_max_block_size = old_target
+
+
+def test_pack_stats_consistency(ray_session):
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    sf = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf)
+    want = _ground_truth(paths, 512)
+    st = (
+        pack_stats(sf, length=512)
+        .to_pandas()
+        .sort_values("example_id")
+        .reset_index(drop=True)
+    )
+    assert (st["n_tok"] == 512).all()
+    np.testing.assert_array_equal(
+        st["tok_sum"].to_numpy(), want.astype(np.int64).sum(axis=1)
+    )
