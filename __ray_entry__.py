@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_export_parquet": flagship.tokens_export_roundtrip,
         "tokens_export_jsonl": flagship.tokens_export_jsonl_roundtrip,
         "pack_stats": packing.pack_stats,
+        "pack_bins": packing.pack_bins,
         "nested_roundtrip": flagship.nested_roundtrip,
         "events_roundtrip": flagship.events_roundtrip,
         "hive_partition_counts": flagship.hive_partition_counts,
@@ -180,7 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this session
         "editdist_neardup", "lead_value", "nucleus_coverage",
         "zipf_slope", "kl_divergence", "doc_dup_profile", "percent_rank",
-        "pack_stats",
+        "pack_stats", "pack_bins",
         "tokens_export_jsonl",
         # flagship / encode-decode surface (task-state encode rewrite)
         "tokens_roundtrip", "tokens_checksum", "tokens_groupby_source",
@@ -202,7 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches / token analytics
         "token_topk", "token_docfreq", "tfidf_topk",
         "entropy_by_source", "quantiles_cont",
-        "mad_value", "source_vocab_jaccard",
+        "mad_value",
         # analytics not in the r03 window
         "tz_hourly_activity",
     ]
@@ -673,6 +674,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_tok, "
             "CAST(sum(tok) AS BIGINT) AS tok_sum "
             "FROM pos, tot WHERE gpos < cut GROUP BY example_id"
+        ),
+        # boundary-respecting packing: docs land whole in the bin of
+        # their global start offset — a pure window cumsum in SQL
+        "pack_bins": (
+            "WITH t AS (SELECT doc_id, n_tok, "
+            "COALESCE(sum(n_tok) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            f"AS prev FROM read_parquet('{_TOKENS_GLOB}')) "
+            "SELECT CAST(prev // 512 AS BIGINT) AS example_id, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_tok) AS BIGINT) AS tok_sum "
+            "FROM t GROUP BY example_id"
         ),
         # JSONL sink roundtrip: also sums the token stream itself, so
         # equality proves the integer arrays survive the text format

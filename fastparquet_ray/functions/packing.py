@@ -212,3 +212,103 @@ def pack_stats(sf_dir: str, length: int = 512):
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def pack_bins(sf_dir: str, length: int = 512):
+    """Boundary-respecting packing: each document lands WHOLE in the
+    bin its global start offset falls into (example_id =
+    exclusive_cumsum(n_tok) // length under the doc_id order) — the
+    sequence-length bucketing used when cross-document attention is
+    masked and documents must not split. Bin token counts float
+    around ``length`` instead of hitting it exactly; returns
+    (example_id, n_docs, tok_sum) per bin.
+
+    Scale shape: the SAME one doc_id range sort + O(blocks) exclusive
+    prefix fold as pack_sequences; every block emits its (bin, count,
+    sum) partials and a bin straddles at most the blocks its docs
+    span, so merge_partials finishes the job — no second exchange
+    class, no driver corpus state."""
+    import ray
+
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+    from .groupagg import merge_partials
+
+    _, enc = ensure_encoded(sf_dir)
+    srt = (
+        decode_dataset(enc, columns=["doc_id", "n_tok"])
+        .sort("doc_id")
+        .materialize()
+    )
+
+    def block_sums(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"first_doc": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "first_doc": pa.array(
+                    [str(t.column("doc_id")[0])], pa.string()
+                ),
+                "n": pa.array(
+                    [int(
+                        t.column("n_tok").to_numpy(
+                            zero_copy_only=False
+                        ).sum()
+                    )],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    bs = (
+        srt.map_batches(block_sums, batch_format="pyarrow",
+                        batch_size=None)
+        .to_pandas()
+        .sort_values("first_doc")
+        .reset_index(drop=True)
+    )
+    excl = np.zeros(len(bs), dtype=np.int64)
+    if len(bs) > 1:
+        np.cumsum(bs["n"].to_numpy()[:-1], out=excl[1:])
+    off_ref = ray.put(dict(zip(bs["first_doc"], excl)))
+    L = length
+
+    def partial(t: pa.Table, _memo={}) -> pa.Table:
+        empty = pa.table(
+            {"example_id": pa.array([], pa.int64()),
+             "n_docs": pa.array([], pa.int64()),
+             "tok_sum": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        if "o" not in _memo:
+            _memo["o"] = ray.get(off_ref)
+        n = t.column("n_tok").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        g0 = _memo["o"][str(t.column("doc_id")[0])]
+        prev = g0 + np.cumsum(n) - n
+        eid = prev // L
+        uniq, inv = np.unique(eid, return_inverse=True)
+        return pa.table(
+            {
+                "example_id": pa.array(uniq, pa.int64()),
+                "n_docs": pa.array(
+                    np.bincount(inv).astype(np.int64), pa.int64()
+                ),
+                "tok_sum": pa.array(
+                    np.bincount(inv, weights=n).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = merge_partials(
+        srt.map_batches(partial, batch_format="pyarrow",
+                        batch_size=None),
+        ["example_id"], {"n_docs": "sum", "tok_sum": "sum"},
+    )
+    return out.sort_values("example_id").reset_index(drop=True)

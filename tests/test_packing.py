@@ -76,3 +76,41 @@ def test_pack_stats_consistency(ray_session):
     np.testing.assert_array_equal(
         st["tok_sum"].to_numpy(), want.astype(np.int64).sum(axis=1)
     )
+
+
+def test_pack_bins_vs_duckdb(ray_session):
+    import duckdb
+
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    from fastparquet_ray.functions.packing import pack_bins
+
+    sf = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf)
+    got = pack_bins(sf, length=512)
+    glob = paths[0].rsplit("/", 1)[0] + "/*.parquet"
+    exp = duckdb.connect().execute(
+        "WITH t AS (SELECT doc_id, n_tok, "
+        "COALESCE(sum(n_tok) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev "
+        f"FROM read_parquet('{glob}')) "
+        "SELECT CAST(prev // 512 AS BIGINT) AS example_id, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tok) AS BIGINT) AS tok_sum "
+        "FROM t GROUP BY example_id ORDER BY example_id"
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
+    # docs are conserved: every token lands in exactly one bin
+    import pyarrow.parquet as pq
+
+    total = sum(
+        int(pq.read_table(p, columns=["n_tok"]).column("n_tok")
+            .to_numpy().sum())
+        for p in paths
+    )
+    assert int(got["tok_sum"].sum()) == total
+    assert got["example_id"].is_monotonic_increasing
