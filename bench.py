@@ -354,6 +354,8 @@ def run_scaling() -> dict:
         "gbps_hi": [round(thr(r) / 1e9, 4) for r in his],
         "cal_lo": [r["cal_gbps"] for r in los],
         "cal_hi": [r["cal_gbps"] for r in his],
+        "bw_lo": [r.get("bw_samples_gbps") for r in los],
+        "bw_hi": [r.get("bw_samples_gbps") for r in his],
         "scaling_efficiency": round(med(eff_raw), 3),
         "scaling_efficiency_raw_samples": [round(e, 3) for e in eff_raw],
         "scaling_efficiency_normalized": round(med(eff_norm), 3),
