@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": sketches.inverted_index,
         "zscore_outliers": analytics.zscore_outliers,
         "normalized_dedup": textops.normalized_dedup,
+        "pii_scrub": textops.pii_scrub,
         "bigram_pmi": sketches.bigram_pmi,
         "langs_per_source": relational.langs_per_source,
         "unpivot_metrics": relational.unpivot_metrics,
@@ -181,7 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this session
         "editdist_neardup", "lead_value", "nucleus_coverage",
         "zipf_slope", "kl_divergence", "doc_dup_profile", "percent_rank",
-        "pack_stats", "pack_bins",
+        "pack_stats", "pack_bins", "pii_scrub",
         "tokens_export_jsonl",
         # flagship / encode-decode surface (task-state encode rewrite)
         "tokens_roundtrip", "tokens_checksum", "tokens_groupby_source",
@@ -203,7 +204,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches / token analytics
         "token_topk", "token_docfreq", "tfidf_topk",
         "entropy_by_source", "quantiles_cont",
-        "mad_value",
         # analytics not in the r03 window
         "tz_hourly_activity",
     ]
@@ -946,6 +946,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(DISTINCT text) AS BIGINT) AS n_distinct, "
             "ROUND(1 - count(DISTINCT text)::DOUBLE / count(*), 6) "
             "AS dup_rate FROM documents GROUP BY source"
+        ),
+        # same regex chain (email -> ipv4 -> phone), RE2-compatible
+        # patterns shared verbatim with the Ray operator
+        "pii_scrub": (
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+            "'<IP>', 'g'), "
+            "'\\+\\d[\\d\\-]{7,}\\d', '<PHONE>', 'g') "
+            "AS text_redacted, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "AS BIGINT) AS n_email, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) "
+            "AS BIGINT) AS n_ipv4, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\+\\d[\\d\\-]{7,}\\d')) AS BIGINT) AS n_phone "
+            "FROM documents"
         ),
         # exact all-pairs ground truth for the Ed-Join prefix filter:
         # the Ray side's candidate generation is provably complete, so

@@ -422,3 +422,62 @@ def repetition_ratio(sf_dir: str, threshold: float = 0.15):
         .sort_values("source")
         .reset_index(drop=True)
     )
+
+
+# PII patterns shared VERBATIM between the Ray operator and the
+# DuckDB oracle (RE2-compatible: no lookaround/backrefs, so python re
+# and DuckDB's RE2 match identically; parity pytest-verified on
+# adversarial strings). Replacement order is email -> ipv4 -> phone
+# on BOTH sides; counts are per-pattern over the ORIGINAL text.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\-]{7,}\d", "<PHONE>"),
+]
+
+
+class PiiScrubber:
+    """Compiled-regex redaction state, built once per worker
+    (task-state stage): the curation pass C4/Dolma-style pipelines
+    run before publishing a corpus."""
+
+    def __init__(self):
+        import re
+
+        self.pats = [
+            (name, re.compile(pat), repl)
+            for name, pat, repl in PII_PATTERNS
+        ]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].tolist()
+        red: list[str] = []
+        counts = {name: np.zeros(len(texts), dtype=np.int64)
+                  for name, _, _ in self.pats}
+        for i, t in enumerate(texts):
+            s = t
+            for name, rx, repl in self.pats:
+                counts[name][i] = len(rx.findall(t))
+                s = rx.sub(repl, s)
+            red.append(s)
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "text_redacted": red}
+        )
+        for name, _, _ in self.pats:
+            out[f"n_{name}"] = counts[name]
+        return out
+
+
+def pii_scrub(sf_dir: str):
+    """Redact emails / IPv4s / phone numbers from every document and
+    count the hits per category — output is the full redacted corpus
+    (value-hash-checked against DuckDB's regexp_replace chain), a
+    pure per-row stage with zero exchanges."""
+    import ray.data
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        _task_state(PiiScrubber), batch_format="pandas",
+        batch_size=4096,
+    )

@@ -148,3 +148,64 @@ def test_doc_dup_profile(ray_session, sf_dir):
     )
     # the fixture has one exact dup pair -> dup_rate > 0
     assert got["dup_rate"].max() > 0
+
+
+def test_pii_scrub_parity(ray_session, tmp_path):
+    """Python re and DuckDB RE2 redact ADVERSARIAL strings
+    identically: emails with dots/plus, IPs inside sentences, phones
+    with dashes, an IP-like tail inside an email, and no-PII text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastparquet_ray.functions.textops import pii_scrub
+
+    texts = [
+        "contact a.b+tag@sub.example.io today",
+        "server at 10.0.0.1 and 255.255.255.255 end",
+        "call +1-555-123-4567 now",
+        "weird a@1.2.3.4 stays an ip-less email candidate",
+        "no pii at all here",
+        "double x@y.zz then 8.8.8.8 then +49-30-1234567",
+        "",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = tmp_path / "pii"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(docs), d / "documents.parquet")
+    got = (
+        pii_scrub(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.connect().execute(
+        "SELECT doc_id, "
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+        "'<EMAIL>', 'g'), "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+        "'<IP>', 'g'), "
+        "'\\+\\d[\\d\\-]{7,}\\d', '<PHONE>', 'g') AS text_redacted, "
+        "CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+        "AS n_email, "
+        "CAST(len(regexp_extract_all(text, "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) "
+        "AS n_ipv4, "
+        "CAST(len(regexp_extract_all(text, "
+        "'\\+\\d[\\d\\-]{7,}\\d')) AS BIGINT) AS n_phone "
+        f"FROM '{d}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["n_email"].sum() == 2  # a@1.2.3.4 is not an email (TLD)
+    assert "<EMAIL>" in got["text_redacted"].iloc[0]
+    assert "<IP>" in got["text_redacted"].iloc[1]
+    assert "<PHONE>" in got["text_redacted"].iloc[2]
