@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_export_jsonl": flagship.tokens_export_jsonl_roundtrip,
         "pack_stats": packing.pack_stats,
         "pack_bins": packing.pack_bins,
+        "chunk_windows": packing.chunk_windows,
         "nested_roundtrip": flagship.nested_roundtrip,
         "events_roundtrip": flagship.events_roundtrip,
         "hive_partition_counts": flagship.hive_partition_counts,
@@ -182,7 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this session
         "editdist_neardup", "lead_value", "nucleus_coverage",
         "zipf_slope", "kl_divergence", "doc_dup_profile", "percent_rank",
-        "pack_stats", "pack_bins", "pii_scrub",
+        "pack_stats", "pack_bins", "pii_scrub", "chunk_windows",
         "tokens_export_jsonl",
         # flagship / encode-decode surface (task-state encode rewrite)
         "tokens_roundtrip", "tokens_checksum", "tokens_groupby_source",
@@ -203,7 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash", "sample_stratified", "mixture_sample",
         # sketches / token analytics
         "token_topk", "token_docfreq", "tfidf_topk",
-        "entropy_by_source", "quantiles_cont",
+        "entropy_by_source",
         # analytics not in the r03 window
         "tz_hourly_activity",
     ]
@@ -674,6 +675,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_tok, "
             "CAST(sum(tok) AS BIGINT) AS tok_sum "
             "FROM pos, tot WHERE gpos < cut GROUP BY example_id"
+        ),
+        # sliding-window chunking: per-doc window stats via
+        # generate_series + list_slice under the same (size, stride)
+        "chunk_windows": (
+            "SELECT doc_id, CAST(s // 64 AS BIGINT) AS win_idx, "
+            "CAST(least(s + 128, n_tok) - s AS BIGINT) AS win_len, "
+            "CAST(list_aggregate(list_slice(tokens, s + 1, "
+            "least(s + 128, n_tok)), 'sum') AS BIGINT) AS tok_sum "
+            "FROM (SELECT doc_id, tokens, n_tok, "
+            "unnest(generate_series(0, n_tok - 1, 64)) AS s "
+            f"FROM read_parquet('{_TOKENS_GLOB}'))"
         ),
         # boundary-respecting packing: docs land whole in the bin of
         # their global start offset — a pure window cumsum in SQL

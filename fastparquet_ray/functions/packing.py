@@ -312,3 +312,60 @@ def pack_bins(sf_dir: str, length: int = 512):
         ["example_id"], {"n_docs": "sum", "tok_sum": "sum"},
     )
     return out.sort_values("example_id").reset_index(drop=True)
+
+
+def chunk_windows(sf_dir: str, size: int = 128, stride: int = 64):
+    """Sliding-window chunking of each document's token array
+    (windows start every ``stride`` tokens while inside the doc, the
+    last ones truncated at the doc end) — the long-context eval /
+    retrieval-indexing chunker. Per-window (doc_id, win_idx, win_len,
+    tok_sum) derived fully vectorized from the list offsets + one
+    prefix sum per batch; embarrassingly parallel, zero exchanges."""
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+
+    _, enc = ensure_encoded(sf_dir)
+    ds = decode_dataset(enc, columns=["doc_id", "tokens"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.string()),
+             "win_idx": pa.array([], pa.int64()),
+             "win_len": pa.array([], pa.int64()),
+             "tok_sum": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        col = t.column("tokens").combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lens = np.diff(offs)
+        n_win = np.where(lens > 0, (lens - 1) // stride + 1, 0)
+        total = int(n_win.sum())
+        if total == 0:
+            return empty
+        doc_i = np.repeat(
+            np.arange(lens.size, dtype=np.int64), n_win
+        )
+        cum = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(n_win[:-1], out=cum[1:])
+        widx = np.arange(total, dtype=np.int64) - np.repeat(cum, n_win)
+        s = widx * stride
+        wlen = np.minimum(s + size, lens[doc_i]) - s
+        csum = np.concatenate([[0], np.cumsum(flat)])
+        g0 = offs[:-1][doc_i] + s
+        tok_sum = csum[g0 + wlen] - csum[g0]
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_i], pa.string()),
+                "win_idx": pa.array(widx, pa.int64()),
+                "win_len": pa.array(wlen, pa.int64()),
+                "tok_sum": pa.array(tok_sum.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(windows, batch_format="pyarrow")

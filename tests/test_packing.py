@@ -114,3 +114,33 @@ def test_pack_bins_vs_duckdb(ray_session):
     )
     assert int(got["tok_sum"].sum()) == total
     assert got["example_id"].is_monotonic_increasing
+
+
+def test_chunk_windows_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from fastparquet_ray.functions.packing import chunk_windows
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    sf = "/root/testdata/sf0.001"
+    paths, _ = ensure_encoded(sf)
+    glob = paths[0].rsplit("/", 1)[0] + "/*.parquet"
+    got = (
+        chunk_windows(sf, size=128, stride=64)
+        .to_pandas()
+        .sort_values(["doc_id", "win_idx"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.connect().execute(
+        "SELECT doc_id, CAST(s // 64 AS BIGINT) AS win_idx, "
+        "CAST(least(s + 128, n_tok) - s AS BIGINT) AS win_len, "
+        "CAST(list_aggregate(list_slice(tokens, s + 1, "
+        "least(s + 128, n_tok)), 'sum') AS BIGINT) AS tok_sum "
+        "FROM (SELECT doc_id, tokens, n_tok, "
+        "unnest(generate_series(0, n_tok - 1, 64)) AS s "
+        f"FROM read_parquet('{glob}')) ORDER BY doc_id, win_idx"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # overlapping stride: windows past the first overlap by half
+    assert (got[got["win_idx"] > 0]["win_len"] <= 128).all()
