@@ -219,7 +219,8 @@ def run_bench() -> dict:
             "cohort_retention", "mad_value", "tz_hourly_activity",
             "repetition_ratio", "editdist_neardup", "lead_value",
             "nucleus_coverage", "zipf_slope", "kl_divergence",
-            "doc_dup_profile", "percent_rank",
+            "doc_dup_profile", "percent_rank", "pack_stats",
+            "pack_bins", "chunk_windows", "pii_scrub",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)
