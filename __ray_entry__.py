@@ -121,6 +121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_stats": packing.pack_stats,
         "pack_bins": packing.pack_bins,
         "chunk_windows": packing.chunk_windows,
+        # pack_greedy: greedy first-fit is a SEQUENTIAL recurrence no
+        # SQL window can express -> deliberately no oracle_sql entry
+        # (rows-only driver check); exactness is pytest-pinned against
+        # the serial reference across block layouts
+        "pack_greedy": packing.pack_greedy,
         "nested_roundtrip": flagship.nested_roundtrip,
         "events_roundtrip": flagship.events_roundtrip,
         "hive_partition_counts": flagship.hive_partition_counts,
@@ -184,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editdist_neardup", "lead_value", "nucleus_coverage",
         "zipf_slope", "kl_divergence", "doc_dup_profile", "percent_rank",
         "pack_stats", "pack_bins", "pii_scrub", "chunk_windows",
+        "pack_greedy",
         "tokens_export_jsonl",
         # flagship / encode-decode surface (task-state encode rewrite)
         "tokens_roundtrip", "tokens_checksum", "tokens_groupby_source",
@@ -205,8 +211,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches / token analytics
         "token_topk", "token_docfreq", "tfidf_topk",
         "entropy_by_source",
-        # analytics not in the r03 window
-        "tz_hourly_activity",
     ]
     assert set(front) <= set(q)
     return {

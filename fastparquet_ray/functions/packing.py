@@ -369,3 +369,222 @@ def chunk_windows(sf_dir: str, size: int = 128, stride: int = 64):
         )
 
     return ds.map_batches(windows, batch_format="pyarrow")
+
+
+def pack_greedy(sf_dir: str, length: int = 512):
+    """EXACT distributed greedy sequence packing WITHOUT splitting
+    documents (first-fit-sequential: docs in doc_id order; a doc that
+    would overflow the open example closes it and starts the next;
+    oversized docs end up alone) — the masked-attention packing mode.
+    Output: one row per example, (example_id, n_docs, tok_sum, n_pad)
+    in closing order; the final open example is included.
+
+    Greedy packing is a SEQUENTIAL recurrence, distributed here with
+    the transfer-function trick: each block precomputes, for every
+    possible carry-in fill s in [0, L+1] (fills past L clamp — any
+    doc closes them), how many examples it closes and what fill it
+    hands on — an O(L) vector per block, composable on the driver in
+    O(blocks x L). Interior examples (opened AND closed inside one
+    block) emit distributed; the <= 2 boundary fragments per block
+    merge in an O(blocks) driver fix-up keyed by the globally-ordered
+    example id. No SQL oracle exists for a sequential recurrence —
+    correctness is pytest-pinned against the serial reference
+    implementation across block layouts, including multi-block and
+    oversized-doc examples."""
+    import ray
+    import ray.data
+
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+
+    _, enc = ensure_encoded(sf_dir)
+    srt = (
+        decode_dataset(enc, columns=["doc_id", "n_tok"])
+        .sort("doc_id")
+        .materialize()
+    )
+    L = length
+
+    def _chain_arrays(c: np.ndarray):
+        """nxt[j] = doc index closing a FRESH example opened at doc j
+        (n if it stays open); bins_from[j] = examples closed by the
+        suffix starting fresh at j; endfill_from[j] = trailing fill."""
+        n = c.size
+        cum = np.cumsum(c)
+        base = np.concatenate([[0], cum[:-1]])  # cum[j-1]
+        nxt = np.searchsorted(cum, base + L, side="right")
+        nxt = np.maximum(nxt, np.arange(n) + 1)  # oversized: alone
+        bins_from = np.zeros(n + 1, dtype=np.int64)
+        endfill_from = np.zeros(n + 1, dtype=np.int64)
+        open_start = np.full(n + 1, n, dtype=np.int64)
+        for j in range(n - 1, -1, -1):
+            m = nxt[j]
+            if m >= n:
+                bins_from[j] = 0
+                endfill_from[j] = cum[n - 1] - base[j]
+                open_start[j] = j
+            else:
+                bins_from[j] = 1 + bins_from[m]
+                endfill_from[j] = endfill_from[m]
+                open_start[j] = open_start[m]
+        return cum, base, nxt, bins_from, endfill_from, open_start
+
+    def _j1(c: np.ndarray, cum: np.ndarray, s: int) -> int:
+        """First doc index closing the CARRY example (start fill s>0);
+        c.size if the whole block joins the carry."""
+        j = int(np.searchsorted(cum, L - s, side="right"))
+        return min(j, c.size)
+
+    def block_f(t: pa.Table) -> pa.Table:
+        ecols = {
+            "first_doc": pa.array([], pa.string()),
+            "total": pa.array([], pa.int64()),
+            "closures": pa.array([], pa.list_(pa.int64())),
+            "endfill": pa.array([], pa.list_(pa.int64())),
+        }
+        if t.num_rows == 0:
+            return pa.table(ecols)
+        c = t.column("n_tok").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cum, base, nxt, bins_from, endfill_from, _ = _chain_arrays(c)
+        closures = np.zeros(L + 2, dtype=np.int64)
+        endfill = np.zeros(L + 2, dtype=np.int64)
+        for s in range(L + 2):
+            if s == 0:
+                closures[s] = bins_from[0]
+                endfill[s] = endfill_from[0]
+                continue
+            j1 = _j1(c, cum, min(s, L + 1) if s <= L else 0)
+            if s > L:  # any doc closes the carry immediately
+                j1 = 0
+            if j1 >= c.size:  # whole block joins the carry
+                closures[s] = 0
+                endfill[s] = -1  # driver computes s + total
+            else:
+                closures[s] = 1 + bins_from[j1]
+                endfill[s] = endfill_from[j1]
+        return pa.table(
+            {
+                "first_doc": pa.array(
+                    [str(t.column("doc_id")[0])], pa.string()
+                ),
+                "total": pa.array([int(cum[-1])], pa.int64()),
+                "closures": pa.array([closures.tolist()],
+                                     pa.list_(pa.int64())),
+                "endfill": pa.array([endfill.tolist()],
+                                    pa.list_(pa.int64())),
+            }
+        )
+
+    bf = (
+        srt.map_batches(block_f, batch_format="pyarrow",
+                        batch_size=None)
+        .to_pandas()
+        .sort_values("first_doc")
+        .reset_index(drop=True)
+    )
+    # O(blocks x L) driver composition of the transfer functions
+    state: dict[str, tuple[int, int]] = {}
+    s, closed = 0, 0
+    for _, row in bf.iterrows():
+        state[row["first_doc"]] = (s, closed)
+        idx = min(s, L + 1)
+        cl = int(row["closures"][idx])
+        ef = int(row["endfill"][idx])
+        closed += cl
+        s = s + int(row["total"]) if ef < 0 else ef
+    state_ref = ray.put(state)
+
+    def emit(t: pa.Table, _memo={}) -> pa.Table:
+        empty = pa.table(
+            {"example_id": pa.array([], pa.int64()),
+             "n_docs": pa.array([], pa.int64()),
+             "tok_sum": pa.array([], pa.int64()),
+             "is_frag": pa.array([], pa.bool_())}
+        )
+        if t.num_rows == 0:
+            return empty
+        if "o" not in _memo:
+            _memo["o"] = ray.get(state_ref)  # O(blocks) entries
+        c = t.column("n_tok").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        s, closed = _memo["o"][str(t.column("doc_id")[0])]
+        cum, base, nxt, bins_from, endfill_from, open_start = (
+            _chain_arrays(c)
+        )
+        n = c.size
+        eid, nd, ts, fr = [], [], [], []
+        if s > 0:
+            j1 = 0 if s > L else _j1(c, cum, s)
+            # carry fragment: docs [0, j1) continue example closed-1?
+            # carry example id = closed (it is the currently-open one)
+            eid.append(closed)
+            nd.append(int(j1))
+            ts.append(int(cum[j1 - 1]) if j1 > 0 else 0)
+            fr.append(True)
+            if j1 >= n:
+                return pa.table(
+                    {"example_id": pa.array(eid, pa.int64()),
+                     "n_docs": pa.array(nd, pa.int64()),
+                     "tok_sum": pa.array(ts, pa.int64()),
+                     "is_frag": pa.array(fr, pa.bool_())}
+                )
+            closed += 1
+            start = j1
+        else:
+            start = 0
+        # interior examples: walk the nxt chain from `start`
+        j = start
+        while j < n:
+            m = int(nxt[j])
+            seg_docs = (m if m < n else n) - j
+            seg_sum = int(cum[min(m, n) - 1] - base[j])
+            if m < n:  # closes inside this block: full example row
+                eid.append(closed)
+                nd.append(seg_docs)
+                ts.append(seg_sum)
+                fr.append(False)
+                closed += 1
+                j = m
+            else:  # trailing open example: fragment
+                eid.append(closed)
+                nd.append(seg_docs)
+                ts.append(seg_sum)
+                fr.append(True)
+                break
+        return pa.table(
+            {"example_id": pa.array(eid, pa.int64()),
+             "n_docs": pa.array(nd, pa.int64()),
+             "tok_sum": pa.array(ts, pa.int64()),
+             "is_frag": pa.array(fr, pa.bool_())}
+        )
+
+    packed = srt.map_batches(emit, batch_format="pyarrow",
+                             batch_size=None)
+    full = packed.filter(expr="is_frag == False").drop_columns(
+        ["is_frag"]
+    )
+    # boundary fragments: <= 2 per block, so the fix-up is O(blocks)
+    frags = packed.filter(expr="is_frag == True").to_pandas()
+    if len(frags):
+        fx = (
+            frags.groupby("example_id", as_index=False)
+            .agg(n_docs=("n_docs", "sum"), tok_sum=("tok_sum", "sum"))
+        )
+        fx = fx[fx["n_docs"] > 0]
+        if len(fx):
+            full = full.union(
+                ray.data.from_pandas(fx.reset_index(drop=True))
+            )
+
+    def with_pad(t: pa.Table) -> pa.Table:
+        pad = np.maximum(
+            L - t.column("tok_sum").to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        return t.append_column("n_pad", pa.array(pad, pa.int64()))
+
+    # stays a Dataset: example count is corpus_tokens / L — data-
+    # scaled, never driver state
+    return full.map_batches(with_pad, batch_format="pyarrow")

@@ -144,3 +144,70 @@ def test_chunk_windows_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # overlapping stride: windows past the first overlap by half
     assert (got[got["win_idx"] > 0]["win_len"] <= 128).all()
+
+
+def _greedy_serial(sizes, L):
+    """Serial reference: first-fit-sequential, no splitting; returns
+    (n_docs, tok_sum) per example in closing order, final open
+    example included."""
+    rows = []
+    nd = ts = 0
+    for c in sizes:
+        if ts > 0 and ts + c > L:
+            rows.append((nd, ts))
+            nd = ts = 0
+        nd += 1
+        ts += c
+    if nd:
+        rows.append((nd, ts))
+    return rows
+
+
+def _check_greedy(sf, L):
+    import pyarrow.parquet as pq
+
+    from fastparquet_ray.functions.packing import pack_greedy
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    paths, _ = ensure_encoded(sf)
+    t = pa.concat_tables(
+        [pq.read_table(p, columns=["doc_id", "n_tok"]) for p in paths]
+    )
+    tdf = t.to_pandas().sort_values("doc_id")
+    want = _greedy_serial(tdf["n_tok"].tolist(), L)
+    got = (
+        pack_greedy(sf, length=L)
+        .to_pandas()
+        .sort_values("example_id")
+        .reset_index(drop=True)
+    )
+    assert (got["example_id"].to_numpy() == np.arange(len(got))).all()
+    assert got[["n_docs", "tok_sum"]].values.tolist() == [
+        list(r) for r in want
+    ]
+    assert (
+        got["n_pad"].to_numpy()
+        == np.maximum(L - got["tok_sum"].to_numpy(), 0)
+    ).all()
+
+
+def test_pack_greedy_vs_serial(ray_session):
+    _check_greedy("/root/testdata/sf0.001", 512)
+
+
+def test_pack_greedy_oversized_docs(ray_session):
+    """L below many doc sizes: oversized docs sit alone with fills
+    past L carried across borders (the clamped transfer slot)."""
+    _check_greedy("/root/testdata/sf0.001", 64)
+
+
+def test_pack_greedy_tiny_blocks_multiblock_examples(ray_session):
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    old_target = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        _check_greedy("/root/testdata/sf0.001", 4096)
+    finally:
+        ctx.target_max_block_size = old_target
