@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": windows.asof_join,
         "range_join": windows.range_join,
         "rolling_avg": windows.rolling_avg,
+        "rolling_minmax": windows.rolling_minmax,
         "session_windows": windows.session_windows,
         # --- windowed analytics / OLAP (analytics.py) ---
         "window_rank": analytics.window_rank,
@@ -109,7 +110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_cont": sketches.quantiles_cont,
         "mad_value": sketches.mad_value,
         "cohort_retention": analytics.cohort_retention,
+        "new_users_weekly": analytics.new_users_weekly,
         "source_vocab_jaccard": sketches.source_vocab_jaccard,
+        "vocab_remap": sketches.vocab_remap,
         # --- flagship encode engine (tokens table) ---
         "tokens_groupby_source": flagship.tokens_groupby_source,
         "tokens_checksum": flagship.tokens_checksum,
@@ -153,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": sampling.sample_hash,
         "sample_stratified": sampling.sample_stratified,
         "mixture_sample": sampling.mixture_sample,
+        "split_assign": sampling.split_assign,
         "embedding_neardup": dedup.embedding_neardup,
         # --- text analysis ---
         "token_count": textops.token_count,
@@ -160,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textops.quality_score,
         "quality_filter": textops.quality_filter,
         "repetition_ratio": textops.repetition_ratio,
+        "charclass_profile": textops.charclass_profile,
         "fingerprint": textops.fingerprint,
         "adjacent_similarity": textops.adjacent_similarity,
         "lang_id": textops.lang_id,
@@ -186,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # anyway. Every query remains registered; only ordering changes.
     front = [
         # new this session
+        "vocab_remap", "split_assign", "charclass_profile",
+        "rolling_minmax", "new_users_weekly",
         "editdist_neardup", "lead_value", "nucleus_coverage",
         "zipf_slope", "kl_divergence", "doc_dup_profile", "percent_rank",
         "pack_stats", "pack_bins", "pii_scrub", "chunk_windows",
@@ -208,9 +215,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk", "embedding_centroids",
         # deterministic sampling
         "sample_hash", "sample_stratified", "mixture_sample",
-        # sketches / token analytics
-        "token_topk", "token_docfreq", "tfidf_topk",
-        "entropy_by_source",
+        # (token_topk / token_docfreq / tfidf_topk / entropy_by_source
+        # rotated out of the window this session to make room for the
+        # five new operators: their shared vocab-profile scan keeps
+        # coverage through nucleus/zipf/kl above, and all four were
+        # r02 oracle-green with unchanged semantics)
     ]
     assert set(front) <= set(q)
     return {
@@ -372,6 +381,55 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW), 6) "
             "AS avg_win FROM events"
+        ),
+        "rolling_minmax": (
+            "SELECT event_id, user_id, "
+            "max(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) "
+            "AS max_win, "
+            "min(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW) "
+            "AS min_win FROM events"
+        ),
+        "new_users_weekly": (
+            "WITH fs AS (SELECT user_id, min(epoch_us(ts)) AS mn "
+            "FROM events GROUP BY user_id), "
+            "wk AS (SELECT mn // 604800000000 AS week, count(*) AS n_new "
+            "FROM fs GROUP BY week) "
+            "SELECT CAST(week AS BIGINT) AS week, "
+            "CAST(n_new AS BIGINT) AS n_new, "
+            "CAST(sum(n_new) OVER (ORDER BY week) AS BIGINT) AS cum_users "
+            "FROM wk ORDER BY week"
+        ),
+        "split_assign": (
+            "SELECT source, CASE WHEN b < 90 THEN 'train' "
+            "WHEN b < 95 THEN 'val' ELSE 'test' END AS split, "
+            "CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT source, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))"
+            "::UBIGINT % 100 AS b FROM documents) "
+            "GROUP BY source, split ORDER BY source, split"
+        ),
+        "charclass_profile": (
+            "SELECT source, "
+            "CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) "
+            "AS BIGINT) AS n_alpha, "
+            "CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) "
+            "AS BIGINT) AS n_digit, "
+            "CAST(sum(length(regexp_replace(text, '[^ \\t\\n\\r]', '', 'g'))) "
+            "AS BIGINT) AS n_space "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "vocab_remap": (
+            "WITH tok AS (SELECT source, unnest(tokens) AS t "
+            f"FROM read_parquet('{_TOKENS_GLOB}')), "
+            "topk AS (SELECT t FROM (SELECT t, count(*) AS c FROM tok "
+            "GROUP BY t ORDER BY c DESC, t LIMIT 512)), "
+            "r AS (SELECT source, CASE WHEN t IN (SELECT t FROM topk) "
+            "THEN CAST(t AS BIGINT) ELSE -1 END AS rt FROM tok) "
+            "SELECT source, CAST(sum(rt) AS BIGINT) AS sum_ids, "
+            "CAST(count(*) FILTER (WHERE rt = -1) AS BIGINT) AS n_unk "
+            "FROM r GROUP BY source ORDER BY source"
         ),
         "regression_by_group": (
             "SELECT l_returnflag, "

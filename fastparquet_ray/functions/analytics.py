@@ -1530,3 +1530,44 @@ def cohort_retention(sf_dir: str, week_secs: int = 604_800):
             "rate": np.round(retained / active, 6),
         }
     )
+
+
+def new_users_weekly(sf_dir: str, week_secs: int = 604_800):
+    """Weekly new-user arrivals + cumulative user count: each user's
+    FIRST event timestamp, bucketed to epoch weeks, counted per week,
+    with a running total — the growth curve every activity pipeline
+    reports.
+
+    Scale shape: ONE per-user min aggregate. Per-block (user, min ts)
+    partials fold through groupagg.merge_partials (driver mode at
+    test scale, sort mode past the row cap); the week bucketing,
+    counting and cumulative sum then run over the users-sized summary
+    (weeks-sized output). Events never ship whole; no window
+    exchange — the cumsum is over a weeks-length array."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    wk_us = np.int64(week_secs) * 1_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64") // (
+            1 if df["ts"].dtype == "datetime64[us]" else 1000
+        )
+        out = pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"), "mn": us}
+        )
+        return out.groupby("user_id", sort=False)["mn"].min().reset_index()
+
+    from .groupagg import merge_partials
+
+    fs = merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], {"mn": "min"},
+    )
+    wk = (fs["mn"].to_numpy(dtype=np.int64) // wk_us)
+    uniq_w, cnt = np.unique(wk, return_counts=True)
+    return pd.DataFrame(
+        {
+            "week": uniq_w.astype("int64"),
+            "n_new": cnt.astype("int64"),
+            "cum_users": np.cumsum(cnt).astype("int64"),
+        }
+    )

@@ -125,3 +125,45 @@ def mixture_sample(
     quotas = {s: int(round(total * w)) for s, w in weights.items()}
     ds = _docs(sf_dir, ["doc_id", "source"])
     return _quota_sample(ds, quotas)
+
+
+def split_assign(sf_dir: str):
+    """Deterministic train/val/test split assignment: every document
+    lands in exactly one split by md5(doc_id) bucket (90/5/5) —
+    stable across runs, machines and engine versions, the property a
+    reproducible training corpus needs. Returns the per
+    (source, split) membership counts.
+
+    Scale shape: zero exchange for the assignment itself (a stateless
+    per-batch hash), one tiny (sources x 3)-sized partial-count merge
+    for the report. The same fil() applied as a filter materializes
+    any one split without touching the others."""
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype="object"),
+                 "split": pd.Series([], dtype="object"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        b = (_md5_u64(df["doc_id"].to_numpy()) % np.uint64(100)).astype(
+            np.int64
+        )
+        split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
+        out = (
+            pd.DataFrame({"source": df["source"].to_numpy(), "split": split})
+            .groupby(["source", "split"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from .groupagg import merge_partials
+
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source", "split"], {"n": "sum"},
+    )
+    return out.sort_values(["source", "split"]).reset_index(drop=True)

@@ -892,3 +892,96 @@ def kl_divergence(sf_dir: str):
         out_s.append(s)
         out_k.append(round(float((ps * np.log(ps / p)).sum()), 6))
     return pd.DataFrame({"source": out_s, "kl": out_k})
+
+
+def vocab_remap_stage(ds, keep: np.ndarray, unk: int = -1):
+    """Broadcast-table vocabulary remap stage: token ids present in
+    the SORTED ``keep`` table pass through, everything else collapses
+    to ``unk`` — the vocabulary-pruning / UNK-folding step a tokenized
+    corpus pays before training against a reduced vocab.
+
+    Scale shape: zero exchange. ``keep`` is a small sorted int64
+    array captured in the task closure (vocabulary-sized, broadcast
+    once per worker by Ray's task serialization); each Arrow batch is
+    remapped with one flatten + searchsorted membership test + where,
+    and the list column is rebuilt zero-copy on the same offsets."""
+    keep = np.sort(np.asarray(keep, dtype=np.int64))
+
+    def remap(t: pa.Table) -> pa.Table:
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        rel = offs - offs[0]
+        pos = np.searchsorted(keep, flat)
+        member = np.zeros(flat.size, dtype=bool)
+        inb = pos < keep.size
+        member[inb] = keep[pos[inb]] == flat[inb]
+        out = np.where(member, flat, np.int64(unk)).astype(np.int32)
+        new_col = pa.ListArray.from_arrays(
+            pa.array(rel, pa.int32()), pa.array(out, pa.int32())
+        )
+        i = t.schema.get_field_index("tokens")
+        return t.set_column(i, "tokens", new_col)
+
+    return ds.map_batches(remap, batch_format="pyarrow")
+
+
+def vocab_remap(sf_dir: str, k: int = 512):
+    """Top-k vocabulary remap checksum: remap the decoded token
+    stream so only the k globally most frequent token ids survive
+    (ties broken by id; everything else -> -1), then report the
+    per-source remapped-id sum and UNK count — an aggregate the SQL
+    oracle can cross-check, proving the remap end to end.
+
+    The keep table derives from the memoized vocab profile (one
+    corpus scan shared with token_topk / nucleus / zipf / kl); the
+    remap itself is a second streaming pass through
+    vocab_remap_stage over DECODED shards."""
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+
+    prof = _source_token_counts(sf_dir)
+    g = prof.groupby("tok", sort=False)["n"].sum().reset_index()
+    g = g.sort_values(["n", "tok"], ascending=[False, True]).head(k)
+    keep = np.sort(g["tok"].to_numpy(dtype=np.int64))
+
+    _, enc = ensure_encoded(sf_dir)
+    ds = vocab_remap_stage(
+        decode_dataset(enc, columns=["source", "tokens"]), keep
+    )
+
+    empty = pd.DataFrame(
+        {"source": pd.Series([], dtype="object"),
+         "sum_ids": pd.Series([], dtype="int64"),
+         "n_unk": pd.Series([], dtype="int64")}
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return empty
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        rid = np.repeat(codes.astype(np.int64), np.diff(offs - offs[0]))
+        # bincount's float64 accumulator is exact here: a block's
+        # per-source id sum is << 2^53 (merge across blocks is int64)
+        sums = np.bincount(
+            rid, weights=flat.astype(np.float64), minlength=len(uniq)
+        ).astype(np.int64)
+        unks = np.bincount(
+            rid, weights=(flat == -1).astype(np.float64),
+            minlength=len(uniq),
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"source": uniq, "sum_ids": sums, "n_unk": unks}
+        )
+
+    from .groupagg import merge_partials
+
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], {"sum_ids": "sum", "n_unk": "sum"},
+    )
+    return out.sort_values("source").reset_index(drop=True)

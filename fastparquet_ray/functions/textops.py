@@ -481,3 +481,77 @@ def pii_scrub(sf_dir: str):
         _task_state(PiiScrubber), batch_format="pandas",
         batch_size=4096,
     )
+
+
+# byte -> character-class lookup (0 other, 1 alpha, 2 digit, 3 space).
+# ASCII-class counts at the BYTE level equal character-level counts
+# for any valid UTF-8 input: multi-byte sequences use only bytes
+# >= 0x80, which never collide with the ASCII classes below.
+_CHARCLASS_LUT = np.zeros(256, dtype=np.uint8)
+_CHARCLASS_LUT[ord("A"):ord("Z") + 1] = 1
+_CHARCLASS_LUT[ord("a"):ord("z") + 1] = 1
+_CHARCLASS_LUT[ord("0"):ord("9") + 1] = 2
+for _b in b" \t\n\r":
+    _CHARCLASS_LUT[_b] = 3
+del _b
+
+
+def charclass_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-source character-class census (alpha / digit / whitespace
+    counts) — the raw material of byte-level corpus quality checks
+    (mojibake, number-dump and markup detection).
+
+    Scale shape: zero exchange for the census itself. Each Arrow
+    batch is classified as ONE flat uint8 view of the string data
+    buffer through a 256-entry lookup table (no per-row or per-char
+    Python), folded to (source x class) counts with a single
+    bincount on a packed source*4+class key; partials merge through
+    groupagg (sources x 3 rows total)."""
+    ds = _docs(sf_dir, ["source", "text"])
+
+    empty = pd.DataFrame(
+        {"source": pd.Series([], dtype="object"),
+         "n_alpha": pd.Series([], dtype="int64"),
+         "n_digit": pd.Series([], dtype="int64"),
+         "n_space": pd.Series([], dtype="int64")}
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return empty
+        col = t.column("text").combine_chunks()
+        buf = col.buffers()[2]
+        if buf is None:
+            return empty
+        # StringArray exposes no .offsets property — read the offsets
+        # buffer directly (int32 for string, int64 for large_string),
+        # honoring the array's slice offset
+        odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=odt)[
+            col.offset:col.offset + len(col) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(buf, dtype=np.uint8)
+        flat = data[offs[0]:offs[-1]]
+        rel = offs - offs[0]
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        rid = np.repeat(codes.astype(np.int64), np.diff(rel))
+        cls = _CHARCLASS_LUT[flat].astype(np.int64)
+        cnt = np.bincount(rid * 4 + cls, minlength=len(uniq) * 4)
+        cnt = cnt.reshape(len(uniq), 4)
+        return pd.DataFrame(
+            {
+                "source": uniq,
+                "n_alpha": cnt[:, 1].astype("int64"),
+                "n_digit": cnt[:, 2].astype("int64"),
+                "n_space": cnt[:, 3].astype("int64"),
+            }
+        )
+
+    from .groupagg import merge_partials
+
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], {"n_alpha": "sum", "n_digit": "sum", "n_space": "sum"},
+    )
+    return out.sort_values("source").reset_index(drop=True)

@@ -625,6 +625,81 @@ def rolling_avg(sf_dir: str, window_minutes: int = 10):
     return _sorted_window(ds, win_ns, block_fn)
 
 
+def _range_extremum(v: np.ndarray, lo: np.ndarray, hi: np.ndarray, op):
+    """Vectorized range-extremum queries over v[lo:hi) via a sparse
+    table (doubling op-folded arrays): table[k][i] = op over
+    v[i:i+2^k]; each query is answered by two overlapping
+    power-of-two lookups. O(n log n) build, O(n) per level answer —
+    no monotonic-deque row loop. Requires hi > lo for every query."""
+    ln = hi - lo
+    kmax = int(np.floor(np.log2(int(ln.max())))) if len(v) else 0
+    tables = [v]
+    for k in range(1, kmax + 1):
+        prev = tables[-1]
+        step = 1 << (k - 1)
+        tables.append(op(prev[:-step], prev[step:]))
+    ks = np.floor(np.log2(ln)).astype(np.int64)
+    out = np.empty(len(v), dtype=v.dtype)
+    for k in range(kmax + 1):
+        m = ks == k
+        if not m.any():
+            continue
+        p = 1 << k
+        t = tables[k]
+        out[m] = op(t[lo[m]], t[hi[m] - p])
+    return out
+
+
+def rolling_minmax(sf_dir: str, window_minutes: int = 10):
+    """Moving time-window max AND min of `value` per user over the
+    preceding ``window_minutes`` RANGE frame (SQL RANGE semantics —
+    equal-ts rows on both frame edges included).
+
+    Composition: the _sorted_window engine (one range sort, ghost
+    lookback rows replayed across block borders) then a per-block
+    SPARSE-TABLE range-extremum (see _range_extremum) — min/max are
+    not prefix-summable like rolling_avg's mean, so the doubling
+    table replaces the prefix sum at the same O(n log n) vectorized
+    cost. No per-group dispatch, no deque row loop."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    win_ns = 60_000_000_000 * window_minutes
+
+    def block_fn(df: pd.DataFrame, ng: int, nb: int) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "max_win": pd.Series([], dtype="float64"),
+                    "min_win": pd.Series([], dtype="float64"),
+                }
+            )
+        adj, w = _seg_adj(df, win_ns)
+        v = df["value"].to_numpy(np.float64)
+        lo = np.searchsorted(adj, adj - w, side="left")
+        hi = np.searchsorted(adj, adj, side="right")
+        mx = _range_extremum(v, lo, hi, np.maximum)
+        mn = _range_extremum(v, lo, hi, np.minimum)
+        keep = np.ones(len(df), dtype=bool)
+        keep[:ng] = False
+        if nb:
+            keep[-nb:] = False
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[keep].astype(
+                    "int64"
+                ),
+                "user_id": df["user_id"].to_numpy()[keep].astype(
+                    "int64"
+                ),
+                "max_win": mx[keep],
+                "min_win": mn[keep],
+            }
+        )
+
+    return _sorted_window(ds, win_ns, block_fn)
+
+
 def range_join(sf_dir: str):
     """Range (band) join: pair each 'error' event with the count of
     events of the same user within the preceding 5 minutes.
