@@ -221,6 +221,8 @@ def run_bench() -> dict:
             "nucleus_coverage", "zipf_slope", "kl_divergence",
             "doc_dup_profile", "percent_rank", "pack_stats",
             "pack_bins", "chunk_windows", "pii_scrub",
+            "vocab_remap", "split_assign", "charclass_profile",
+            "rolling_minmax", "new_users_weekly",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)
