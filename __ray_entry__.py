@@ -111,6 +111,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_value": sketches.mad_value,
         "cohort_retention": analytics.cohort_retention,
         "new_users_weekly": analytics.new_users_weekly,
+        "winsorized_mean": analytics.winsorized_mean,
+        "corr_matrix": analytics.corr_matrix,
+        "token_ffreq": sketches.token_ffreq,
+        "rare_token_docs": sketches.rare_token_docs,
+        "shuffle_head": sampling.shuffle_head,
         "source_vocab_jaccard": sketches.source_vocab_jaccard,
         "vocab_remap": sketches.vocab_remap,
         # --- flagship encode engine (tokens table) ---
@@ -191,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # anyway. Every query remains registered; only ordering changes.
     front = [
         # new this session
+        "winsorized_mean", "corr_matrix", "token_ffreq",
+        "rare_token_docs", "shuffle_head",
         "vocab_remap", "split_assign", "charclass_profile",
         "rolling_minmax", "new_users_weekly",
         "editdist_neardup", "lead_value", "nucleus_coverage",
@@ -409,6 +416,62 @@ def oracle_sql() -> dict[str, str]:
             "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))"
             "::UBIGINT % 100 AS b FROM documents) "
             "GROUP BY source, split ORDER BY source, split"
+        ),
+        "shuffle_head": (
+            "SELECT CAST(row_number() OVER (ORDER BY h, doc_id) "
+            "AS BIGINT) AS pos, doc_id, source FROM ("
+            "SELECT doc_id, source, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))"
+            "::UBIGINT AS h FROM documents) "
+            "ORDER BY pos LIMIT 100"
+        ),
+        "winsorized_mean": (
+            "WITH b AS (SELECT event_type, "
+            "quantile_disc(value, 0.05) AS b_lo, "
+            "quantile_disc(value, 0.95) AS b_hi "
+            "FROM events WHERE value IS NOT NULL GROUP BY event_type) "
+            "SELECT e.event_type, "
+            "round(avg(least(greatest(e.value, b.b_lo), b.b_hi)), 6) "
+            "AS wmean FROM events e JOIN b USING (event_type) "
+            "WHERE e.value IS NOT NULL "
+            "GROUP BY e.event_type ORDER BY e.event_type"
+        ),
+        "corr_matrix": (
+            "SELECT col_a, col_b, r FROM ("
+            "SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, "
+            "round(corr(l_quantity, l_extendedprice), 6) AS r "
+            "FROM lineitem UNION ALL "
+            "SELECT 'l_quantity', 'l_discount', "
+            "round(corr(l_quantity, l_discount), 6) FROM lineitem "
+            "UNION ALL "
+            "SELECT 'l_quantity', 'l_tax', "
+            "round(corr(l_quantity, l_tax), 6) FROM lineitem "
+            "UNION ALL "
+            "SELECT 'l_extendedprice', 'l_discount', "
+            "round(corr(l_extendedprice, l_discount), 6) FROM lineitem "
+            "UNION ALL "
+            "SELECT 'l_extendedprice', 'l_tax', "
+            "round(corr(l_extendedprice, l_tax), 6) FROM lineitem "
+            "UNION ALL "
+            "SELECT 'l_discount', 'l_tax', "
+            "round(corr(l_discount, l_tax), 6) FROM lineitem) "
+            "ORDER BY col_a, col_b"
+        ),
+        "token_ffreq": (
+            "SELECT n AS n_occ, CAST(count(*) AS BIGINT) AS n_tokens "
+            "FROM (SELECT tok, count(*) AS n FROM ("
+            f"SELECT unnest(tokens) AS tok FROM read_parquet('{_TOKENS_GLOB}')"
+            ") GROUP BY tok) GROUP BY n ORDER BY n"
+        ),
+        "rare_token_docs": (
+            "WITH ex AS (SELECT doc_id, source, unnest(tokens) AS tok "
+            f"FROM read_parquet('{_TOKENS_GLOB}')), "
+            "rare AS (SELECT tok FROM ex GROUP BY tok "
+            "HAVING count(*) <= 2), "
+            "hit AS (SELECT DISTINCT doc_id, source FROM ex "
+            "JOIN rare USING (tok)) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM hit GROUP BY source ORDER BY source"
         ),
         "charclass_profile": (
             "SELECT source, "

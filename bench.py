@@ -223,6 +223,8 @@ def run_bench() -> dict:
             "pack_bins", "chunk_windows", "pii_scrub",
             "vocab_remap", "split_assign", "charclass_profile",
             "rolling_minmax", "new_users_weekly",
+            "winsorized_mean", "corr_matrix", "token_ffreq",
+            "rare_token_docs", "shuffle_head",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)

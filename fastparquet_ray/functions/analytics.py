@@ -767,7 +767,18 @@ def stats_moments(sf_dir: str):
 
 def grouped_quantiles(sf_dir: str, qs=(0.5, 0.9)):
     """EXACT per-group quantiles (quantile_disc semantics) of
-    orders.o_totalprice grouped by o_orderpriority, WITHOUT a sort and
+    orders.o_totalprice grouped by o_orderpriority — see
+    _grouped_qdisc for the three-pass zero-sort machinery (shared
+    with winsorized_mean)."""
+    gcol, vcol = "o_orderpriority", "o_totalprice"
+    # one parquet read; all three passes scan the cached two columns
+    ds = _read(sf_dir, "orders", [gcol, vcol]).materialize()
+    return _grouped_qdisc(ds, gcol, vcol, list(qs))
+
+
+def _grouped_qdisc(ds, gcol: str, vcol: str, qs: list[float]):
+    """EXACT per-group quantiles (quantile_disc semantics: the
+    ceil(q*n)-th smallest value, 1-indexed) WITHOUT a sort and
     WITHOUT materializing any group: sketches.quantiles' histogram
     rank-partition selection, keyed by a low-cardinality group column.
 
@@ -780,13 +791,9 @@ def grouped_quantiles(sf_dir: str, qs=(0.5, 0.9)):
     Every pass is a streaming scan emitting O(groups x buckets) rows
     per block; the driver merges per-group scalars only. Groups never
     co-locate, so a 20 TB group costs the same driver memory as a 2 MB
-    one."""
+    one. ``ds`` should be materialized by the caller so the three
+    passes scan cached blocks. Returns (gcol, q, value) rows."""
     import ray
-
-    gcol, vcol = "o_orderpriority", "o_totalprice"
-    # one parquet read; all three passes scan the cached two columns
-    ds = _read(sf_dir, "orders", [gcol, vcol]).materialize()
-    qs = list(qs)
 
     def p1(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(gcol, as_index=False)[vcol].agg(["count", "min", "max"])
@@ -916,6 +923,105 @@ def grouped_quantiles(sf_dir: str, qs=(0.5, 0.9)):
             k = int(np.searchsorted(bcum, r - cum[b]))
             rows.append((g, float(q), float(bvals[k])))
     return pd.DataFrame(rows, columns=[gcol, "q", "value"])
+
+
+def winsorized_mean(sf_dir: str, lo: float = 0.05, hi: float = 0.95):
+    """Per-group WINSORIZED mean of events.value by event_type:
+    values below the group's p05 (quantile_disc) clamp up to it,
+    values above p95 clamp down, then the mean — the outlier-robust
+    location estimate a metrics pipeline reports instead of a raw
+    mean that one fat-fingered event can drag.
+
+    Scale shape: the clamp bounds come from _grouped_qdisc's
+    three-pass zero-sort rank selection (O(groups x buckets) driver
+    state); the winsorized mean itself is one more streaming pass —
+    per-(block, group) clipped sum/count partials with the tiny
+    bounds dict captured in the task closure (broadcast once per
+    worker), merged by groupagg. Nothing group-sized ever
+    co-locates. 6-dp rounding on both sides absorbs summation-order
+    float drift (regression_by_group precedent)."""
+    gcol, vcol = "event_type", "value"
+    ds = _read(sf_dir, "events", [gcol, vcol]).materialize()
+    qd = _grouped_qdisc(ds, gcol, vcol, [lo, hi])
+    bounds = {
+        g: (float(sub.loc[sub["q"] == lo, "value"].iloc[0]),
+            float(sub.loc[sub["q"] == hi, "value"].iloc[0]))
+        for g, sub in qd.groupby(gcol)
+    }
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for g, sub in df.groupby(gcol, sort=False):
+            b_lo, b_hi = bounds[g]
+            v = sub[vcol].to_numpy(np.float64)
+            v = v[~np.isnan(v)]
+            outs.append((g, np.clip(v, b_lo, b_hi).sum(), v.size))
+        return pd.DataFrame(outs, columns=[gcol, "s", "n"])
+
+    from .groupagg import merge_partials
+
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        [gcol], {"s": "sum", "n": "sum"},
+    )
+    out["wmean"] = (out["s"] / out["n"]).round(6)
+    return (
+        out[[gcol, "wmean"]]
+        .sort_values(gcol)
+        .reset_index(drop=True)
+    )
+
+
+def corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlations of lineitem's four numeric
+    measures (quantity, extendedprice, discount, tax) — the feature-
+    redundancy screen run before fitting anything on tabular columns.
+
+    Scale shape: ONE streaming pass computing the closed-form
+    sufficient statistics (n, per-column sums, upper-triangle
+    cross-product matrix X'X) per block — a 4x4 matmul per batch,
+    zero exchange; the driver folds blocks x 15 scalars and solves
+    corr(i,j) = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)).
+    6-dp rounding absorbs float summation-order drift vs the
+    oracle's streaming corr()."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", cols)
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        X = np.column_stack(
+            [t.column(c).to_numpy(zero_copy_only=False) for c in cols]
+        ).astype(np.float64)
+        row = {"n": np.int64(X.shape[0])}
+        s = X.sum(axis=0)
+        xtx = X.T @ X
+        for i, c in enumerate(cols):
+            row[f"s{i}"] = s[i]
+            row[f"ss{i}{i}"] = xtx[i, i]
+        for i, j in pairs:
+            row[f"ss{i}{j}"] = xtx[i, j]
+        return pd.DataFrame([row])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n = float(agg["n"])
+
+    def var_term(i: int) -> float:
+        # n*Sxx - Sx^2 cancels catastrophically on a constant column
+        # (residual ~ n*eps relative, NOT exact 0): clamp anything
+        # below a relative threshold to true zero-variance
+        v = n * agg[f"ss{i}{i}"] - agg[f"s{i}"] ** 2
+        return v if v > 1e-9 * n * agg[f"ss{i}{i}"] else 0.0
+
+    rows = []
+    for i, j in pairs:
+        num = n * agg[f"ss{i}{j}"] - agg[f"s{i}"] * agg[f"s{j}"]
+        den = np.sqrt(var_term(i) * var_term(j))
+        # a constant column has zero variance: SQL corr() is NULL there
+        rows.append(
+            (cols[i], cols[j], round(num / den, 6) if den else np.nan)
+        )
+    out = pd.DataFrame(rows, columns=["col_a", "col_b", "r"])
+    return out.sort_values(["col_a", "col_b"]).reset_index(drop=True)
 
 
 # --------------------------------------------------------------------

@@ -167,3 +167,30 @@ def split_assign(sf_dir: str):
         ["source", "split"], {"n": "sum"},
     )
     return out.sort_values(["source", "split"]).reset_index(drop=True)
+
+
+def shuffle_head(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """First k examples of the DETERMINISTIC global corpus shuffle —
+    the reproducible training-order primitive: epoch order is
+    md5(doc_id) ascending (doc_id tie-break), so every run, machine
+    and engine version feeds the model the identical sequence, and
+    any contiguous slice of the shuffle is addressable without
+    materializing the permutation.
+
+    Scale shape: select-k, not sort — each block keeps its k
+    hash-smallest rows (per-block partial), the driver merges
+    blocks x k candidate rows and ranks the winners. The full
+    corpus is never exchanged or ordered; a 100 TB shuffle head
+    costs one streaming scan plus a k-row fold."""
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(h=pd.Series([], dtype="uint64"))
+        df = df.assign(h=_md5_u64(df["doc_id"].to_numpy()))
+        return df.sort_values(["h", "doc_id"]).head(k)
+
+    out = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = out.sort_values(["h", "doc_id"]).head(k).reset_index(drop=True)
+    out["pos"] = np.arange(1, len(out) + 1, dtype="int64")
+    return out[["pos", "doc_id", "source"]]

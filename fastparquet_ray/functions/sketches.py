@@ -985,3 +985,84 @@ def vocab_remap(sf_dir: str, k: int = 512):
         ["source"], {"sum_ids": "sum", "n_unk": "sum"},
     )
     return out.sort_values("source").reset_index(drop=True)
+
+
+def token_ffreq(sf_dir: str):
+    """Frequency-of-frequency spectrum of the token vocabulary: for
+    each occurrence count n, how many DISTINCT token ids appear
+    exactly n times in the corpus — the Good-Turing input table and
+    the fastest smell test for tokenizer pathologies (a fat n=1 tail
+    means under-trained merges; missing small-n mass means synthetic
+    or deduplicated text).
+
+    Scale shape: rides the memoized vocab profile (ONE corpus scan
+    shared with token_topk / nucleus / zipf / kl / vocab_remap); the
+    fold is two np.unique passes over the vocabulary-sized summary —
+    never corpus-scaled, zero additional exchange."""
+    agg = _source_token_counts(sf_dir)
+    g = agg.groupby("tok", sort=False)["n"].sum().to_numpy(np.int64)
+    n_occ, n_tokens = np.unique(g, return_counts=True)
+    out = pd.DataFrame(
+        {"n_occ": n_occ.astype("int64"),
+         "n_tokens": n_tokens.astype("int64")}
+    )
+    return out.sort_values("n_occ").reset_index(drop=True)
+
+
+def rare_token_docs(sf_dir: str, max_n: int = 2):
+    """Per-source count of documents containing at least one RARE
+    token (global occurrence count <= max_n) — the 'needs review'
+    slice a corpus audit pulls before vocabulary pruning: rare ids
+    are disproportionately encoding errors, boilerplate hashes and
+    PII-like strings.
+
+    Scale shape: the rare-id table comes off the memoized vocab
+    profile (vocabulary-sized); it is broadcast SORTED in the task
+    closure (once per worker, never per batch) and each decoded
+    Arrow block is flagged with one flatten + searchsorted + prefix-
+    sum segment count — no exchange beyond the tiny per-source count
+    merge. The empty-list-safe per-row reduction uses cumsum deltas,
+    not reduceat (reduceat misreads zero-length segments)."""
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+
+    prof = _source_token_counts(sf_dir)
+    g = prof.groupby("tok", sort=False)["n"].sum()
+    rare = np.sort(
+        g.index.to_numpy(np.int64)[g.to_numpy(np.int64) <= max_n]
+    )
+
+    _, enc = ensure_encoded(sf_dir)
+    ds = decode_dataset(enc, columns=["source", "tokens"])
+
+    empty = pd.DataFrame(
+        {"source": pd.Series([], dtype="object"),
+         "n_docs": pd.Series([], dtype="int64")}
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return empty
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        rel = offs - offs[0]
+        pos = np.searchsorted(rare, flat)
+        member = np.zeros(flat.size, dtype=np.int64)
+        inb = pos < rare.size
+        member[inb] = (rare[pos[inb]] == flat[inb]).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(member)])
+        has = (cum[rel[1:]] - cum[rel[:-1]]) > 0
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        cnt = np.bincount(codes[has], minlength=len(uniq)).astype(np.int64)
+        keep = cnt > 0
+        return pd.DataFrame({"source": uniq[keep], "n_docs": cnt[keep]})
+
+    from .groupagg import merge_partials
+
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], {"n_docs": "sum"},
+    )
+    return out.sort_values("source").reset_index(drop=True)

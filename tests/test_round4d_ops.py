@@ -1,0 +1,209 @@
+"""Round-4 fourth-session operators vs DuckDB oracles on adversarial
+synthetic tables: NaN values and constant / single-row groups for the
+winsorized mean, perfectly-correlated and zero-variance columns for
+the correlation matrix, multi-block deterministic shuffle, and the
+vocab-profile consumers (frequency-of-frequency, rare-token docs)
+against UNNEST SQL over the generated tokens corpus."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fastparquet_ray.functions.analytics import corr_matrix, winsorized_mean
+from fastparquet_ray.functions.sampling import shuffle_head
+from fastparquet_ray.functions.sketches import rare_token_docs, token_ffreq
+
+
+def _norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("r4d_sf")
+    rng = np.random.default_rng(47)
+
+    n_ev = 3000
+    value = np.round(rng.normal(50, 20, n_ev), 4)
+    value[rng.integers(0, n_ev, 40)] = np.nan  # NULLs ignored by avg
+    event_type = rng.choice(["view", "click", "error"], n_ev).astype(object)
+    # degenerate groups: constant-value (p05 == p95) and single-row
+    event_type[:15] = "const"
+    value[:15] = 7.5
+    event_type[15] = "solo"
+    value[15] = 123.456
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n_ev, dtype=np.int64),
+            "ts": pd.Timestamp("2024-05-01")
+            + pd.to_timedelta(np.arange(n_ev) * 60, unit="s"),
+            "user_id": rng.integers(0, 50, n_ev).astype(np.int64),
+            "event_type": event_type,
+            "value": value,
+            "props": ["{}"] * n_ev,
+        }
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    pq.write_table(
+        pa.Table.from_pandas(events), d / "events.parquet",
+        row_group_size=256,
+    )
+
+    n_li = 2000
+    qty = rng.integers(1, 51, n_li).astype(np.float64)
+    lineitem = pd.DataFrame(
+        {
+            "l_quantity": qty,
+            "l_extendedprice": qty * 101.5 + 3.0,  # corr == 1 exactly
+            "l_discount": np.round(rng.uniform(0, 0.1, n_li), 4),
+            "l_tax": np.full(n_li, 0.04),  # zero variance -> NULL corr
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(lineitem), d / "lineitem.parquet",
+        row_group_size=256,
+    )
+
+    n_doc = 1200
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_doc, dtype=np.int64),
+            "text": ["w"] * n_doc,
+            "source": rng.choice(["web", "book"], n_doc),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs), d / "documents.parquet",
+        row_group_size=128,
+    )
+    return str(d)
+
+
+def _duck(sf_dir, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_winsorized_mean(ray_session, sf_dir):
+    got = _norm(winsorized_mean(sf_dir))
+    exp = _norm(
+        _duck(sf_dir, ["events"]).execute(
+            "WITH b AS (SELECT event_type, "
+            "quantile_disc(value, 0.05) AS b_lo, "
+            "quantile_disc(value, 0.95) AS b_hi "
+            "FROM events WHERE value IS NOT NULL GROUP BY event_type) "
+            "SELECT e.event_type, "
+            "round(avg(least(greatest(e.value, b.b_lo), b.b_hi)), 6) "
+            "AS wmean FROM events e JOIN b USING (event_type) "
+            "WHERE e.value IS NOT NULL GROUP BY e.event_type"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # degenerate groups behave: constant group == the constant,
+    # single-row group == its value
+    by = winsorized_mean(sf_dir).set_index("event_type")["wmean"]
+    assert by["const"] == 7.5
+    assert by["solo"] == 123.456
+
+
+def test_corr_matrix(ray_session, sf_dir):
+    got = corr_matrix(sf_dir).set_index(["col_a", "col_b"])["r"]
+    # engineered pair: exactly linear => corr 1.0
+    assert got[("l_quantity", "l_extendedprice")] == 1.0
+    # zero-variance column => NULL (NaN), matching SQL corr()
+    assert np.isnan(got[("l_quantity", "l_tax")])
+    assert np.isnan(got[("l_discount", "l_tax")])
+    exp = (
+        _duck(sf_dir, ["lineitem"])
+        .execute(
+            "SELECT round(corr(l_quantity, l_discount), 6) AS a, "
+            "round(corr(l_extendedprice, l_discount), 6) AS b "
+            "FROM lineitem"
+        )
+        .df()
+    )
+    assert got[("l_quantity", "l_discount")] == exp["a"].iloc[0]
+    assert got[("l_extendedprice", "l_discount")] == exp["b"].iloc[0]
+
+
+def test_shuffle_head(ray_session, sf_dir):
+    got = _norm(shuffle_head(sf_dir, k=37))
+    exp = _norm(
+        _duck(sf_dir, ["documents"]).execute(
+            "SELECT CAST(row_number() OVER (ORDER BY h, doc_id) "
+            "AS BIGINT) AS pos, doc_id, source FROM ("
+            "SELECT doc_id, source, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))"
+            "::UBIGINT AS h FROM documents) ORDER BY pos LIMIT 37"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # k beyond the corpus: every row appears exactly once, ranked
+    full = shuffle_head(sf_dir, k=10_000)
+    assert len(full) == 1200
+    assert full["doc_id"].is_unique
+    assert (full["pos"].to_numpy() == np.arange(1, 1201)).all()
+
+
+def _tokens_duck():
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    paths, _ = ensure_encoded("/root/testdata/sf0.001")
+    con = duckdb.connect()
+    lst = ", ".join(f"'{p}'" for p in paths)
+    con.execute(
+        f"CREATE VIEW toks AS SELECT * FROM read_parquet([{lst}])"
+    )
+    return con
+
+
+def test_token_ffreq(ray_session):
+    got = _norm(token_ffreq("/root/testdata/sf0.001"))
+    exp = _norm(
+        _tokens_duck().execute(
+            "SELECT n AS n_occ, CAST(count(*) AS BIGINT) AS n_tokens "
+            "FROM (SELECT tok, count(*) AS n FROM ("
+            "SELECT unnest(tokens) AS tok FROM toks) GROUP BY tok) "
+            "GROUP BY n"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # spectrum mass accounting: sum(n_occ * n_tokens) == corpus tokens
+    total = _tokens_duck().execute(
+        "SELECT sum(len(tokens)) FROM toks"
+    ).fetchone()[0]
+    assert int((got["n_occ"] * got["n_tokens"]).sum()) == int(total)
+
+
+def test_rare_token_docs(ray_session):
+    got = _norm(rare_token_docs("/root/testdata/sf0.001"))
+    exp = _norm(
+        _tokens_duck().execute(
+            "WITH ex AS (SELECT doc_id, source, unnest(tokens) AS tok "
+            "FROM toks), "
+            "rare AS (SELECT tok FROM ex GROUP BY tok "
+            "HAVING count(*) <= 2), "
+            "hit AS (SELECT DISTINCT doc_id, source FROM ex "
+            "JOIN rare USING (tok)) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM hit GROUP BY source"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_rare_token_docs_empty_rare_set(ray_session, tmp_path):
+    """max_n = 0 means NO token qualifies (every token occurs >= 1
+    time) -> empty result frame, exercising the rare.size == 0 and
+    all-rows-filtered partial paths."""
+    out = rare_token_docs("/root/testdata/sf0.001", max_n=0)
+    assert len(out) == 0
