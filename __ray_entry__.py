@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_ffreq": sketches.token_ffreq,
         "rare_token_docs": sketches.rare_token_docs,
         "shuffle_head": sampling.shuffle_head,
+        "quality_topp": textops.quality_topp,
+        "mutual_information": analytics.mutual_information,
+        "common_prefixes": dedup.common_prefixes,
         "source_vocab_jaccard": sketches.source_vocab_jaccard,
         "vocab_remap": sketches.vocab_remap,
         # --- flagship encode engine (tokens table) ---
@@ -197,7 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # new this session
         "winsorized_mean", "corr_matrix", "token_ffreq",
-        "rare_token_docs", "shuffle_head",
+        "rare_token_docs", "shuffle_head", "quality_topp",
+        "mutual_information", "common_prefixes",
         "vocab_remap", "split_assign", "charclass_profile",
         "rolling_minmax", "new_users_weekly",
         "editdist_neardup", "lead_value", "nucleus_coverage",
@@ -416,6 +420,35 @@ def oracle_sql() -> dict[str, str]:
             "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))"
             "::UBIGINT % 100 AS b FROM documents) "
             "GROUP BY source, split ORDER BY source, split"
+        ),
+        "quality_topp": (
+            "WITH w AS (SELECT source, length(text) - "
+            "length(replace(text, ' ', '')) + 1 AS words "
+            "FROM documents), "
+            "t AS (SELECT quantile_disc(words, 0.9) AS thr FROM w) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM w, t WHERE w.words >= t.thr "
+            "GROUP BY source ORDER BY source"
+        ),
+        "mutual_information": (
+            "WITH c AS (SELECT source, lang, "
+            "CAST(count(*) AS DOUBLE) AS n FROM documents "
+            "GROUP BY source, lang), "
+            "tot AS (SELECT sum(n) AS N FROM c), "
+            "s AS (SELECT source, sum(n) AS ns FROM c GROUP BY source), "
+            "l AS (SELECT lang, sum(n) AS nl FROM c GROUP BY lang) "
+            "SELECT round(sum((c.n / t.N) * "
+            "ln((c.n * t.N) / (s.ns * l.nl))), 6) AS mi "
+            "FROM c JOIN s USING (source) JOIN l USING (lang) "
+            "CROSS JOIN tot t"
+        ),
+        "common_prefixes": (
+            "SELECT array_to_string(tokens[1:8], '-') AS prefix, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            f"FROM read_parquet('{_TOKENS_GLOB}') "
+            "WHERE len(tokens) >= 8 "
+            "GROUP BY prefix HAVING count(*) >= 2 "
+            "ORDER BY n_docs DESC, prefix"
         ),
         "shuffle_head": (
             "SELECT CAST(row_number() OVER (ORDER BY h, doc_id) "

@@ -224,7 +224,8 @@ def run_bench() -> dict:
             "vocab_remap", "split_assign", "charclass_profile",
             "rolling_minmax", "new_users_weekly",
             "winsorized_mean", "corr_matrix", "token_ffreq",
-            "rare_token_docs", "shuffle_head",
+            "rare_token_docs", "shuffle_head", "quality_topp",
+            "mutual_information", "common_prefixes",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)

@@ -1677,3 +1677,34 @@ def new_users_weekly(sf_dir: str, week_secs: int = 604_800):
             "cum_users": np.cumsum(cnt).astype("int64"),
         }
     )
+
+
+def mutual_information(sf_dir: str):
+    """Mutual information (nats) between documents.source and
+    documents.lang — the 'is my language mix confounded with my
+    source mix' audit a mixture designer runs before reweighting:
+    MI = sum_{s,l} p(s,l) * ln(p(s,l) / (p(s) p(l))).
+
+    Scale shape: one streaming scan of two low-cardinality columns
+    producing per-block (source, lang, n) partials; the merged
+    contingency table is sources x langs sized, so marginals and the
+    MI fold are driver-trivial. 6-dp rounding on both sides absorbs
+    float summation-order drift (kl_divergence precedent)."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return g.rename_columns(["source", "lang", "n"])
+
+    from .groupagg import merge_partials
+
+    c = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"], {"n": "sum"},
+    )
+    n = c["n"].to_numpy(np.float64)
+    total = n.sum()
+    ns = c.groupby("source")["n"].transform("sum").to_numpy(np.float64)
+    nl = c.groupby("lang")["n"].transform("sum").to_numpy(np.float64)
+    mi = float(((n / total) * np.log((n * total) / (ns * nl))).sum())
+    return pd.DataFrame({"mi": [round(mi, 6)]})

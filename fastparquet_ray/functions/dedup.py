@@ -1667,3 +1667,69 @@ def doc_dup_profile(sf_dir: str):
             "dup_rate": prof["dup_rate"],
         }
     )
+
+
+def common_prefixes(sf_dir: str, w: int = 8, min_docs: int = 2):
+    """Boilerplate-prefix detection: token prefixes of length ``w``
+    shared by >= ``min_docs`` documents (headers, license banners,
+    templated openings — the stuff prefix-dedup strips before
+    training). Returns (prefix, n_docs) with the prefix rendered as a
+    canonical '-'-joined id string.
+
+    Scale shape: one streaming scan; each block gathers its >=w-token
+    rows into a (k, w) int32 matrix, counts in-block duplicates via a
+    void-view np.unique (no per-row hashing loop), and emits
+    (prefix-bytes, n) partials — block-distinct-prefix sized. The
+    merged table is then thresholded; only content ACTUALLY shared
+    across documents survives to the driver, the same
+    duplicated-content bound dup_ngram_spans relies on."""
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+
+    _, enc = ensure_encoded(sf_dir)
+    ds = decode_dataset(enc, columns=["tokens"])
+
+    empty = pd.DataFrame(
+        {"k": pd.Series([], dtype="object"),
+         "n_docs": pd.Series([], dtype="int64")}
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return empty
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        rel = offs - offs[0]
+        lens = np.diff(rel)
+        starts = rel[:-1][lens >= w]
+        if starts.size == 0:
+            return empty
+        mat = np.ascontiguousarray(
+            flat[starts[:, None] + np.arange(w, dtype=np.int64)]
+        )
+        keys = mat.view(np.dtype((np.void, w * 4)))[:, 0]
+        u, c = np.unique(keys, return_counts=True)
+        return pd.DataFrame(
+            {"k": [v.tobytes() for v in u],
+             "n_docs": c.astype(np.int64)}
+        )
+
+    from .groupagg import merge_partials
+
+    agg = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["k"], {"n_docs": "sum"},
+    )
+    agg = agg[agg["n_docs"] >= min_docs]
+    pref = [
+        "-".join(str(x) for x in np.frombuffer(k, dtype=np.int32))
+        for k in agg["k"]
+    ]
+    out = pd.DataFrame(
+        {"prefix": pref, "n_docs": agg["n_docs"].to_numpy()}
+    )
+    return (
+        out.sort_values(["n_docs", "prefix"], ascending=[False, True])
+        .reset_index(drop=True)
+    )

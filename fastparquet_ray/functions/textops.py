@@ -555,3 +555,65 @@ def charclass_profile(sf_dir: str) -> pd.DataFrame:
         ["source"], {"n_alpha": "sum", "n_digit": "sum", "n_space": "sum"},
     )
     return out.sort_values("source").reset_index(drop=True)
+
+
+def quality_topp(sf_dir: str, p: float = 0.9):
+    """Top-p quality selection: keep only documents whose word count
+    sits at or above the corpus p-quantile (quantile_disc semantics —
+    the value at rank ceil(p*N)), report per-source kept counts — the
+    'take the best decile' curation step between scoring and mixture
+    assembly.
+
+    Scale shape: the text column is read ONCE — a narrow
+    (source, words) projection is materialized (doc-count-scaled, two
+    small columns, object-store spillable), then (a) per-block
+    (words, n) value-count partials merge into the exact threshold
+    (the exchange is value-range bounded: distinct word counts, never
+    docs) and (b) one stateless filter-count pass over the cached
+    projection. No sort, no corpus exchange."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def words_of(t: pa.Table) -> pa.Table:
+        w = pc.add(pc.count_substring(t.column("text"), " "), 1)
+        return pa.table(
+            {"source": t.column("source"), "words": w.cast(pa.int64())}
+        )
+
+    proj = ds.map_batches(words_of, batch_format="pyarrow").materialize()
+
+    def vc(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t.column("words").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {"words": pa.array(u, pa.int64()),
+             "n": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    from .groupagg import merge_partials
+
+    counts = merge_partials(
+        proj.map_batches(vc, batch_format="pyarrow"), ["words"], {"n": "sum"}
+    ).sort_values("words")
+    total = int(counts["n"].sum())
+    rank = max(1, int(np.ceil(p * total)))
+    cum = counts["n"].cumsum().to_numpy()
+    thr = int(counts["words"].to_numpy()[np.searchsorted(cum, rank)])
+
+    def kept(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t.column("words"), thr)
+        f = t.filter(m)
+        return (
+            f.group_by(["source"])
+            .aggregate([("words", "count")])
+            .rename_columns(["source", "n_docs"])
+        )
+
+    out = merge_partials(
+        proj.map_batches(kept, batch_format="pyarrow"),
+        ["source"], {"n_docs": "sum"},
+    )
+    return out.sort_values("source").reset_index(drop=True)

@@ -69,11 +69,21 @@ def sf_dir(tmp_path_factory):
     )
 
     n_doc = 1200
+    # word counts heavily tied around the p90 boundary (values 1..10)
+    wc = rng.integers(1, 11, n_doc)
+    source = rng.choice(["web", "book"], n_doc)
+    # lang correlated with source -> strictly positive MI
+    lang = np.where(
+        source == "web",
+        np.where(rng.random(n_doc) < 0.7, "en", "fr"),
+        np.where(rng.random(n_doc) < 0.7, "de", "fr"),
+    )
     docs = pd.DataFrame(
         {
             "doc_id": np.arange(n_doc, dtype=np.int64),
-            "text": ["w"] * n_doc,
-            "source": rng.choice(["web", "book"], n_doc),
+            "text": [" ".join(["w"] * int(k)) for k in wc],
+            "source": source,
+            "lang": lang,
         }
     )
     pq.write_table(
@@ -206,4 +216,99 @@ def test_rare_token_docs_empty_rare_set(ray_session, tmp_path):
     time) -> empty result frame, exercising the rare.size == 0 and
     all-rows-filtered partial paths."""
     out = rare_token_docs("/root/testdata/sf0.001", max_n=0)
+    assert len(out) == 0
+
+
+def test_quality_topp(ray_session, sf_dir):
+    from fastparquet_ray.functions.textops import quality_topp
+
+    got = _norm(quality_topp(sf_dir))
+    exp = _norm(
+        _duck(sf_dir, ["documents"]).execute(
+            "WITH w AS (SELECT source, length(text) - "
+            "length(replace(text, ' ', '')) + 1 AS words "
+            "FROM documents), "
+            "t AS (SELECT quantile_disc(words, 0.9) AS thr FROM w) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM w, t WHERE w.words >= t.thr GROUP BY source"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_quality_topp_all_tied(ray_session, tmp_path):
+    """Every doc has the same word count: the threshold equals it and
+    ALL docs survive (ties at the quantile are inclusive)."""
+    from fastparquet_ray.functions.textops import quality_topp
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(50, dtype=np.int64),
+            "text": ["a b c"] * 50,
+            "source": ["s0"] * 25 + ["s1"] * 25,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs), tmp_path / "documents.parquet"
+    )
+    out = quality_topp(str(tmp_path))
+    assert out["n_docs"].tolist() == [25, 25]
+
+
+def test_mutual_information(ray_session, sf_dir):
+    from fastparquet_ray.functions.analytics import mutual_information
+
+    got = mutual_information(sf_dir)["mi"].iloc[0]
+    exp = (
+        _duck(sf_dir, ["documents"])
+        .execute(
+            "WITH c AS (SELECT source, lang, "
+            "CAST(count(*) AS DOUBLE) AS n FROM documents "
+            "GROUP BY source, lang), "
+            "tot AS (SELECT sum(n) AS N FROM c), "
+            "s AS (SELECT source, sum(n) AS ns FROM c GROUP BY source), "
+            "l AS (SELECT lang, sum(n) AS nl FROM c GROUP BY lang) "
+            "SELECT round(sum((c.n / t.N) * "
+            "ln((c.n * t.N) / (s.ns * l.nl))), 6) AS mi "
+            "FROM c JOIN s USING (source) JOIN l USING (lang) "
+            "CROSS JOIN tot t"
+        )
+        .fetchone()[0]
+    )
+    assert got == exp
+    assert got > 0  # engineered source-lang dependence
+
+
+def test_mutual_information_independent(ray_session, tmp_path):
+    """A perfectly balanced product table has MI exactly 0."""
+    from fastparquet_ray.functions.analytics import mutual_information
+
+    rows = [(s, l) for s in ["a", "b"] for l in ["x", "y"] for _ in range(10)]
+    docs = pd.DataFrame(rows, columns=["source", "lang"])
+    pq.write_table(
+        pa.Table.from_pandas(docs), tmp_path / "documents.parquet"
+    )
+    assert mutual_information(str(tmp_path))["mi"].iloc[0] == 0.0
+
+
+def test_common_prefixes(ray_session):
+    from fastparquet_ray.functions.dedup import common_prefixes
+
+    got = _norm(common_prefixes("/root/testdata/sf0.001"))
+    exp = _norm(
+        _tokens_duck().execute(
+            "SELECT array_to_string(tokens[1:8], '-') AS prefix, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM toks "
+            "WHERE len(tokens) >= 8 "
+            "GROUP BY prefix HAVING count(*) >= 2"
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_common_prefixes_width_past_docs(ray_session):
+    """w larger than every document: no row qualifies -> empty."""
+    from fastparquet_ray.functions.dedup import common_prefixes
+
+    out = common_prefixes("/root/testdata/sf0.001", w=100_000)
     assert len(out) == 0
