@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_roundtrip": flagship.tokens_roundtrip_summary,
         "clustered_lookup": flagship.clustered_lookup,
         "bloom_lookup": flagship.bloom_lookup,
+        "row_range_slice": flagship.row_range_slice,
         "tokens_export_parquet": flagship.tokens_export_roundtrip,
         "tokens_export_jsonl": flagship.tokens_export_jsonl_roundtrip,
         "pack_stats": packing.pack_stats,
@@ -201,7 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this session
         "winsorized_mean", "corr_matrix", "token_ffreq",
         "rare_token_docs", "shuffle_head", "quality_topp",
-        "mutual_information", "common_prefixes",
+        "mutual_information", "common_prefixes", "row_range_slice",
         "vocab_remap", "split_assign", "charclass_profile",
         "rolling_minmax", "new_users_weekly",
         "editdist_neardup", "lead_value", "nucleus_coverage",
@@ -441,6 +442,13 @@ def oracle_sql() -> dict[str, str]:
             "ln((c.n * t.N) / (s.ns * l.nl))), 6) AS mi "
             "FROM c JOIN s USING (source) JOIN l USING (lang) "
             "CROSS JOIN tot t"
+        ),
+        "row_range_slice": (
+            "SELECT pos, doc_id, n_tok, source FROM ("
+            "SELECT doc_id, n_tok, source, "
+            "CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) "
+            f"AS pos FROM read_parquet('{_TOKENS_GLOB}')) "
+            "WHERE pos >= 1234 AND pos < 1334 ORDER BY pos"
         ),
         "common_prefixes": (
             "SELECT array_to_string(tokens[1:8], '-') AS prefix, "

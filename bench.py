@@ -225,7 +225,7 @@ def run_bench() -> dict:
             "rolling_minmax", "new_users_weekly",
             "winsorized_mean", "corr_matrix", "token_ffreq",
             "rare_token_docs", "shuffle_head", "quality_topp",
-            "mutual_information", "common_prefixes",
+            "mutual_information", "common_prefixes", "row_range_slice",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)

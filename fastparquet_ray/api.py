@@ -318,6 +318,20 @@ class EncodedDataset:
     ) -> pd.DataFrame:
         return self.dataset(columns, filters=filters).limit(n).to_pandas()
 
+    def take_range(
+        self, start: int, stop: int, columns: list[str] | None = None
+    ) -> pd.DataFrame:
+        """Rows [start, stop) of the key-sorted corpus by GLOBAL ROW
+        POSITION (clustered layouts only): manifest row-count
+        arithmetic locates the overlapping shards, nothing else is
+        decoded — the dataloader-resume primitive."""
+        from .pipelines.decode import take_row_range
+
+        return take_row_range(
+            self.out_dir, start, stop, columns=columns,
+            filesystem=self.filesystem,
+        )
+
     def __len__(self) -> int:
         return len(self._paths)
 

@@ -277,3 +277,96 @@ def decode_dataset(
         if columns is not None:
             ds = ds.select_columns(columns)
     return ds
+
+
+def take_row_range(
+    out_dir: str,
+    start: int,
+    stop: int,
+    columns: list[str] | None = None,
+    filesystem=None,
+):
+    """Random access by GLOBAL ROW POSITION over a clustered layout —
+    the dataloader-resume primitive: rows [start, stop) of the
+    key-sorted corpus, without a query-time sort and without touching
+    any shard outside the range.
+
+    Global order = shards by key_min ascending (a cluster_by encode
+    produces disjoint shard key ranges), stored row order within a
+    shard (the encode's range sort already ordered rows). The
+    manifest's per-shard row counts turn positions into (shard,
+    local offset) in O(shards) driver arithmetic; only overlapping
+    shards are decoded. Raises on a non-clustered layout (overlapping
+    key ranges make positional semantics undefined there — use
+    filters instead).
+
+    Reference analog: fastparquet's positional head slicing
+    (api.py:387-475 row-group selection); this generalizes it to an
+    arbitrary [start, stop) over the clustered order."""
+    import pandas as pd
+
+    manifest = Manifest(out_dir, filesystem=filesystem)
+    recs = [
+        r for r in manifest.load_records().values()
+        if r.get("status") == "encoded"
+    ]
+    if not recs:
+        raise FileNotFoundError(f"no encoded shards under {out_dir}")
+    if any("key_min" not in r or "key_max" not in r for r in recs):
+        raise ValueError(
+            "take_row_range needs a clustered layout "
+            "(encode_pipeline(cluster_by=...)): shard headers carry "
+            "no key ranges"
+        )
+    recs.sort(key=lambda r: (r["key_min"], r["key_max"]))
+    for a, b in zip(recs, recs[1:]):
+        if b["key_min"] < a["key_max"]:
+            raise ValueError(
+                "take_row_range needs disjoint shard key ranges "
+                f"(shards {a['shard']} and {b['shard']} overlap) — "
+                "re-encode with cluster_by"
+            )
+    total = sum(int(r["rows"]) for r in recs)
+    start = max(0, min(int(start), total))
+    stop = max(start, min(int(stop), total))
+
+    chosen, off = [], 0
+    first_off = None
+    for r in recs:
+        n = int(r["rows"])
+        if off + n > start and off < stop:
+            if first_off is None:
+                first_off = off
+            chosen.append(r["shard"])
+        off += n
+        if off >= stop:
+            break
+
+    if not chosen:
+        # empty slice with the right schema: decode zero rows of the
+        # first shard
+        chosen, first_off, stop = [recs[0]["shard"]], 0, 0
+        start = 0
+
+    tables = manifest.load_plan().tables if manifest.has_plan() else {}
+    fs, root = fsmod.get_fs(out_dir, filesystem)
+    paths = [f"{root.rstrip('/')}/{s}" for s in chosen]
+    remote = filesystem is not None or not fsmod.is_local(fs)
+
+    from ..sources.fprs import read_fprs
+
+    # one read per shard, concatenated in key order: Ray's streaming
+    # executor does not guarantee cross-task block order by default
+    # (preserve_order=False), and a positional slice cannot tolerate
+    # reordering. 1-2 shards typically — the driver-side concat is
+    # shard-sized, not corpus-sized.
+    dfs = [
+        read_fprs(
+            [p], tables=tables, columns=columns,
+            filesystem=fs if remote else None,
+        ).to_pandas()
+        for p in paths
+    ]
+    df = pd.concat(dfs, ignore_index=True)
+    out = df.iloc[start - first_off: stop - first_off]
+    return out.reset_index(drop=True)

@@ -194,6 +194,23 @@ def bloom_lookup(sf_dir: str):
     return df
 
 
+def row_range_slice(sf_dir: str, start: int = 1234, stop: int = 1334):
+    """Positional random access over the CLUSTERED layout: rows
+    [start, stop) of the doc_id-sorted corpus via manifest row-count
+    arithmetic + decode of only the overlapping shards — the
+    'resume the dataloader at example N' primitive. The pos column
+    carries the global position so the oracle cross-checks both the
+    slice content AND its placement."""
+    from .decode import take_row_range
+
+    _, out = ensure_encoded(sf_dir, cluster_by="doc_id")
+    df = take_row_range(out, start, stop, columns=["doc_id", "n_tok", "source"])
+    df.insert(
+        0, "pos", np.arange(start, start + len(df), dtype=np.int64)
+    )
+    return df
+
+
 def tokens_roundtrip_summary(sf_dir: str):
     """Full encode + bit-identical verify; one summary row (rows-only
     check: covers what SQL cannot — per-row positional equality)."""

@@ -312,3 +312,70 @@ def test_common_prefixes_width_past_docs(ray_session):
 
     out = common_prefixes("/root/testdata/sf0.001", w=100_000)
     assert len(out) == 0
+
+
+def _clustered_enc():
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    paths, out = ensure_encoded(
+        "/root/testdata/sf0.001", cluster_by="doc_id"
+    )
+    return paths, out
+
+
+def test_take_row_range_spans_shards(ray_session):
+    from fastparquet_ray.pipelines.decode import take_row_range
+
+    paths, out = _clustered_enc()
+    lst = ", ".join(f"'{p}'" for p in paths)
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT doc_id, n_tok, source FROM ("
+        "SELECT doc_id, n_tok, source, "
+        "row_number() OVER (ORDER BY doc_id) - 1 AS pos "
+        f"FROM read_parquet([{lst}])) "
+        "WHERE pos >= 100 AND pos < 300 ORDER BY pos"
+    ).df()
+    got = take_row_range(out, 100, 300, columns=["doc_id", "n_tok", "source"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
+
+
+def test_take_row_range_edges(ray_session):
+    from fastparquet_ray.pipelines.decode import take_row_range
+
+    _, out = _clustered_enc()
+    total = sum(
+        int(r["rows"])
+        for r in __import__(
+            "fastparquet_ray.state.manifest", fromlist=["Manifest"]
+        ).Manifest(out).load_records().values()
+    )
+    # stop clamps to total; start beyond total -> empty
+    assert len(take_row_range(out, total - 5, total + 99)) == 5
+    assert len(take_row_range(out, total + 10, total + 20)) == 0
+    # empty interval
+    assert len(take_row_range(out, 7, 7)) == 0
+    # full corpus slice is the whole sorted table
+    full = take_row_range(out, 0, total, columns=["doc_id"])
+    assert len(full) == total
+    assert full["doc_id"].is_monotonic_increasing
+
+
+def test_take_row_range_rejects_unclustered(ray_session):
+    from fastparquet_ray.pipelines.decode import take_row_range
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    _, out = ensure_encoded("/root/testdata/sf0.001")  # unclustered
+    with pytest.raises(ValueError, match="cluster"):
+        take_row_range(out, 0, 10)
+
+
+def test_encoded_dataset_take_range_api(ray_session):
+    import fastparquet_ray as fr
+
+    _, out = _clustered_enc()
+    df = fr.EncodedDataset(out).take_range(42, 52, columns=["doc_id"])
+    assert len(df) == 10
+    assert df["doc_id"].is_monotonic_increasing
