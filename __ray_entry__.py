@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustered_lookup": flagship.clustered_lookup,
         "bloom_lookup": flagship.bloom_lookup,
         "row_range_slice": flagship.row_range_slice,
+        "sorted_detect_files": flagship.sorted_detect_files,
         "tokens_export_parquet": flagship.tokens_export_roundtrip,
         "tokens_export_jsonl": flagship.tokens_export_jsonl_roundtrip,
         "pack_stats": packing.pack_stats,
@@ -203,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean", "corr_matrix", "token_ffreq",
         "rare_token_docs", "shuffle_head", "quality_topp",
         "mutual_information", "common_prefixes", "row_range_slice",
+        "sorted_detect_files",
         "vocab_remap", "split_assign", "charclass_profile",
         "rolling_minmax", "new_users_weekly",
         "editdist_neardup", "lead_value", "nucleus_coverage",
@@ -442,6 +444,21 @@ def oracle_sql() -> dict[str, str]:
             "ln((c.n * t.N) / (s.ns * l.nl))), 6) AS mi "
             "FROM c JOIN s USING (source) JOIN l USING (lang) "
             "CROSS JOIN tot t"
+        ),
+        "sorted_detect_files": (
+            "WITH x AS (SELECT regexp_extract(filename, '[^/]+$') "
+            "AS file, file_row_number AS r, doc_id, n_tok "
+            f"FROM read_parquet('{_TOKENS_GLOB}', filename=true, "
+            "file_row_number=true)), "
+            "p AS (SELECT file, "
+            "doc_id >= lag(doc_id) OVER w AS okd, "
+            "n_tok >= lag(n_tok) OVER w AS okn "
+            "FROM x WINDOW w AS (PARTITION BY file ORDER BY r)) "
+            "SELECT file, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(*) FILTER (okd) AS BIGINT) AS doc_sorted_pairs, "
+            "CAST(count(*) FILTER (okn) AS BIGINT) AS ntok_sorted_pairs, "
+            "(count(*) FILTER (okd) = count(*) - 1) AS doc_sorted "
+            "FROM p GROUP BY file ORDER BY file"
         ),
         "row_range_slice": (
             "SELECT pos, doc_id, n_tok, source FROM ("

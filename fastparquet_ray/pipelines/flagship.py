@@ -211,6 +211,49 @@ def row_range_slice(sf_dir: str, start: int = 1234, stop: int = 1334):
     return df
 
 
+def sorted_detect_files(sf_dir: str):
+    """Value-level sorted-column detection per input fragment — the
+    oracle-checkable face of A4 (reference statistics/sorted_columns,
+    fastparquet api.py:sorted_partitioned_columns): for each fragment,
+    the COUNT of adjacent row pairs in order for doc_id and n_tok plus
+    the resulting is-sorted verdict. The pair counts make the check
+    discriminating (an always-False detector cannot pass).
+
+    Scale shape: one task per fragment (the same per-row-group unit
+    the reference scans), each reading only the two probed columns;
+    output is fragment-count sized."""
+    import ray.data
+    import pyarrow.parquet as pq
+
+    sf = sf_from_dir(sf_dir)
+    paths = ensure_tokens_dataset(sf, base=TOKENS_BASE)
+    ds = ray.data.from_items([{"path": p} for p in sorted(paths)])
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for p in df["path"]:
+            t = pq.read_table(p, columns=["doc_id", "n_tok"])
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            nt = t.column("n_tok").to_numpy(zero_copy_only=False)
+            dp = int(np.sum(d[1:] >= d[:-1]))
+            ntp = int(np.sum(nt[1:] >= nt[:-1]))
+            out.append(
+                (os.path.basename(p), len(d), dp, ntp, dp == len(d) - 1)
+            )
+        return pd.DataFrame(
+            out,
+            columns=["file", "n_rows", "doc_sorted_pairs",
+                     "ntok_sorted_pairs", "doc_sorted"],
+        )
+
+    return (
+        ds.map_batches(check, batch_format="pandas")
+        .to_pandas()
+        .sort_values("file")
+        .reset_index(drop=True)
+    )
+
+
 def tokens_roundtrip_summary(sf_dir: str):
     """Full encode + bit-identical verify; one summary row (rows-only
     check: covers what SQL cannot — per-row positional equality)."""

@@ -379,3 +379,32 @@ def test_encoded_dataset_take_range_api(ray_session):
     df = fr.EncodedDataset(out).take_range(42, 52, columns=["doc_id"])
     assert len(df) == 10
     assert df["doc_id"].is_monotonic_increasing
+
+
+def test_sorted_detect_files_mixed(ray_session, tmp_path, monkeypatch):
+    """One sorted and one unsorted fragment: pair counts and verdicts
+    must discriminate (the all-False degenerate cannot pass)."""
+    from fastparquet_ray.pipelines import flagship
+
+    a = pd.DataFrame(
+        {"doc_id": ["a/1", "b/2", "c/3"], "n_tok": [1, 2, 3]}
+    )
+    b = pd.DataFrame(
+        {"doc_id": ["z/9", "a/1", "m/5"], "n_tok": [5, 1, 9]}
+    )
+    pq.write_table(pa.Table.from_pandas(a), tmp_path / "tokens-0.parquet")
+    pq.write_table(pa.Table.from_pandas(b), tmp_path / "tokens-1.parquet")
+    monkeypatch.setattr(flagship, "sf_from_dir", lambda d: 0.0)
+    monkeypatch.setattr(
+        flagship, "ensure_tokens_dataset",
+        lambda sf, base=None: [
+            str(tmp_path / "tokens-0.parquet"),
+            str(tmp_path / "tokens-1.parquet"),
+        ],
+    )
+    out = flagship.sorted_detect_files("ignored").set_index("file")
+    assert bool(out.loc["tokens-0.parquet", "doc_sorted"]) is True
+    assert out.loc["tokens-0.parquet", "doc_sorted_pairs"] == 2
+    assert bool(out.loc["tokens-1.parquet", "doc_sorted"]) is False
+    assert out.loc["tokens-1.parquet", "doc_sorted_pairs"] == 1
+    assert out.loc["tokens-1.parquet", "ntok_sorted_pairs"] == 1
