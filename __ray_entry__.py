@@ -149,6 +149,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nucleus_coverage": sketches.nucleus_coverage,
         "zipf_slope": sketches.zipf_slope,
         "kl_divergence": sketches.kl_divergence,
+        "unigram_logprob": sketches.unigram_logprob,
+        "token_run_stats": sketches.token_run_stats,
+        "bm25_topk": sketches.bm25_topk,
+        "length_band_filter": sketches.length_band_filter,
         "distinct_count_approx": sketches.distinct_count_approx,
         "quantiles": sketches.quantiles,
         "codec_plan": flagship.codec_plan_report,
@@ -200,7 +204,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # modal stubs, HLL, IVF) stay outside — they cannot hash-verify
     # anyway. Every query remains registered; only ordering changes.
     front = [
-        # new this session
+        # new this session (round-4 third continuation)
+        "token_run_stats", "bm25_topk", "unigram_logprob",
+        "length_band_filter",
+        # new previous session
         "winsorized_mean", "corr_matrix", "token_ffreq",
         "rare_token_docs", "shuffle_head", "quality_topp",
         "mutual_information", "common_prefixes", "row_range_slice",
@@ -988,6 +995,69 @@ def oracle_sql() -> dict[str, str]:
             "ln((n / total) / (gn / grand))), 6) AS kl "
             "FROM tf JOIN tot ON tf.source = tot.source "
             "JOIN g ON tf.tok = g.tok CROSS JOIN gt GROUP BY tf.source"
+        ),
+        "unigram_logprob": (
+            "WITH flat AS (SELECT source, unnest(tokens) AS tok FROM "
+            f"read_parquet('{_TOKENS_GLOB}')), "
+            "freq AS (SELECT tok, count(*) AS n FROM flat GROUP BY tok), "
+            "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM freq) "
+            "SELECT source, count(*) AS n_tokens, "
+            "round(avg(ln(freq.n / tot.total)), 6) AS avg_logprob "
+            "FROM flat JOIN freq USING (tok) CROSS JOIN tot "
+            "GROUP BY source"
+        ),
+        "token_run_stats": (
+            "SELECT source, n_tokens, n_runs, "
+            "round(CAST(n_tokens AS DOUBLE) / n_runs, 6) AS avg_run_len "
+            "FROM (SELECT source, "
+            "CAST(sum(len(tokens)) AS BIGINT) AS n_tokens, "
+            "CAST(sum(len(list_filter(list_zip(tokens, tokens[2:]), "
+            "p -> p[1] IS DISTINCT FROM p[2]))) AS BIGINT) AS n_runs "
+            f"FROM read_parquet('{_TOKENS_GLOB}') GROUP BY source)"
+        ),
+        # BM25: same formula, same float op order as the engine
+        # (idf with +1 inside ln; k1=1.2, b=0.75); ordering and the
+        # LIMIT boundary both use the ROUNDED score so the top set is
+        # reproducible across engines
+        "bm25_topk": (
+            "WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(sum(n_tok) AS DOUBLE) AS tot FROM "
+            f"read_parquet('{_TOKENS_GLOB}')), "
+            "tf AS (SELECT doc_id, CAST(n_tok AS DOUBLE) AS dl, "
+            "CAST(len(list_filter(tokens, x -> x = 97)) AS DOUBLE) AS tf0, "
+            "CAST(len(list_filter(tokens, x -> x = 251)) AS DOUBLE) AS tf1, "
+            "CAST(len(list_filter(tokens, x -> x = 1009)) AS DOUBLE) AS tf2, "
+            "CAST(len(list_filter(tokens, x -> x = 4999)) AS DOUBLE) AS tf3 "
+            f"FROM read_parquet('{_TOKENS_GLOB}')), "
+            "d AS (SELECT count(*) FILTER (tf0 > 0) AS df0, "
+            "count(*) FILTER (tf1 > 0) AS df1, "
+            "count(*) FILTER (tf2 > 0) AS df2, "
+            "count(*) FILTER (tf3 > 0) AS df3 FROM tf) "
+            "SELECT doc_id, round("
+            "ln((s.n - d.df0 + 0.5) / (d.df0 + 0.5) + 1.0) * "
+            "(tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (s.tot / s.n)))) + "
+            "ln((s.n - d.df1 + 0.5) / (d.df1 + 0.5) + 1.0) * "
+            "(tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (s.tot / s.n)))) + "
+            "ln((s.n - d.df2 + 0.5) / (d.df2 + 0.5) + 1.0) * "
+            "(tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (s.tot / s.n)))) + "
+            "ln((s.n - d.df3 + 0.5) / (d.df3 + 0.5) + 1.0) * "
+            "(tf3 * (1.2 + 1.0) / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (s.tot / s.n))))"
+            ", 6) AS score "
+            "FROM tf, s, d "
+            "WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0 OR tf3 > 0 "
+            "ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        "length_band_filter": (
+            "WITH q AS (SELECT "
+            "quantile_cont(CAST(n_tok AS DOUBLE), 0.05) AS lo, "
+            "quantile_cont(CAST(n_tok AS DOUBLE), 0.95) AS hi FROM "
+            f"read_parquet('{_TOKENS_GLOB}')) "
+            "SELECT source, count(*) AS n, "
+            "CAST(sum(n_tok) AS BIGINT) AS sum_tok, "
+            "round(any_value(q.lo), 6) AS lo, "
+            "round(any_value(q.hi), 6) AS hi "
+            f"FROM read_parquet('{_TOKENS_GLOB}'), q "
+            "WHERE n_tok >= q.lo AND n_tok <= q.hi GROUP BY source"
         ),
         # least-squares slope of ln(freq) on ln(rank): DuckDB's
         # regr_slope over the same exact integer frequency table;

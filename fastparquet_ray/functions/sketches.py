@@ -1066,3 +1066,293 @@ def rare_token_docs(sf_dir: str, max_n: int = 2):
         ["source"], {"n_docs": "sum"},
     )
     return out.sort_values("source").reset_index(drop=True)
+
+
+def unigram_logprob(sf_dir: str):
+    """Per-source mean unigram log-probability (nats) of the token
+    stream under the CORPUS unigram model — the cheapest perplexity
+    proxy a data-quality pipeline scores before training (a source
+    whose tokens are "surprising" to the blend stands out next to
+    entropy_by_source / kl_divergence).
+
+    Scale shape: rides the shared memoized vocab profile (ONE corpus
+    scan amortized across all profile consumers); the fold —
+    sum_t n_st * ln(freq_t / total) per source — runs on the
+    vocabulary x sources summary table, scalar work relative to the
+    scan. 6-dp rounding on both sides absorbs summation-order float
+    drift (the SQL oracle averages over corpus positions, this fold
+    weights the vocab rows; identical sums in exact arithmetic)."""
+    agg = _source_token_counts(sf_dir)
+    gtok = agg.groupby("tok", sort=False)["n"].sum()
+    total = float(agg["n"].sum())
+    out_s, out_n, out_lp = [], [], []
+    for s, sub in agg.groupby("source", sort=True):
+        n = sub["n"].to_numpy(np.float64)
+        lp = np.log(gtok.loc[sub["tok"]].to_numpy(np.float64) / total)
+        out_s.append(s)
+        out_n.append(int(n.sum()))
+        out_lp.append(round(float((n * lp).sum() / n.sum()), 6))
+    return pd.DataFrame(
+        {"source": out_s,
+         "n_tokens": pd.array(out_n, dtype="int64"),
+         "avg_logprob": pd.array(out_lp, dtype="float64")}
+    )
+
+
+def token_run_stats(sf_dir: str):
+    """Per-source run-length structure of the token stream: total
+    tokens, number of maximal equal-value runs, and mean run length —
+    the statistic that decides whether RLE beats dictionary/bit-pack
+    for a partition (the codec planner samples exactly this signal;
+    here it is exact, corpus-wide, and oracle-checkable).
+
+    Scale shape: zero exchange beyond a sources-sized partial merge.
+    Each block flattens its token lists once; run boundaries are ONE
+    vectorized != comparison over the flat stream with row starts
+    forced to boundaries (list ends break runs — runs never span
+    documents), then a per-source bincount."""
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+    from .groupagg import merge_partials
+
+    _, enc = ensure_encoded(sf_dir)
+    ds = decode_dataset(enc, columns=["source", "tokens"])
+
+    empty = pd.DataFrame(
+        {"source": pd.Series([], dtype="object"),
+         "n_tokens": pd.Series([], dtype="int64"),
+         "n_runs": pd.Series([], dtype="int64")}
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return empty
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        rel = offs - offs[0]
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src)
+        lens = np.diff(rel)
+        if flat.size == 0:
+            cnt_tok = np.zeros(len(uniq), dtype=np.int64)
+            cnt_run = np.zeros(len(uniq), dtype=np.int64)
+        else:
+            # a position ENDS a run iff it is the last of its list or
+            # differs from its successor; per-row run count = count of
+            # run-end positions in the row
+            end = np.ones(flat.size, dtype=bool)
+            end[:-1] = flat[1:] != flat[:-1]
+            # force list boundaries: last element of every non-empty
+            # row ends a run regardless of the next row's first value
+            last_pos = rel[1:][lens > 0] - 1
+            end[last_pos] = True
+            cum = np.concatenate([[0], np.cumsum(end)])
+            runs_per_row = cum[rel[1:]] - cum[rel[:-1]]
+            cnt_tok = np.bincount(
+                codes, weights=lens, minlength=len(uniq)
+            ).astype(np.int64)
+            cnt_run = np.bincount(
+                codes, weights=runs_per_row, minlength=len(uniq)
+            ).astype(np.int64)
+        return pd.DataFrame(
+            {"source": uniq, "n_tokens": cnt_tok, "n_runs": cnt_run}
+        )
+
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], {"n_tokens": "sum", "n_runs": "sum"},
+    )
+    out = out.sort_values("source").reset_index(drop=True)
+    out["avg_run_len"] = (
+        out["n_tokens"] / out["n_runs"].replace(0, np.nan)
+    ).round(6)
+    return out
+
+
+# BM25 constants (Robertson k1/b defaults; +1-inside-ln idf keeps all
+# terms positive, the Lucene variant) and the fixed audit query — a
+# mid/low-df token mix over the zipf vocab
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = (97, 251, 1009, 4999)
+
+
+def bm25_topk(sf_dir: str, top: int = 20):
+    """Top-`top` documents by BM25 score against the fixed
+    BM25_QUERY token set — the retrieval primitive a curation
+    pipeline runs to pull training examples relevant to a probe set
+    (tfidf_topk's per-document counterpart).
+
+    Scale shape: two streaming scans of the decoded corpus. Scan 1
+    folds the global sufficient statistics (N, total length, per-term
+    df) into ONE summary row via per-block partials. Scan 2 scores
+    only documents containing >= 1 query term (vectorized equality
+    over the flat token stream, bincount per doc), keeps each block's
+    top-`top` under the total (rounded-score DESC, doc_id ASC) order,
+    and the driver merges blocks x top candidate rows. The corpus is
+    never sorted or exchanged; the broadcast is one stats tuple."""
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+    from .groupagg import merge_partials
+
+    q_toks = np.asarray(BM25_QUERY, dtype=np.int64)
+    _, enc = ensure_encoded(sf_dir)
+
+    # ---- scan 1: N, total token count, df per query term ----
+    ds1 = decode_dataset(enc, columns=["tokens", "n_tok"])
+
+    def stats_partial(t: pa.Table) -> pd.DataFrame:
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        rel = offs - offs[0]
+        row = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64), np.diff(rel)
+        )
+        d = {"k": np.zeros(1, dtype=np.int64),
+             "n": np.array([t.num_rows], dtype=np.int64),
+             "tot": np.array(
+                 [int(t.column("n_tok").to_numpy().astype(np.int64).sum())],
+                 dtype=np.int64,
+             )}
+        for i, q in enumerate(q_toks):
+            d[f"df{i}"] = np.array(
+                [int(np.unique(row[flat == q]).size)], dtype=np.int64
+            )
+        return pd.DataFrame(d)
+
+    st = merge_partials(
+        ds1.map_batches(stats_partial, batch_format="pyarrow"),
+        ["k"],
+        {"n": "sum", "tot": "sum",
+         **{f"df{i}": "sum" for i in range(len(q_toks))}},
+    )
+    n_docs = int(st["n"].iloc[0])
+    avgdl = float(st["tot"].iloc[0]) / n_docs if n_docs else 1.0
+    idf = np.array(
+        [
+            np.log(
+                (n_docs - int(st[f"df{i}"].iloc[0]) + 0.5)
+                / (int(st[f"df{i}"].iloc[0]) + 0.5)
+                + 1.0
+            )
+            for i in range(len(q_toks))
+        ],
+        dtype=np.float64,
+    )
+
+    # ---- scan 2: per-doc tf -> score -> per-block top-k ----
+    ds2 = decode_dataset(enc, columns=["doc_id", "tokens", "n_tok"])
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="object"),
+         "score": pd.Series([], dtype="float64")}
+    )
+
+    def score_partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return empty
+        col = t.column("tokens").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        rel = offs - offs[0]
+        row = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64), np.diff(rel)
+        )
+        dl = t.column("n_tok").to_numpy().astype(np.float64)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        score = np.zeros(t.num_rows, dtype=np.float64)
+        hit = np.zeros(t.num_rows, dtype=bool)
+        for i in range(len(q_toks)):
+            tf = np.bincount(
+                row[flat == q_toks[i]], minlength=t.num_rows
+            ).astype(np.float64)
+            hit |= tf > 0
+            score = score + idf[i] * (
+                tf * (BM25_K1 + 1.0) / (tf + norm)
+            )
+        if not hit.any():
+            return empty
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)[hit]
+        sc = np.round(score[hit], 6)
+        o = np.lexsort((doc, -sc))[: min(len(doc), max(top, 64))]
+        return pd.DataFrame({"doc_id": doc[o], "score": sc[o]})
+
+    cand = ds2.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
+    return cand.head(top).reset_index(drop=True)
+
+
+def length_band_filter(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
+    """Per-source survivor counts after trimming the corpus to the
+    global [p5, p95] sequence-length band — the outlier-length cut a
+    training pipeline applies before packing (degenerate short docs
+    and truncation-length monsters both skew loss).
+
+    Scale shape: the band thresholds come from the zero-sort 3-pass
+    histogram rank selection over the single decoded n_tok column
+    (quantile_cont interpolation, DuckDB semantics — identical
+    floating lerp on both sides so the integer boundary comparisons
+    agree exactly); the filter + per-source count is then one
+    streaming scan with the two scalars in the task closure."""
+    import ray.data
+
+    from ..pipelines.decode import decode_dataset
+    from ..pipelines.flagship import ensure_encoded
+    from .groupagg import merge_partials
+
+    _, enc = ensure_encoded(sf_dir)
+    col_ds = decode_dataset(enc, columns=["n_tok"]).materialize()
+
+    qs = [lo_q, hi_q]
+
+    def ranks_of(n: int) -> list[int]:
+        out = []
+        for q in qs:
+            pos = (n - 1) * q
+            out.append(int(np.floor(pos)) + 1)
+            out.append(int(np.ceil(pos)) + 1)
+        return out
+
+    n, rank_value = _rank_select_ds(col_ds, "n_tok", ranks_of)
+    if n == 0:
+        return pd.DataFrame(
+            {"source": pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64"),
+             "sum_tok": pd.Series([], dtype="int64"),
+             "lo": pd.Series([], dtype="float64"),
+             "hi": pd.Series([], dtype="float64")}
+        )
+    band = []
+    for q in qs:
+        pos = (n - 1) * q
+        lo_r, hi_r = int(np.floor(pos)) + 1, int(np.ceil(pos)) + 1
+        vlo, vhi = rank_value[lo_r], rank_value[hi_r]
+        band.append(vlo + (pos - np.floor(pos)) * (vhi - vlo))
+    lo, hi = float(band[0]), float(band[1])
+
+    ds = decode_dataset(enc, columns=["source", "n_tok"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        nt = t.column("n_tok").to_numpy().astype(np.float64)
+        keep = (nt >= lo) & (nt <= hi)
+        src = t.column("source").to_numpy(zero_copy_only=False)[keep]
+        codes, uniq = pd.factorize(src)
+        return pd.DataFrame(
+            {"source": uniq,
+             "n": np.bincount(codes, minlength=len(uniq)).astype(np.int64),
+             "sum_tok": np.bincount(
+                 codes, weights=nt[keep], minlength=len(uniq)
+             ).astype(np.int64)}
+        )
+
+    out = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], {"n": "sum", "sum_tok": "sum"},
+    )
+    out = out.sort_values("source").reset_index(drop=True)
+    out["lo"] = round(lo, 6)
+    out["hi"] = round(hi, 6)
+    return out
