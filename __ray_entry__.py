@@ -86,6 +86,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_lag": analytics.window_lag,
         "lead_value": analytics.lead_value,
         "percent_rank": analytics.percent_rank_value,
+        "cume_dist": analytics.cume_dist_value,
+        "dense_rank": analytics.dense_rank_day,
+        "first_last_event": analytics.first_last_event,
+        "full_outer_join": relational.full_outer_join,
         "rollup_agg": analytics.rollup_agg,
         "cube_agg": analytics.cube_agg,
         "pivot_counts": analytics.pivot_counts,
@@ -206,7 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # new this session (round-4 third continuation)
         "token_run_stats", "bm25_topk", "unigram_logprob",
-        "length_band_filter",
+        "length_band_filter", "full_outer_join", "dense_rank",
+        "cume_dist", "first_last_event",
         # new previous session
         "winsorized_mean", "corr_matrix", "token_ffreq",
         "rare_token_docs", "shuffle_head", "quality_topp",
@@ -722,6 +727,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, ROUND(percent_rank() OVER ("
             "PARTITION BY user_id ORDER BY value, event_id), 6) AS pr "
             "FROM events"
+        ),
+        "cume_dist": (
+            "SELECT event_id, user_id, ROUND(cume_dist() OVER ("
+            "PARTITION BY user_id ORDER BY value, event_id), 6) AS cd "
+            "FROM events"
+        ),
+        "dense_rank": (
+            "SELECT event_id, user_id, CAST(dense_rank() OVER ("
+            "PARTITION BY user_id ORDER BY date_trunc('day', ts)) "
+            "AS BIGINT) AS dr FROM events"
+        ),
+        "first_last_event": (
+            "SELECT user_id, "
+            "first(event_type ORDER BY ts, event_id) AS first_type, "
+            "last(event_type ORDER BY ts, event_id) AS last_type, "
+            "count(*) AS n FROM events GROUP BY user_id"
+        ),
+        "full_outer_join": (
+            "SELECT coalesce(d.source, '(none)') AS source, "
+            "CAST(coalesce(e.label, -1) AS BIGINT) AS label, "
+            "count(*) AS n FROM "
+            "(SELECT doc_id, source FROM documents WHERE source IN "
+            "('src0','src1','src2','src3','src4')) d "
+            "FULL OUTER JOIN "
+            "(SELECT vec_id, label FROM embeddings WHERE label < 3) e "
+            "ON d.doc_id = e.vec_id GROUP BY 1, 2"
         ),
         "rollup_agg": (
             "SELECT l_returnflag, l_linestatus, "

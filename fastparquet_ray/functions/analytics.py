@@ -442,6 +442,34 @@ def percent_rank_value(sf_dir: str):
     edge segment of some block (middle blocks are single-user), so
     the border frame also yields straddler totals — both driver
     dicts stay block-count-bounded, never user-bounded."""
+
+    def scale(rn: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+        return np.where(cnt > 1, (rn - 1) / np.maximum(cnt - 1, 1), 0.0)
+
+    return _user_rank_scaled(sf_dir, "pr", scale)
+
+
+def cume_dist_value(sf_dir: str):
+    """cume_dist() OVER (PARTITION BY user_id ORDER BY value,
+    event_id) — the fraction of the user's events at or below this
+    one. The event_id tiebreak makes the order total (every peer
+    group is a singleton), so cume_dist == row_number / n_user
+    exactly; the engine is percent_rank's segmented sort with the
+    same O(blocks) border offsets + straddler totals, only the final
+    scaling differs."""
+
+    def scale(rn: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+        return rn / np.maximum(cnt, 1)
+
+    return _user_rank_scaled(sf_dir, "cd", scale)
+
+
+def _user_rank_scaled(sf_dir: str, out_col: str, scale):
+    """Shared engine for percent_rank / cume_dist over (PARTITION BY
+    user_id ORDER BY value, event_id): segmented range sort +
+    vectorized block rank pass + O(blocks) border offsets and
+    straddler totals; ``scale(rn, cnt)`` maps the healed row number
+    and partition size to the window value."""
     import ray
     import ray.data
 
@@ -535,7 +563,7 @@ def percent_rank_value(sf_dir: str):
         {
             "event_id": pd.Series([], dtype="int64"),
             "user_id": pd.Series([], dtype="int64"),
-            "pr": pd.Series([], dtype="float64"),
+            out_col: pd.Series([], dtype="float64"),
         }
     )
 
@@ -568,14 +596,12 @@ def percent_rank_value(sf_dir: str):
                 [tots.get(int(x), 0) for x in seg_u], dtype=np.int64
             )
             cnt = np.where(seg_tot[seg_id] > 0, seg_tot[seg_id], cnt)
-        pr = np.where(
-            cnt > 1, (rn - 1) / np.maximum(cnt - 1, 1), 0.0
-        )
+        val = scale(rn, cnt)
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].to_numpy().astype("int64"),
                 "user_id": u.astype("int64"),
-                "pr": np.round(pr, 6),
+                out_col: np.round(val, 6),
             }
         )
 
@@ -1708,3 +1734,193 @@ def mutual_information(sf_dir: str):
     nl = c.groupby("lang")["n"].transform("sum").to_numpy(np.float64)
     mi = float(((n / total) * np.log((n * total) / (ns * nl))).sum())
     return pd.DataFrame({"mi": [round(mi, 6)]})
+
+
+def first_last_event(sf_dir: str):
+    """Per-user first and last event_type under (ts, event_id) order,
+    plus the event count — the session-boundary summary (entry page /
+    exit page) every engagement report starts from.
+
+    Scale shape: an ordered aggregate made ASSOCIATIVE by packing the
+    order key into a lexicographically sortable string (zero-padded
+    ts-microseconds : zero-padded event_id : event_type) — min of the
+    packed key IS the argmin row, so per-block partials collapse each
+    block to <= 1 row per (block, user) and merge through
+    groupagg.merge_partials min/max like any sum. No sort, no window
+    pass, no carry chain; the unpack runs on the O(users) merged
+    frame."""
+    from .groupagg import merge_partials
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    empty = pd.DataFrame(
+        {"user_id": pd.Series([], dtype="int64"),
+         "first_k": pd.Series([], dtype="object"),
+         "last_k": pd.Series([], dtype="object"),
+         "n": pd.Series([], dtype="int64")}
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        key = np.char.add(
+            np.char.add(np.char.zfill(us.astype("U20"), 20), ":"),
+            np.char.zfill(eid.astype("U12"), 12),
+        )
+        key = np.char.add(
+            np.char.add(key, ":"),
+            df["event_type"].to_numpy(dtype="U"),
+        )
+        g = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy().astype(np.int64),
+             "k": key}
+        )
+        return g.groupby("user_id", as_index=False).agg(
+            first_k=("k", "min"), last_k=("k", "max"), n=("k", "size")
+        )
+
+    agg = merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        {"first_k": "min", "last_k": "max", "n": "sum"},
+    )
+    out = pd.DataFrame(
+        {"user_id": agg["user_id"].astype("int64"),
+         "first_type": agg["first_k"].str.split(":", n=2).str[2],
+         "last_type": agg["last_k"].str.split(":", n=2).str[2],
+         "n": agg["n"].astype("int64")}
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_DAY_US = 86_400_000_000
+
+
+def dense_rank_day(sf_dir: str):
+    """dense_rank() OVER (PARTITION BY user_id ORDER BY
+    date_trunc('day', ts)) — each event labeled with its user's
+    "nth distinct active day", the engagement-streak primitive.
+    Unlike row_number, ties (same-day events) share a rank and the
+    next day advances by exactly one.
+
+    Scale shape (the segmented-sort family): ONE range sort on
+    (user_id, day, event_id) — no group co-location, hot users simply
+    span sorted blocks — then a vectorized per-block dense-rank pass.
+    A straddling user's rank offset (distinct days in its earlier
+    blocks) folds from the O(blocks) border frame: every segment of a
+    straddling user is an edge segment of some block, and
+    consecutive segments can share at most the boundary day, so a
+    running (union size, last day) chain per user heals both the
+    offset and the double-counted straddling day."""
+    import ray
+    import ray.data
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def with_day(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        out = df[["event_id", "user_id"]].copy()
+        out["day"] = us // _DAY_US
+        return out
+
+    srt = (
+        ds.map_batches(with_day, batch_format="pandas")
+        .sort(["user_id", "day", "event_id"])
+        .materialize()  # consumed twice: border pull + rank pass
+    )
+
+    edge_cols = {
+        "user_id": pd.Series([], dtype="int64"),
+        "nd": pd.Series([], dtype="int64"),
+        "fday": pd.Series([], dtype="int64"),
+        "lday": pd.Series([], dtype="int64"),
+        "feid": pd.Series([], dtype="int64"),
+        "blk_day": pd.Series([], dtype="int64"),
+        "blk_eid": pd.Series([], dtype="int64"),
+        "is_first": pd.Series([], dtype="bool"),
+    }
+
+    def edge_days(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(edge_cols)
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        e = df["event_id"].to_numpy()
+        start = np.ones(len(df), dtype=bool)
+        start[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(start)
+        ends = np.concatenate([starts[1:], [len(df)]])
+        first_i, last_i = 0, len(starts) - 1
+        take = sorted({first_i, last_i})
+        rows = []
+        for i in take:
+            dseg = d[starts[i]:ends[i]]
+            rows.append(
+                (int(u[starts[i]]),
+                 1 + int(np.count_nonzero(np.diff(dseg))),
+                 int(dseg[0]), int(dseg[-1]), int(e[starts[i]]),
+                 int(d[0]), int(e[0]), i == first_i)
+            )
+        return pd.DataFrame(rows, columns=list(edge_cols))
+
+    bd = (
+        srt.map_batches(edge_days, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    offsets: dict[tuple, int] = {}
+    if len(bd):
+        bd = bd.sort_values(
+            ["user_id", "fday", "feid"], kind="mergesort"
+        ).reset_index(drop=True)
+        prev_user = None
+        union_n = 0
+        prev_l = None
+        for row in bd.itertuples(index=False):
+            if row.user_id != prev_user:
+                prev_user, union_n, prev_l = row.user_id, 0, None
+            overlap = 1 if prev_l is not None and prev_l == row.fday else 0
+            if row.is_first and union_n > 0:
+                # block-first continuation segment: its local rank 1
+                # is day fday, already counted iff it straddles
+                offsets[
+                    (int(row.user_id), int(row.blk_day), int(row.blk_eid))
+                ] = union_n - overlap
+            union_n += row.nd - overlap
+            prev_l = row.lday
+    off_ref = ray.put(offsets)
+
+    empty = pd.DataFrame(
+        {"event_id": pd.Series([], dtype="int64"),
+         "user_id": pd.Series([], dtype="int64"),
+         "dr": pd.Series([], dtype="int64")}
+    )
+
+    def block_dr(df: pd.DataFrame, _memo={}) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        if "o" not in _memo:
+            _memo["o"] = ray.get(off_ref)  # O(straddling blocks), tiny
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        start = np.ones(len(df), dtype=bool)
+        start[1:] = u[1:] != u[:-1]
+        seg_id = np.cumsum(start) - 1
+        starts = np.flatnonzero(start)
+        newday = start.copy()
+        newday[1:] |= d[1:] != d[:-1]
+        nd_cum = np.cumsum(newday)
+        dr = nd_cum - nd_cum[starts[seg_id]] + 1
+        off = _memo["o"].get(
+            (int(u[0]), int(d[0]), int(df["event_id"].iloc[0]))
+        )
+        if off:
+            dr = np.where(seg_id == 0, dr + off, dr)
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy().astype("int64"),
+             "user_id": u.astype("int64"),
+             "dr": dr.astype("int64")}
+        )
+
+    return srt.map_batches(block_dr, batch_format="pandas", batch_size=None)

@@ -844,3 +844,66 @@ def union_distinct(sf_dir: str):
         )
 
     return dedup.map_batches(finish, batch_format="pyarrow")
+
+
+# the full-outer audit slices: a 5-source document cut vs a low-label
+# embedding cut — each side keeps rows the other lacks, so both
+# unmatched directions are exercised
+FULL_OUTER_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+FULL_OUTER_MAX_LABEL = 3
+
+
+def full_outer_join(sf_dir: str):
+    """documents (5-source slice) FULL OUTER JOIN embeddings
+    (label < 3 slice) on doc_id = vec_id, folded to per-(source,
+    label) counts with unmatched sides surfacing as '(none)' / -1 —
+    completes the join family (broadcast/semi/anti/hash/left-outer/
+    asof/range/cross): both unmatched directions must survive the
+    exchange, which no other variant exercises.
+
+    Scale shape: Ray Data's native hash-shuffle join partitions BOTH
+    filtered sides by key hash (nothing broadcast, nothing
+    driver-side); the per-batch count partials merge at
+    sources x labels cardinality."""
+    from .groupagg import merge_partials
+
+    d = _read(sf_dir, "documents", ["doc_id", "source"])
+    e = _read(sf_dir, "embeddings", ["vec_id", "label"])
+
+    src_set = pa.array(list(FULL_OUTER_SOURCES), pa.string())
+
+    def fd(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("source"), value_set=src_set))
+
+    def fe(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("label"), FULL_OUTER_MAX_LABEL))
+
+    d = d.map_batches(fd, batch_format="pyarrow")
+    e = e.map_batches(fe, batch_format="pyarrow")
+    nparts = join_partitions(d, e)
+    j = d.join(
+        e,
+        join_type="full_outer",
+        num_partitions=nparts,
+        on=("doc_id",),
+        right_on=("vec_id",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"source": df["source"].fillna("(none)"),
+             "label": df["label"].fillna(-1).astype("int64"),
+             "n": 1}
+        )
+        return g.groupby(["source", "label"], as_index=False).agg(
+            n=("n", "sum")
+        )
+
+    agg = merge_partials(
+        j.map_batches(partial, batch_format="pandas"),
+        ["source", "label"], {"n": "sum"},
+    )
+    out = agg.sort_values(["source", "label"]).reset_index(drop=True)
+    out["label"] = out["label"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out

@@ -1,0 +1,344 @@
+"""Round-4 third-continuation operators: token_run_stats, bm25_topk,
+unigram_logprob, length_band_filter over the flagship tokens corpus;
+dense_rank_day / cume_dist_value / first_last_event window ops (incl.
+forced block straddles) and the full outer join."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokens_glob():
+    from fastparquet_ray.pipelines.flagship import ensure_encoded
+
+    paths, _ = ensure_encoded(SF)
+    return paths[0].rsplit("/", 1)[0] + "/*.parquet"
+
+
+# ---------------------------------------------------------------- tokens ops
+
+
+def test_token_run_stats_vs_duckdb(ray_session):
+    from fastparquet_ray.functions.sketches import token_run_stats
+
+    glob = _tokens_glob()
+    got = token_run_stats(SF)
+    exp = duckdb.connect().execute(
+        "SELECT source, CAST(sum(len(tokens)) AS BIGINT) AS n_tokens, "
+        "CAST(sum(len(list_filter(list_zip(tokens, tokens[2:]), "
+        "p -> p[1] IS DISTINCT FROM p[2]))) AS BIGINT) AS n_runs "
+        f"FROM read_parquet('{glob}') GROUP BY source ORDER BY source"
+    ).df()
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["n_tokens"].tolist() == exp["n_tokens"].tolist()
+    assert got["n_runs"].tolist() == exp["n_runs"].tolist()
+    # runs must actually compress: zipf+geometric corpus has mean
+    # run length well above 1
+    assert (got["avg_run_len"] > 1.5).all()
+
+
+def test_token_run_stats_doc_boundary(ray_session):
+    """Adjacent docs where one ends with the token the next starts
+    with: runs must NOT span documents."""
+    from fastparquet_ray.functions import sketches
+
+    # direct check of the boundary semantics via the SQL definition
+    glob = _tokens_glob()
+    con = duckdb.connect()
+    # count flat-stream runs ignoring boundaries vs per-doc runs: the
+    # corpus is zipf-heavy (token 0 everywhere), so the two MUST
+    # differ — proving the test data exercises the boundary case the
+    # engine forces via end[last_pos] = True
+    per_doc = con.execute(
+        "SELECT sum(len(list_filter(list_zip(tokens, tokens[2:]), "
+        "p -> p[1] IS DISTINCT FROM p[2]))) "
+        f"FROM read_parquet('{glob}')"
+    ).fetchone()[0]
+    t = con.execute(
+        f"SELECT unnest(tokens) AS tok FROM read_parquet('{glob}')"
+    ).df()["tok"].to_numpy()
+    flat_runs = 1 + int(np.count_nonzero(t[1:] != t[:-1]))
+    assert flat_runs < per_doc  # boundaries add runs
+    got = sketches.token_run_stats(SF)
+    assert int(got["n_runs"].sum()) == int(per_doc)
+
+
+def test_bm25_topk_vs_duckdb(ray_session):
+    from fastparquet_ray.functions.sketches import bm25_topk
+
+    glob = _tokens_glob()
+    got = bm25_topk(SF, top=15)
+    exp = duckdb.connect().execute(
+        "WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        f"CAST(sum(n_tok) AS DOUBLE) AS tot FROM read_parquet('{glob}')), "
+        "tf AS (SELECT doc_id, CAST(n_tok AS DOUBLE) AS dl, "
+        "CAST(len(list_filter(tokens, x -> x = 97)) AS DOUBLE) AS tf0, "
+        "CAST(len(list_filter(tokens, x -> x = 251)) AS DOUBLE) AS tf1, "
+        "CAST(len(list_filter(tokens, x -> x = 1009)) AS DOUBLE) AS tf2, "
+        "CAST(len(list_filter(tokens, x -> x = 4999)) AS DOUBLE) AS tf3 "
+        f"FROM read_parquet('{glob}')), "
+        "d AS (SELECT count(*) FILTER (tf0 > 0) AS df0, "
+        "count(*) FILTER (tf1 > 0) AS df1, "
+        "count(*) FILTER (tf2 > 0) AS df2, "
+        "count(*) FILTER (tf3 > 0) AS df3 FROM tf) "
+        "SELECT doc_id, round("
+        "ln((s.n - d.df0 + 0.5) / (d.df0 + 0.5) + 1.0) * "
+        "(tf0 * (1.2 + 1.0) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (s.tot / s.n)))) + "
+        "ln((s.n - d.df1 + 0.5) / (d.df1 + 0.5) + 1.0) * "
+        "(tf1 * (1.2 + 1.0) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (s.tot / s.n)))) + "
+        "ln((s.n - d.df2 + 0.5) / (d.df2 + 0.5) + 1.0) * "
+        "(tf2 * (1.2 + 1.0) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (s.tot / s.n)))) + "
+        "ln((s.n - d.df3 + 0.5) / (d.df3 + 0.5) + 1.0) * "
+        "(tf3 * (1.2 + 1.0) / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (s.tot / s.n))))"
+        ", 6) AS score FROM tf, s, d "
+        "WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0 OR tf3 > 0 "
+        "ORDER BY score DESC, doc_id LIMIT 15"
+    ).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"], exp["score"], atol=1e-6)
+
+
+def test_unigram_logprob_vs_duckdb(ray_session):
+    from fastparquet_ray.functions.sketches import unigram_logprob
+
+    glob = _tokens_glob()
+    got = unigram_logprob(SF)
+    exp = duckdb.connect().execute(
+        "WITH flat AS (SELECT source, unnest(tokens) AS tok FROM "
+        f"read_parquet('{glob}')), "
+        "freq AS (SELECT tok, count(*) AS n FROM flat GROUP BY tok), "
+        "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM freq) "
+        "SELECT source, count(*) AS n_tokens, "
+        "round(avg(ln(freq.n / tot.total)), 6) AS avg_logprob "
+        "FROM flat JOIN freq USING (tok) CROSS JOIN tot "
+        "GROUP BY source ORDER BY source"
+    ).df()
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["n_tokens"].tolist() == exp["n_tokens"].tolist()
+    np.testing.assert_allclose(
+        got["avg_logprob"], exp["avg_logprob"], atol=1e-6
+    )
+
+
+def test_length_band_filter_vs_duckdb(ray_session):
+    from fastparquet_ray.functions.sketches import length_band_filter
+
+    glob = _tokens_glob()
+    got = length_band_filter(SF)
+    exp = duckdb.connect().execute(
+        "WITH q AS (SELECT "
+        "quantile_cont(CAST(n_tok AS DOUBLE), 0.05) AS lo, "
+        "quantile_cont(CAST(n_tok AS DOUBLE), 0.95) AS hi FROM "
+        f"read_parquet('{glob}')) "
+        "SELECT source, count(*) AS n, "
+        "CAST(sum(n_tok) AS BIGINT) AS sum_tok, "
+        "round(any_value(q.lo), 6) AS lo, round(any_value(q.hi), 6) AS hi "
+        f"FROM read_parquet('{glob}'), q "
+        "WHERE n_tok >= q.lo AND n_tok <= q.hi "
+        "GROUP BY source ORDER BY source"
+    ).df()
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got["sum_tok"].tolist() == exp["sum_tok"].tolist()
+    np.testing.assert_allclose(got["lo"], exp["lo"], atol=1e-6)
+    np.testing.assert_allclose(got["hi"], exp["hi"], atol=1e-6)
+    # the band must actually trim (5% off each tail)
+    total = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{glob}')"
+    ).fetchone()[0]
+    assert got["n"].sum() < total
+
+
+# ------------------------------------------------------------- window / join
+
+
+@pytest.fixture(scope="module")
+def ev_dir(tmp_path_factory):
+    """Events with heavy same-day ties + multi-day users, plus the
+    documents/embeddings pair for the full outer join (partial id
+    overlap so both unmatched directions occur)."""
+    d = tmp_path_factory.mktemp("r4e_sf")
+    rng = np.random.default_rng(7)
+    n = 4000
+    base = pd.Timestamp("2024-03-01")
+    # 12 users, ~20 days, events clustered so days straddle blocks
+    ts = base + pd.to_timedelta(
+        np.sort(rng.integers(0, 20 * 86_400, n)) * 1_000_000
+        + rng.integers(0, 1_000_000, n),
+        unit="us",
+    )
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "user_id": np.concatenate(
+                [rng.integers(0, 12, n - 2), np.array([700, 701])]
+            ).astype(np.int64),
+            "event_type": rng.choice(["view", "click", "error"], n),
+            "value": np.round(rng.normal(10, 4, n), 4),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(events), d / "events.parquet",
+        row_group_size=256,
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(600, dtype=np.int64),
+            "source": rng.choice(
+                [f"src{i}" for i in range(10)], 600
+            ),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs), d / "documents.parquet",
+        row_group_size=128,
+    )
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(300, 900, dtype=np.int64),
+            "label": rng.integers(0, 10, 600).astype(np.int32),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(emb), d / "embeddings.parquet",
+        row_group_size=128,
+    )
+    return str(d)
+
+
+def _duck(ev_dir):
+    con = duckdb.connect()
+    for t in ["events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{ev_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_dense_rank_day_vs_duckdb(ray_session, ev_dir):
+    from fastparquet_ray.functions.analytics import dense_rank_day
+
+    got = (
+        dense_rank_day(ev_dir)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = _duck(ev_dir).execute(
+        "SELECT event_id, user_id, CAST(dense_rank() OVER ("
+        "PARTITION BY user_id ORDER BY date_trunc('day', ts)) "
+        "AS BIGINT) AS dr FROM events ORDER BY event_id"
+    ).df()
+    assert got["dr"].tolist() == exp["dr"].tolist()
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+
+
+def test_dense_rank_day_straddling_blocks(ray_session, ev_dir):
+    """Tiny blocks force users AND days to span many sorted blocks:
+    the O(blocks) border chain must heal the distinct-day offsets
+    (incl. the double-counted boundary day)."""
+    from ray.data import DataContext
+
+    from fastparquet_ray.functions.analytics import dense_rank_day
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024
+    try:
+        got = (
+            dense_rank_day(ev_dir)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        ctx.target_max_block_size = old
+    exp = _duck(ev_dir).execute(
+        "SELECT event_id, CAST(dense_rank() OVER ("
+        "PARTITION BY user_id ORDER BY date_trunc('day', ts)) "
+        "AS BIGINT) AS dr FROM events ORDER BY event_id"
+    ).df()
+    assert got["dr"].tolist() == exp["dr"].tolist()
+
+
+def test_cume_dist_vs_duckdb(ray_session, ev_dir):
+    from fastparquet_ray.functions.analytics import cume_dist_value
+
+    got = (
+        cume_dist_value(ev_dir)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = _duck(ev_dir).execute(
+        "SELECT event_id, ROUND(cume_dist() OVER ("
+        "PARTITION BY user_id ORDER BY value, event_id), 6) AS cd "
+        "FROM events ORDER BY event_id"
+    ).df()
+    np.testing.assert_allclose(got["cd"], exp["cd"], atol=1e-6)
+
+
+def test_first_last_event_vs_duckdb(ray_session, ev_dir):
+    from fastparquet_ray.functions.analytics import first_last_event
+
+    got = first_last_event(ev_dir)
+    exp = _duck(ev_dir).execute(
+        "SELECT user_id, "
+        "first(event_type ORDER BY ts, event_id) AS first_type, "
+        "last(event_type ORDER BY ts, event_id) AS last_type, "
+        "count(*) AS n FROM events GROUP BY user_id ORDER BY user_id"
+    ).df()
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert got["first_type"].tolist() == exp["first_type"].tolist()
+    assert got["last_type"].tolist() == exp["last_type"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    # single-event users: first == last
+    one = got[got["n"] == 1]
+    assert (one["first_type"] == one["last_type"]).all()
+
+
+def test_full_outer_join_vs_duckdb(ray_session, ev_dir):
+    from fastparquet_ray.functions.relational import full_outer_join
+
+    got = full_outer_join(ev_dir)
+    exp = _duck(ev_dir).execute(
+        "SELECT coalesce(d.source, '(none)') AS source, "
+        "CAST(coalesce(e.label, -1) AS BIGINT) AS label, "
+        "count(*) AS n FROM "
+        "(SELECT doc_id, source FROM documents WHERE source IN "
+        "('src0','src1','src2','src3','src4')) d "
+        "FULL OUTER JOIN "
+        "(SELECT vec_id, label FROM embeddings WHERE label < 3) e "
+        "ON d.doc_id = e.vec_id GROUP BY 1, 2 ORDER BY source, label"
+    ).df()
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["label"].tolist() == exp["label"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    # both unmatched directions must be present in the fixture
+    assert (got["source"] == "(none)").any()  # right-only rows
+    assert (got["label"] == -1).any()  # left-only rows
+
+
+def test_percent_rank_cume_dist_shared_engine(ray_session, ev_dir):
+    """The refactored shared engine serves both scalings."""
+    from fastparquet_ray.functions.analytics import percent_rank_value
+
+    got = (
+        percent_rank_value(ev_dir)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = _duck(ev_dir).execute(
+        "SELECT event_id, ROUND(percent_rank() OVER ("
+        "PARTITION BY user_id ORDER BY value, event_id), 6) AS pr "
+        "FROM events ORDER BY event_id"
+    ).df()
+    np.testing.assert_allclose(got["pr"], exp["pr"], atol=1e-6)
