@@ -90,6 +90,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank": analytics.dense_rank_day,
         "first_last_event": analytics.first_last_event,
         "full_outer_join": relational.full_outer_join,
+        "interarrival_stats": analytics.interarrival_stats,
+        "event_transitions": analytics.event_transitions,
+        "top_bigrams_text": textops.top_bigrams_text,
+        "weighted_sample": sampling.weighted_sample,
         "rollup_agg": analytics.rollup_agg,
         "cube_agg": analytics.cube_agg,
         "pivot_counts": analytics.pivot_counts,
@@ -211,7 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this session (round-4 third continuation)
         "token_run_stats", "bm25_topk", "unigram_logprob",
         "length_band_filter", "full_outer_join", "dense_rank",
-        "cume_dist", "first_last_event",
+        "cume_dist", "first_last_event", "interarrival_stats",
+        "event_transitions", "top_bigrams_text", "weighted_sample",
         # new previous session
         "winsorized_mean", "corr_matrix", "token_ffreq",
         "rare_token_docs", "shuffle_head", "quality_topp",
@@ -753,6 +758,38 @@ def oracle_sql() -> dict[str, str]:
             "FULL OUTER JOIN "
             "(SELECT vec_id, label FROM embeddings WHERE label < 3) e "
             "ON d.doc_id = e.vec_id GROUP BY 1, 2"
+        ),
+        "interarrival_stats": (
+            "SELECT user_id, count(*) AS n, "
+            "round(CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) "
+            "/ 1000000.0 / (count(*) - 1), 6) AS avg_gap_s "
+            "FROM events GROUP BY user_id HAVING count(*) >= 2"
+        ),
+        "event_transitions": (
+            "SELECT event_type AS from_type, nxt AS to_type, "
+            "count(*) AS n FROM (SELECT event_type, lead(event_type) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+            "FROM events) WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "top_bigrams_text": (
+            "WITH w AS (SELECT source, string_split(text, ' ') AS ws "
+            "FROM documents), "
+            "b AS (SELECT source, unnest(list_zip(ws, ws[2:])) AS p "
+            "FROM w), "
+            "c AS (SELECT source, p[1] AS w1, p[2] AS w2, count(*) AS n "
+            "FROM b WHERE p[2] IS NOT NULL GROUP BY 1, 2, 3), "
+            "r AS (SELECT source, w1, w2, n, row_number() OVER ("
+            "PARTITION BY source ORDER BY n DESC, w1, w2) AS rn FROM c) "
+            "SELECT source, w1, w2, n, rn FROM r WHERE rn <= 5"
+        ),
+        # Efraimidis-Spirakis A-ES: key = ln(md5-uniform) / weight,
+        # identical float op order both sides, rounded-key ordering
+        "weighted_sample": (
+            "SELECT doc_id, source, round(ln(CAST(('0x' || "
+            "substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT "
+            "AS DOUBLE) / 18446744073709551616.0) "
+            "/ greatest(n_chars, 1), 6) AS es_key "
+            "FROM documents ORDER BY es_key DESC, doc_id LIMIT 20"
         ),
         "rollup_agg": (
             "SELECT l_returnflag, l_linestatus, "

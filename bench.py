@@ -226,6 +226,9 @@ def run_bench() -> dict:
             "winsorized_mean", "corr_matrix", "token_ffreq",
             "rare_token_docs", "shuffle_head", "quality_topp",
             "mutual_information", "common_prefixes", "row_range_slice",
+            "token_run_stats", "bm25_topk", "unigram_logprob",
+            "length_band_filter", "full_outer_join", "dense_rank",
+            "cume_dist", "first_last_event",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)

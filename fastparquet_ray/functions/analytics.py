@@ -1924,3 +1924,142 @@ def dense_rank_day(sf_dir: str):
         )
 
     return srt.map_batches(block_dr, batch_format="pandas", batch_size=None)
+
+
+def interarrival_stats(sf_dir: str):
+    """Per-user mean inter-event gap in seconds — the cadence metric
+    behind churn / engagement models. The telescoping identity
+    avg(ts_i - ts_{i-1}) == (max ts - min ts) / (n - 1) turns a
+    window-lag aggregate into plain min/max/count partials: zero
+    sort, zero window pass, one users-sized merge."""
+    from .groupagg import merge_partials
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    empty = pd.DataFrame(
+        {"user_id": pd.Series([], dtype="int64"),
+         "mn": pd.Series([], dtype="int64"),
+         "mx": pd.Series([], dtype="int64"),
+         "n": pd.Series([], dtype="int64")}
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy().astype(np.int64),
+             "mn": us, "mx": us}
+        )
+        return g.groupby("user_id", as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max"), n=("mx", "size")
+        )
+
+    agg = merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], {"mn": "min", "mx": "max", "n": "sum"},
+    )
+    agg = agg[agg["n"] >= 2].sort_values("user_id").reset_index(drop=True)
+    d = (agg["mx"] - agg["mn"]).to_numpy(np.float64)
+    gap = d / 1_000_000.0 / (agg["n"].to_numpy(np.float64) - 1.0)
+    return pd.DataFrame(
+        {"user_id": agg["user_id"].astype("int64"),
+         "n": agg["n"].astype("int64"),
+         "avg_gap_s": np.round(gap, 6)}
+    )
+
+
+def event_transitions(sf_dir: str):
+    """Global next-event transition counts: for every consecutive
+    (by ts, event_id) event pair of a user, count (from_type ->
+    to_type) — the Markov transition matrix behind funnel and
+    path-analysis dashboards, a lead() window folded to a
+    types x types summary.
+
+    Scale shape (segmented-sort family): ONE range sort on (user_id,
+    ts, event_id), block-local vectorized pairing (adjacent rows of
+    the same user), partials merged at types^2 cardinality. Pairs
+    that straddle a block boundary are recovered on the driver from
+    the O(blocks) edge frame (each block's first/last row), added as
+    at most blocks-1 extra transitions."""
+    import ray
+    import ray.data
+
+    from .groupagg import merge_partials
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    srt = (
+        ds.sort(["user_id", "ts", "event_id"])
+        .materialize()  # consumed twice: partial pass + edge pull
+    )
+
+    empty = pd.DataFrame(
+        {"from_type": pd.Series([], dtype="object"),
+         "to_type": pd.Series([], dtype="object"),
+         "n": pd.Series([], dtype="int64")}
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return empty
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        g = pd.DataFrame(
+            {"from_type": et[:-1][same], "to_type": et[1:][same], "n": 1}
+        )
+        return g.groupby(["from_type", "to_type"], as_index=False).agg(
+            n=("n", "sum")
+        )
+
+    edge_cols = {
+        "fu": pd.Series([], dtype="int64"),
+        "fts": pd.Series([], dtype="int64"),
+        "feid": pd.Series([], dtype="int64"),
+        "ftype": pd.Series([], dtype="object"),
+        "lu": pd.Series([], dtype="int64"),
+        "ltype": pd.Series([], dtype="object"),
+    }
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(edge_cols)
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {"fu": [int(df["user_id"].iloc[0])],
+             "fts": [int(us[0])],
+             "feid": [int(df["event_id"].iloc[0])],
+             "ftype": [df["event_type"].iloc[0]],
+             "lu": [int(df["user_id"].iloc[-1])],
+             "ltype": [df["event_type"].iloc[-1]]}
+        )
+
+    parts = srt.map_batches(partial, batch_format="pandas", batch_size=None)
+    agg = merge_partials(
+        parts, ["from_type", "to_type"], {"n": "sum"}
+    )
+    # O(blocks) edge rows: one per block — boundary pairs resolve here
+    bd = (
+        srt.map_batches(edges, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    if len(bd) > 1:
+        bd = bd.sort_values(["fu", "fts", "feid"], kind="mergesort")
+        lu = bd["lu"].to_numpy()
+        fu = bd["fu"].to_numpy()
+        cont = lu[:-1] == fu[1:]
+        if cont.any():
+            extra = pd.DataFrame(
+                {"from_type": bd["ltype"].to_numpy()[:-1][cont],
+                 "to_type": bd["ftype"].to_numpy()[1:][cont],
+                 "n": 1}
+            )
+            agg = (
+                pd.concat([agg, extra], ignore_index=True)
+                .groupby(["from_type", "to_type"], as_index=False)
+                .agg(n=("n", "sum"))
+            )
+    agg["n"] = agg["n"].astype("int64")
+    return agg.sort_values(["from_type", "to_type"]).reset_index(drop=True)

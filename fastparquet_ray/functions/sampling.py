@@ -194,3 +194,45 @@ def shuffle_head(sf_dir: str, k: int = 100) -> pd.DataFrame:
     out = out.sort_values(["h", "doc_id"]).head(k).reset_index(drop=True)
     out["pos"] = np.arange(1, len(out) + 1, dtype="int64")
     return out[["pos", "doc_id", "source"]]
+
+
+def weighted_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES, public algorithm): weight w = n_chars,
+    uniform u = md5(doc_id)/2^64, key = ln(u)/w; the global top-k
+    keys ARE a weighted sample without replacement — long docs win
+    proportionally more often, yet the draw is fully reproducible
+    (no RNG state, stable across engines — the md5 parity the
+    sample_hash family already proves against DuckDB).
+
+    Scale shape: select-k, not sort — each block keeps its k best
+    (rounded key DESC, doc_id ASC) candidates, the driver merges
+    blocks x k rows. Zero exchange beyond the candidate fold."""
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "source": pd.Series([], dtype="object"),
+         "es_key": pd.Series([], dtype="float64")}
+    )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        h = _md5_u64(df["doc_id"].to_numpy())
+        u = h.astype(np.float64) / 18446744073709551616.0
+        w = np.maximum(df["n_chars"].to_numpy(np.float64), 1.0)
+        key = np.round(np.log(u) / w, 6)
+        doc = df["doc_id"].to_numpy().astype(np.int64)
+        o = np.lexsort((doc, -key))[: min(len(doc), k)]
+        return pd.DataFrame(
+            {"doc_id": doc[o],
+             "source": df["source"].to_numpy()[o],
+             "es_key": key[o]}
+        )
+
+    cand = ds.map_batches(part, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(
+        ["es_key", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
+    return cand.head(k).reset_index(drop=True)

@@ -617,3 +617,68 @@ def quality_topp(sf_dir: str, p: float = 0.9):
         ["source"], {"n_docs": "sum"},
     )
     return out.sort_values("source").reset_index(drop=True)
+
+
+def top_bigrams_text(sf_dir: str, top: int = 5):
+    """Most frequent word bigrams per source over documents.text —
+    the collocation profile a corpus audit reads next to bigram_pmi
+    (which works on token ids; this one works on raw text before
+    tokenization). Ranking is (count DESC, w1, w2) with a row_number
+    column so the per-source top-`top` set is total-ordered.
+
+    Scale shape: block-local C-level split (pandas .str.split) +
+    adjacent pairing over the flattened word stream with row-boundary
+    masking (a doc's last word never pairs into the next doc), then
+    per-(source, w1, w2) partials merged at bigram-vocabulary
+    cardinality (merge_partials sort mode keeps that merge
+    distributed when the vocabulary outgrows the driver); the final
+    per-source top-k runs on the merged summary frame."""
+    from .groupagg import merge_partials
+
+    ds = _docs(sf_dir, ["source", "text"])
+
+    empty = pd.DataFrame(
+        {"source": pd.Series([], dtype="object"),
+         "w1": pd.Series([], dtype="object"),
+         "w2": pd.Series([], dtype="object"),
+         "n": pd.Series([], dtype="int64")}
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        wl = df["text"].str.split(" ")
+        lens = wl.str.len().to_numpy(np.int64)
+        if lens.sum() < 2:
+            return empty
+        flat = np.concatenate(wl.to_numpy())
+        ends = np.cumsum(lens)
+        valid = np.ones(flat.size - 1, dtype=bool)
+        valid[ends[:-1] - 1] = False  # no pair across doc boundary
+        src = np.repeat(
+            df["source"].to_numpy(), lens
+        )[:-1][valid]
+        g = pd.DataFrame(
+            {"source": src,
+             "w1": flat[:-1][valid],
+             "w2": flat[1:][valid],
+             "n": 1}
+        )
+        return g.groupby(
+            ["source", "w1", "w2"], as_index=False
+        ).agg(n=("n", "sum"))
+
+    agg = merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source", "w1", "w2"], {"n": "sum"},
+    )
+    agg = agg.sort_values(
+        ["source", "n", "w1", "w2"],
+        ascending=[True, False, True, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+    agg["rn"] = agg.groupby("source", sort=False).cumcount() + 1
+    out = agg[agg["rn"] <= top].reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    out["rn"] = out["rn"].astype("int64")
+    return out

@@ -342,3 +342,110 @@ def test_percent_rank_cume_dist_shared_engine(ray_session, ev_dir):
         "FROM events ORDER BY event_id"
     ).df()
     np.testing.assert_allclose(got["pr"], exp["pr"], atol=1e-6)
+
+
+def test_interarrival_stats_vs_duckdb(ray_session, ev_dir):
+    from fastparquet_ray.functions.analytics import interarrival_stats
+
+    got = interarrival_stats(ev_dir)
+    exp = _duck(ev_dir).execute(
+        "SELECT user_id, count(*) AS n, "
+        "round(CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) "
+        "/ 1000000.0 / (count(*) - 1), 6) AS avg_gap_s "
+        "FROM events GROUP BY user_id HAVING count(*) >= 2 "
+        "ORDER BY user_id"
+    ).df()
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    np.testing.assert_allclose(got["avg_gap_s"], exp["avg_gap_s"], atol=1e-6)
+
+
+def _transitions_sql(con):
+    return con.execute(
+        "SELECT event_type AS from_type, nxt AS to_type, count(*) AS n "
+        "FROM (SELECT event_type, lead(event_type) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+        "WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY from_type, to_type"
+    ).df()
+
+
+def test_event_transitions_vs_duckdb(ray_session, ev_dir):
+    from fastparquet_ray.functions.analytics import event_transitions
+
+    got = event_transitions(ev_dir)
+    exp = _transitions_sql(_duck(ev_dir))
+    assert got["from_type"].tolist() == exp["from_type"].tolist()
+    assert got["to_type"].tolist() == exp["to_type"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+
+
+def test_event_transitions_straddling_blocks(ray_session, ev_dir):
+    """Tiny blocks: boundary pairs (last row of block i -> first row
+    of block i+1, same user) must be recovered by the O(blocks) edge
+    stitch — with 8 KB blocks nearly every block boundary splits a
+    user, so a missing stitch shifts many counts."""
+    from ray.data import DataContext
+
+    from fastparquet_ray.functions.analytics import event_transitions
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024
+    try:
+        got = event_transitions(ev_dir)
+    finally:
+        ctx.target_max_block_size = old
+    exp = _transitions_sql(_duck(ev_dir))
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert int(got["n"].sum()) == int(exp["n"].sum())
+
+
+def test_top_bigrams_text_vs_duckdb(ray_session, ev_dir):
+    """documents fixture has single-word sources? No — synthesize on
+    the shared sf0.001 testdata documents table instead (real text)."""
+    from fastparquet_ray.functions.textops import top_bigrams_text
+
+    got = top_bigrams_text(SF, top=4)
+    exp = duckdb.connect().execute(
+        "WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM "
+        f"read_parquet('{SF}/documents.parquet')), "
+        "b AS (SELECT source, unnest(list_zip(ws, ws[2:])) AS p FROM w), "
+        "c AS (SELECT source, p[1] AS w1, p[2] AS w2, count(*) AS n "
+        "FROM b WHERE p[2] IS NOT NULL GROUP BY 1, 2, 3), "
+        "r AS (SELECT source, w1, w2, n, row_number() OVER ("
+        "PARTITION BY source ORDER BY n DESC, w1, w2) AS rn FROM c) "
+        "SELECT source, w1, w2, n, rn FROM r WHERE rn <= 4 "
+        "ORDER BY source, rn"
+    ).df()
+    got = got.sort_values(["source", "rn"]).reset_index(drop=True)
+    assert got["source"].tolist() == exp["source"].tolist()
+    assert got["w1"].tolist() == exp["w1"].tolist()
+    assert got["w2"].tolist() == exp["w2"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+
+
+def test_weighted_sample_vs_duckdb(ray_session, ev_dir):
+    from fastparquet_ray.functions.sampling import weighted_sample
+
+    got = weighted_sample(SF, k=12)
+    exp = duckdb.connect().execute(
+        "SELECT doc_id, source, round(ln(CAST(('0x' || "
+        "substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT "
+        "AS DOUBLE) / 18446744073709551616.0) "
+        "/ greatest(n_chars, 1), 6) AS es_key FROM "
+        f"read_parquet('{SF}/documents.parquet') "
+        "ORDER BY es_key DESC, doc_id LIMIT 12"
+    ).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    np.testing.assert_allclose(got["es_key"], exp["es_key"], atol=1e-6)
+    # weighting sanity: the sampled docs skew long (the A-ES property)
+    med_all = duckdb.connect().execute(
+        "SELECT median(n_chars) FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    med_got = duckdb.connect().execute(
+        "SELECT median(n_chars) FROM "
+        f"read_parquet('{SF}/documents.parquet') "
+        f"WHERE doc_id IN ({','.join(str(i) for i in got['doc_id'])})"
+    ).fetchone()[0]
+    assert med_got > med_all
