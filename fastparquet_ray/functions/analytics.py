@@ -517,6 +517,7 @@ def _user_rank_scaled(sf_dir: str, out_col: str, scale):
             }
         )
 
+    # O(2 x blocks) edge rows — never events or users
     bd = (
         srt.map_batches(edge_counts, batch_format="pandas", batch_size=None)
         .to_pandas()
@@ -557,6 +558,7 @@ def _user_rank_scaled(sf_dir: str, out_col: str, scale):
                 .sum()
             )
             totals = {int(k): int(v) for k, v in tot.items()}
+    # broadcast is O(straddling blocks) entries — block-count-bounded
     off_ref = ray.put((offsets, totals))
 
     empty = pd.DataFrame(
@@ -1865,6 +1867,7 @@ def dense_rank_day(sf_dir: str):
             )
         return pd.DataFrame(rows, columns=list(edge_cols))
 
+    # O(2 x blocks) edge rows — never events or users
     bd = (
         srt.map_batches(edge_days, batch_format="pandas", batch_size=None)
         .to_pandas()
@@ -1889,6 +1892,7 @@ def dense_rank_day(sf_dir: str):
                 ] = union_n - overlap
             union_n += row.nd - overlap
             prev_l = row.lday
+    # broadcast is O(straddling blocks) entries — block-count-bounded
     off_ref = ray.put(offsets)
 
     empty = pd.DataFrame(

@@ -360,6 +360,9 @@ def test_window_carry_resolved_distributed():
     for fn in (
         analytics.window_lag,
         analytics.running_sum,
+        analytics.dense_rank_day,
+        analytics.event_transitions,
+        analytics._user_rank_scaled,
         windows.asof_join,
         windows.funnel_conversion,
         windows._sorted_window,
