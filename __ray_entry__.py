@@ -229,15 +229,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_stats", "pack_bins", "pii_scrub", "chunk_windows",
         "pack_greedy",
         "tokens_export_jsonl",
-        # flagship / encode-decode surface (task-state encode rewrite)
-        "tokens_roundtrip", "tokens_checksum", "tokens_groupby_source",
-        "tokens_export_parquet", "codec_plan", "shard_stats",
-        "nested_roundtrip", "events_roundtrip", "hive_partition_counts",
-        "clustered_lookup", "bloom_lookup",
-        # dedup family (Arrow-native MinHash + sorted-segment CC)
-        "dedup_exact", "corpus_clean", "minhash_lsh_pairs",
-        "ngram_jaccard_pairs", "dedup_clusters", "simhash",
-        "embedding_neardup", "dup_ngram_spans", "decontaminate",
+        # flagship / encode-decode surface (task-state encode rewrite):
+        # hash-verifiable entries only inside the 50-window — the
+        # rows-only-by-design entries (tokens_roundtrip, codec_plan,
+        # shard_stats) spend no window slots they cannot use
+        "tokens_checksum", "tokens_groupby_source",
+        "tokens_export_parquet", "nested_roundtrip", "clustered_lookup",
+        # dedup family (Arrow-native MinHash + sorted-segment CC —
+        # rewritten since their r02 driver check, so they must sit
+        # inside the sampled window)
+        "dedup_exact", "minhash_lsh_pairs",
+        "ngram_jaccard_pairs", "dedup_clusters", "dup_ngram_spans",
+        # below this line = positions 51+: outside the sampled window
+        "tokens_roundtrip", "codec_plan", "shard_stats",
+        "events_roundtrip", "hive_partition_counts", "bloom_lookup",
+        "corpus_clean", "simhash", "embedding_neardup", "decontaminate",
         # text analysis
         "token_count", "token_count_bpe", "quality_score",
         "quality_filter", "repetition_ratio", "fingerprint",
