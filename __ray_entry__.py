@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join": relational.full_outer_join,
         "interarrival_stats": analytics.interarrival_stats,
         "event_transitions": analytics.event_transitions,
+        "rolling_dau": analytics.rolling_dau,
         "top_bigrams_text": textops.top_bigrams_text,
         "weighted_sample": sampling.weighted_sample,
         "rollup_agg": analytics.rollup_agg,
@@ -217,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_band_filter", "full_outer_join", "dense_rank",
         "cume_dist", "first_last_event", "interarrival_stats",
         "event_transitions", "top_bigrams_text", "weighted_sample",
+        "rolling_dau",
         # new previous session
         "winsorized_mean", "corr_matrix", "token_ffreq",
         "rare_token_docs", "shuffle_head", "quality_topp",
@@ -776,6 +778,18 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n FROM (SELECT event_type, lead(event_type) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
             "FROM events) WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        # rolling COUNT DISTINCT: the oracle states it as a range
+        # self-join over the distinct (day, user) pairs
+        "rolling_dau": (
+            "WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 "
+            "AS day, user_id FROM events), "
+            "d AS (SELECT DISTINCT day FROM p) "
+            "SELECT d.day, count(DISTINCT CASE WHEN p.day = d.day "
+            "THEN p.user_id END) AS dau, "
+            "count(DISTINCT p.user_id) AS wau "
+            "FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day "
+            "GROUP BY d.day"
         ),
         "top_bigrams_text": (
             "WITH w AS (SELECT source, string_split(text, ' ') AS ws "

@@ -228,7 +228,9 @@ def run_bench() -> dict:
             "mutual_information", "common_prefixes", "row_range_slice",
             "token_run_stats", "bm25_topk", "unigram_logprob",
             "length_band_filter", "full_outer_join", "dense_rank",
-            "cume_dist", "first_last_event",
+            "cume_dist", "first_last_event", "interarrival_stats",
+            "event_transitions", "top_bigrams_text", "weighted_sample",
+            "rolling_dau",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)

@@ -1767,20 +1767,32 @@ def first_last_event(sf_dir: str):
             return empty
         us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         eid = df["event_id"].to_numpy().astype(np.int64)
-        key = np.char.add(
-            np.char.add(np.char.zfill(us.astype("U20"), 20), ":"),
-            np.char.zfill(eid.astype("U12"), 12),
-        )
-        key = np.char.add(
-            np.char.add(key, ":"),
-            df["event_type"].to_numpy(dtype="U"),
-        )
-        g = pd.DataFrame(
-            {"user_id": df["user_id"].to_numpy().astype(np.int64),
-             "k": key}
-        )
-        return g.groupby("user_id", as_index=False).agg(
-            first_k=("k", "min"), last_k=("k", "max"), n=("k", "size")
+        u = df["user_id"].to_numpy().astype(np.int64)
+        # numeric lexsort picks the block argmin/argmax rows per user;
+        # packed keys are built only for those <= 2 x users rows
+        o = np.lexsort((eid, us, u))
+        uo = u[o]
+        start = np.ones(uo.size, dtype=bool)
+        start[1:] = uo[1:] != uo[:-1]
+        firsts = o[np.flatnonzero(start)]
+        lasts = o[np.concatenate([np.flatnonzero(start)[1:], [uo.size]]) - 1]
+        cnt = np.diff(np.concatenate(
+            [np.flatnonzero(start), [uo.size]]
+        )).astype(np.int64)
+
+        def pack(idx: np.ndarray) -> np.ndarray:
+            et = df["event_type"].to_numpy(dtype="U")[idx]
+            k = np.char.add(
+                np.char.add(np.char.zfill(us[idx].astype("U20"), 20), ":"),
+                np.char.zfill(eid[idx].astype("U12"), 12),
+            )
+            return np.char.add(np.char.add(k, ":"), et)
+
+        return pd.DataFrame(
+            {"user_id": uo[start],
+             "first_k": pack(firsts),
+             "last_k": pack(lasts),
+             "n": cnt}
         )
 
     agg = merge_partials(
@@ -2067,3 +2079,79 @@ def event_transitions(sf_dir: str):
             )
     agg["n"] = agg["n"].astype("int64")
     return agg.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+def rolling_dau(sf_dir: str, window_days: int = 7):
+    """Daily active users + trailing-``window_days`` active users
+    (DAU / WAU) per observed day — THE engagement dashboard primitive,
+    and a rolling COUNT DISTINCT, which no plain window aggregate
+    expresses (distinct does not decompose over sliding frames).
+
+    Scale shape: the corpus collapses block-locally to distinct
+    (day, user) pairs; the one exchange merges those partials at
+    users x active-days cardinality (the cohort_retention
+    grouped-aggregate footprint). The rolling fold is then a
+    vectorized interval-union sweep on the driver: per user, runs of
+    active days with gaps <= window-1 cover a contiguous window
+    range, so each run scatters one +1/-1 onto a days-sized diff
+    array and a single cumsum yields every day's trailing distinct
+    count — no per-day rescan, no users x days matrix."""
+    from .groupagg import merge_partials
+
+    w = int(window_days)
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    empty = pd.DataFrame(
+        {"day": pd.Series([], dtype="int64"),
+         "user_id": pd.Series([], dtype="int64"),
+         "n": pd.Series([], dtype="int64")}
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame(
+            {"day": us // _DAY_US,
+             "user_id": df["user_id"].to_numpy().astype(np.int64),
+             "n": 1}
+        )
+        return g.groupby(["day", "user_id"], as_index=False).agg(
+            n=("n", "sum")
+        )
+
+    pairs = merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["day", "user_id"], {"n": "sum"},
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {"day": pd.Series([], dtype="int64"),
+             "dau": pd.Series([], dtype="int64"),
+             "wau": pd.Series([], dtype="int64")}
+        )
+    day = pairs["day"].to_numpy(np.int64)
+    user = pairs["user_id"].to_numpy(np.int64)
+    o = np.lexsort((day, user))
+    day, user = day[o], user[o]
+    # per-user runs of active days with gap <= w-1: each run covers
+    # the contiguous window range [first_day, last_day + w - 1]
+    newint = np.ones(day.size, dtype=bool)
+    newint[1:] = (user[1:] != user[:-1]) | (day[1:] - day[:-1] > w - 1)
+    starts = np.flatnonzero(newint)
+    ends = np.concatenate([starts[1:], [day.size]]) - 1
+    s_day = day[starts]
+    e_day = day[ends] + (w - 1)
+    lo = int(day.min())
+    hi = int(day.max()) + w
+    diff = np.zeros(hi - lo + 1, dtype=np.int64)
+    np.add.at(diff, s_day - lo, 1)
+    np.add.at(diff, e_day + 1 - lo, -1)
+    wau_all = np.cumsum(diff)
+    obs = np.unique(day)
+    dau = pd.DataFrame({"day": day}).groupby("day").size()
+    return pd.DataFrame(
+        {"day": obs,
+         "dau": dau.loc[obs].to_numpy(np.int64),
+         "wau": wau_all[obs - lo].astype(np.int64)}
+    )

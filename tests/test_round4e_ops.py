@@ -449,3 +449,50 @@ def test_weighted_sample_vs_duckdb(ray_session, ev_dir):
         f"WHERE doc_id IN ({','.join(str(i) for i in got['doc_id'])})"
     ).fetchone()[0]
     assert med_got > med_all
+
+
+def test_rolling_dau_vs_duckdb(ray_session, ev_dir):
+    from fastparquet_ray.functions.analytics import rolling_dau
+
+    got = rolling_dau(ev_dir)
+    exp = _duck(ev_dir).execute(
+        "WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 "
+        "AS day, user_id FROM events), "
+        "d AS (SELECT DISTINCT day FROM p) "
+        "SELECT d.day, count(DISTINCT CASE WHEN p.day = d.day "
+        "THEN p.user_id END) AS dau, "
+        "count(DISTINCT p.user_id) AS wau "
+        "FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day "
+        "GROUP BY d.day ORDER BY d.day"
+    ).df()
+    assert got["day"].tolist() == exp["day"].tolist()
+    assert got["dau"].tolist() == exp["dau"].tolist()
+    assert got["wau"].tolist() == exp["wau"].tolist()
+
+
+def test_rolling_dau_gap_intervals(ray_session, tmp_path):
+    """A user with active-day gaps just inside/outside the window:
+    gap == window keeps one interval alive, gap == window+1 splits it
+    (the interval-union correctness knife-edge)."""
+    from fastparquet_ray.functions.analytics import rolling_dau
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: days 0 and 6 (gap 6 < 7 -> one interval covering 0..12)
+    # user 2: days 0 and 8 (gap 8 > 6 -> two intervals, day 7 uncovered)
+    for u, dd in [(1, 0), (1, 6), (2, 0), (2, 8)]:
+        rows.append((len(rows), base + pd.Timedelta(days=dd), u))
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["event_type"] = "view"
+    ev["value"] = 1.0
+    d = tmp_path / "dau"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(ev), d / "events.parquet")
+    got = rolling_dau(str(d)).set_index("day")
+    base_day = int(ev["ts"].astype("int64").min() // 86_400_000_000)
+    # observed days: 0, 6, 8 (relative)
+    assert got.loc[base_day]["wau"] == 2          # both active day 0
+    assert got.loc[base_day + 6]["wau"] == 2      # u1 (days 0,6), u2 (day 0)
+    assert got.loc[base_day + 8]["wau"] == 2      # u1 (day 6 in range), u2
+    assert got.loc[base_day + 8]["dau"] == 1      # only u2 on day 8
