@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": sketches.bm25_topk,
         "length_band_filter": sketches.length_band_filter,
         "distinct_count_approx": sketches.distinct_count_approx,
+        # grouped HLL: approximate by design -> rows-only check
+        "grouped_distinct_approx": sketches.grouped_distinct_approx,
         "quantiles": sketches.quantiles,
         "codec_plan": flagship.codec_plan_report,
         "shard_stats": flagship.shard_stats_report,

@@ -1356,3 +1356,62 @@ def length_band_filter(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
     out["lo"] = round(lo, 6)
     out["hi"] = round(hi, 6)
     return out
+
+
+def grouped_distinct_approx(sf_dir: str):
+    """Approximate distinct USERS per event_type via per-group
+    HyperLogLog — the grouped form of distinct_count_approx, and the
+    constant-memory answer to "unique visitors per action" when the
+    per-group user sets no longer fit an exact groupby. Rows-only
+    driver check (approximate by design); accuracy vs the exact count
+    is pytest-asserted at ~1.6% (4096 registers).
+
+    Scale shape: each block emits one 4 KB register blob PER GROUP IT
+    CONTAINS (groups x blocks rows, like any partial aggregate); the
+    driver max-merges registers per group — O(groups) memory
+    regardless of user cardinality. The registers are a semigroup
+    (elementwise max), so the same partials could merge through a
+    groupby at huge group counts."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    m = 1 << _HLL_P
+
+    empty = pd.DataFrame(
+        {"event_type": pd.Series([], dtype="object"),
+         "regs": pd.Series([], dtype="object")}
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return empty
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(et)
+        h = pd.util.hash_array(uid).astype(np.uint64)
+        bucket = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - _HLL_P)) - 1)
+        bl = np.frexp(w.astype(np.float64))[1]
+        rank = (64 - _HLL_P) - bl + 1
+        regs = np.zeros((len(uniq), m), dtype=np.int64)
+        np.maximum.at(regs, (codes, bucket), rank)
+        return pd.DataFrame(
+            {"event_type": uniq,
+             "regs": [r.astype(np.uint8).tobytes() for r in regs]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_t, out_n = [], []
+    for et, sub in parts.groupby("event_type", sort=True):
+        regs = np.zeros(m, dtype=np.uint8)
+        for blob in sub["regs"]:
+            regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+        out_t.append(et)
+        out_n.append(int(round(_hll_estimate(regs))))
+    return pd.DataFrame(
+        {"event_type": out_t,
+         "n_users_approx": pd.array(out_n, dtype="int64")}
+    )

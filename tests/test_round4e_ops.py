@@ -496,3 +496,19 @@ def test_rolling_dau_gap_intervals(ray_session, tmp_path):
     assert got.loc[base_day + 6]["wau"] == 2      # u1 (days 0,6), u2 (day 0)
     assert got.loc[base_day + 8]["wau"] == 2      # u1 (day 6 in range), u2
     assert got.loc[base_day + 8]["dau"] == 1      # only u2 on day 8
+
+
+def test_grouped_distinct_approx_accuracy(ray_session, ev_dir):
+    """Per-group HLL estimate within ~5% of the exact per-group
+    distinct user count (4096 registers -> ~1.6% typical error)."""
+    from fastparquet_ray.functions.sketches import grouped_distinct_approx
+
+    got = grouped_distinct_approx(ev_dir).set_index("event_type")
+    exp = _duck(ev_dir).execute(
+        "SELECT event_type, count(DISTINCT user_id) AS n FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    ).df().set_index("event_type")
+    assert sorted(got.index) == sorted(exp.index)
+    for et in exp.index:
+        e, g = int(exp.loc[et, "n"]), int(got.loc[et, "n_users_approx"])
+        assert abs(g - e) <= max(2, 0.05 * e), (et, e, g)
