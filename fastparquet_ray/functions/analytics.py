@@ -1781,7 +1781,7 @@ def first_last_event(sf_dir: str):
         )).astype(np.int64)
 
         def pack(idx: np.ndarray) -> np.ndarray:
-            et = df["event_type"].to_numpy(dtype="U")[idx]
+            et = df["event_type"].to_numpy()[idx].astype("U")
             k = np.char.add(
                 np.char.add(np.char.zfill(us[idx].astype("U20"), 20), ":"),
                 np.char.zfill(eid[idx].astype("U12"), 12),
