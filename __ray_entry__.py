@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_count_approx": sketches.distinct_count_approx,
         # grouped HLL: approximate by design -> rows-only check
         "grouped_distinct_approx": sketches.grouped_distinct_approx,
+        # merging t-digest: approximate by design -> rows-only check
+        "quantiles_tdigest": sketches.quantiles_tdigest,
         "quantiles": sketches.quantiles,
         "codec_plan": flagship.codec_plan_report,
         "shard_stats": flagship.shard_stats_report,

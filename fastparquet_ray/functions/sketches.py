@@ -1415,3 +1415,91 @@ def grouped_distinct_approx(sf_dir: str):
         {"event_type": out_t,
          "n_users_approx": pd.array(out_n, dtype="int64")}
     )
+
+
+def _tdigest_compress(means: np.ndarray, weights: np.ndarray,
+                      delta: float) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted (mean, weight) centroids into at most ~delta
+    clusters using the t-digest size bound (Dunning & Ertl, public
+    algorithm; k1 scale): a growing cluster absorbs the next centroid
+    while its weight stays under the local limit
+    4·N·q(1−q)/delta, which squeezes clusters toward the tails so
+    extreme quantiles stay sharp. Vectorized preparation, one
+    O(centroids) fold (centroids, never rows)."""
+    total = float(weights.sum())
+    out_m, out_w = [], []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    cum = 0.0  # weight fully to the left of the current cluster
+    for i in range(1, means.size):
+        w = float(weights[i])
+        q = (cum + cur_w / 2.0) / total
+        lim = 4.0 * total * q * (1.0 - q) / delta
+        if cur_w + w <= max(lim, 1.0):
+            cur_m += (means[i] - cur_m) * (w / (cur_w + w))
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cum += cur_w
+            cur_m, cur_w = float(means[i]), w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def quantiles_tdigest(sf_dir: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99),
+                      delta: float = 200.0):
+    """Approximate quantiles of events.value via a merging t-digest —
+    the mergeable-sketch companion to the HLL family: per-block
+    digests are O(delta) centroids regardless of row count, the
+    driver merge is O(blocks x delta), and rank error concentrates
+    away from the tails by construction. Rows-only driver check
+    (approximate by design); rank accuracy vs the exact quantiles is
+    pytest-asserted.
+
+    Scale shape: one streaming scan; each block sorts ITS OWN values
+    once (block-bounded memory) and compresses to <= ~delta
+    centroids; no exchange — the centroid partials stream to a
+    driver-side sorted merge + final compression. Contrast with
+    quantiles()/quantiles_cont(): those are EXACT via 3 histogram
+    passes; the digest pays ONE pass and answers every q after."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+
+    empty = pd.DataFrame(
+        {"mean": pd.Series([], dtype="float64"),
+         "weight": pd.Series([], dtype="float64")}
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        v = np.sort(v[~np.isnan(v)])
+        if v.size == 0:
+            return empty
+        m, w = _tdigest_compress(
+            v, np.ones(v.size, dtype=np.float64), delta
+        )
+        return pd.DataFrame({"mean": m, "weight": w})
+
+    cents = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if cents.empty:
+        return pd.DataFrame({"q": list(qs), "value_approx": np.nan})
+    o = np.argsort(cents["mean"].to_numpy(), kind="mergesort")
+    m, w = _tdigest_compress(
+        cents["mean"].to_numpy()[o], cents["weight"].to_numpy()[o], delta
+    )
+    # quantile lookup: centroid k covers cumulative-weight midpoint
+    # (cum_k + w_k/2); linear interpolation between midpoints
+    cum = np.cumsum(w) - w / 2.0
+    total = w.sum()
+    vals = []
+    for q in qs:
+        target = q * total
+        vals.append(round(float(np.interp(target, cum, m)), 6))
+    return pd.DataFrame(
+        {"q": np.asarray(qs, dtype=np.float64),
+         "value_approx": np.asarray(vals, dtype=np.float64)}
+    )

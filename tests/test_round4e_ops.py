@@ -512,3 +512,39 @@ def test_grouped_distinct_approx_accuracy(ray_session, ev_dir):
     for et in exp.index:
         e, g = int(exp.loc[et, "n"]), int(got.loc[et, "n_users_approx"])
         assert abs(g - e) <= max(2, 0.05 * e), (et, e, g)
+
+
+def test_quantiles_tdigest_accuracy(ray_session, ev_dir):
+    """t-digest estimates within 1.5% RANK error of exact quantiles
+    (value tolerance derived by evaluating exact quantiles at
+    q +/- 0.015)."""
+    from fastparquet_ray.functions.sketches import quantiles_tdigest
+
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99)
+    got = quantiles_tdigest(ev_dir, qs=qs)
+    con = _duck(ev_dir)
+    for q, v in zip(got["q"], got["value_approx"]):
+        lo_q, hi_q = max(q - 0.015, 0.0), min(q + 0.015, 1.0)
+        lo, hi = con.execute(
+            f"SELECT quantile_cont(value, {lo_q}), "
+            f"quantile_cont(value, {hi_q}) FROM events"
+        ).fetchone()
+        assert lo - 1e-9 <= v <= hi + 1e-9, (q, v, lo, hi)
+
+
+def test_tdigest_compress_invariants():
+    """Pure-kernel check: compression preserves total weight and mean,
+    stays sorted, and shrinks the tail clusters (k1 bound)."""
+    from fastparquet_ray.functions.sketches import _tdigest_compress
+
+    rng = np.random.default_rng(3)
+    v = np.sort(rng.normal(0, 1, 5000))
+    m, w = _tdigest_compress(v, np.ones(v.size), 100.0)
+    assert w.sum() == 5000
+    np.testing.assert_allclose((m * w).sum() / w.sum(), v.mean(), atol=1e-9)
+    assert (np.diff(m) >= 0).all()
+    # the 4*N*q*(1-q)/delta bound yields O(delta * ln N) clusters
+    # (tail clusters bottom out at weight 1): far below the row count
+    assert m.size < 5 * 100
+    # tail clusters carry less weight than the middle ones
+    assert w[0] < w[w.size // 2] and w[-1] < w[w.size // 2]
