@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_checksum": flagship.tokens_checksum,
         "tokens_roundtrip": flagship.tokens_roundtrip_summary,
         "clustered_lookup": flagship.clustered_lookup,
+        "zorder_lookup": flagship.zorder_lookup,
         "bloom_lookup": flagship.bloom_lookup,
         "row_range_slice": flagship.row_range_slice,
         "sorted_detect_files": flagship.sorted_detect_files,
@@ -240,14 +241,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only-by-design entries (tokens_roundtrip, codec_plan,
         # shard_stats) spend no window slots they cannot use
         "tokens_checksum", "tokens_groupby_source",
-        "tokens_export_parquet", "nested_roundtrip", "clustered_lookup",
+        "tokens_export_parquet", "zorder_lookup", "clustered_lookup",
         # dedup family (Arrow-native MinHash + sorted-segment CC —
         # rewritten since their r02 driver check, so they must sit
         # inside the sampled window)
         "dedup_exact", "minhash_lsh_pairs",
         "ngram_jaccard_pairs", "dedup_clusters", "dup_ngram_spans",
         # below this line = positions 51+: outside the sampled window
-        "tokens_roundtrip", "codec_plan", "shard_stats",
+        "nested_roundtrip", "tokens_roundtrip", "codec_plan", "shard_stats",
         "events_roundtrip", "hive_partition_counts", "bloom_lookup",
         "corpus_clean", "simhash", "embedding_neardup", "decontaminate",
         # text analysis
@@ -928,6 +929,13 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_TOKENS_GLOB}') "
             "WHERE doc_id = (SELECT min(doc_id) "
             f"FROM read_parquet('{_TOKENS_GLOB}'))"
+        ),
+        "zorder_lookup": (
+            "SELECT source, count(*) AS n, "
+            "CAST(sum(n_tok) AS BIGINT) AS sum_tok "
+            f"FROM read_parquet('{_TOKENS_GLOB}') "
+            "WHERE source = 'books' AND n_tok >= 200 AND n_tok <= 400 "
+            "GROUP BY source"
         ),
         "bloom_lookup": (
             "SELECT doc_id, n_tok, source "

@@ -77,7 +77,9 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="range-sort on this column before encoding: shards get "
         "disjoint key ranges, so key filters prune to O(1) shards "
-        "(costs one all-to-all sort)",
+        "(costs one all-to-all sort). Comma-separated 2-3 columns "
+        "select Z-ORDER clustering (Morton-interleaved sort key; "
+        "multi-dimensional filters prune on every listed column)",
     )
     enc.add_argument(
         "--retrain-on-drift",
@@ -193,7 +195,11 @@ def main(argv: list[str] | None = None) -> int:
                 outer=args.outer,
                 partition_by_source=pbs,
                 hive_cols=args.hive_cols.split(",") if args.hive_cols else None,
-                cluster_by=args.cluster_by,
+                cluster_by=(
+                    args.cluster_by.split(",")
+                    if args.cluster_by and "," in args.cluster_by
+                    else args.cluster_by
+                ),
                 retrain_on_drift=args.retrain_on_drift,
                 column_codecs=(
                     json.loads(args.column_codecs)

@@ -119,7 +119,12 @@ def encode_pipeline(
     sorted_partitioned_columns, api.py:609-628). Shards then hold
     disjoint key ranges, so key filters prune to O(1) shards through
     the header min/max stats. Costs one all-to-all sort; mutually
-    exclusive with the salted shuffle.
+    exclusive with the salted shuffle. A LIST of 2-3 columns selects
+    Z-ORDER clustering instead (pipelines/zorder.py): the sort key is
+    the Morton interleave of the normalized columns, so shards cover
+    small hyper-rectangles and the same per-column header stats prune
+    MULTI-dimensional filters — same single exchange, plus one cheap
+    profile pass for the normalization bounds.
     """
     if cluster_by and partition_by_source is True:
         raise ValueError(
@@ -236,12 +241,32 @@ def encode_pipeline(
         None if user_has_path or cluster_by else "path"
     )
     if cluster_by:
-        # clustered layout (opt-in, one all-to-all range sort like the
-        # reference's sorted row-group writes): shards get DISJOINT
-        # cluster-key ranges, so key-equality and range filters prune
-        # to O(1) shards via the existing header min/max stats —
-        # sorted_detect then reports the column as globally sorted.
-        ds = ds.sort(cluster_by)
+        if isinstance(cluster_by, (list, tuple)):
+            # z-order layout: one profile pass (summary-scaled) for
+            # the normalization bounds, derive the Morton key, ONE
+            # range sort on it, drop the key — shards land on small
+            # hyper-rectangles of the clustered columns and the same
+            # header min/max stats prune filters on EVERY key column
+            from .zorder import ZKEY_COL, add_zkey, zorder_profile
+
+            zcols = list(cluster_by)
+            prof = zorder_profile(ds, zcols)
+            ds = (
+                ds.map_batches(
+                    lambda t, _z=zcols, _p=prof: add_zkey(t, _z, _p),
+                    batch_format="pyarrow",
+                )
+                .sort(ZKEY_COL)
+                .drop_columns([ZKEY_COL])
+            )
+        else:
+            # clustered layout (opt-in, one all-to-all range sort like
+            # the reference's sorted row-group writes): shards get
+            # DISJOINT cluster-key ranges, so key-equality and range
+            # filters prune to O(1) shards via the existing header
+            # min/max stats — sorted_detect then reports the column
+            # as globally sorted.
+            ds = ds.sort(cluster_by)
         # one shard per sorted block: a row-count batcher may BUNDLE
         # non-adjacent blocks arriving at the same actor into one
         # batch, which would weld disjoint key ranges back together

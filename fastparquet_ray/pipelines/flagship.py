@@ -58,7 +58,13 @@ def ensure_encoded(
 
     sf = sf_from_dir(sf_dir)
     paths = ensure_tokens_dataset(sf, base=TOKENS_BASE)
-    out = encoded_dir_for(sf) + ("_clustered" if cluster_by else "")
+    suffix = ""
+    if cluster_by:
+        suffix = (
+            "_zorder" if isinstance(cluster_by, (list, tuple))
+            else "_clustered"
+        )
+    out = encoded_dir_for(sf) + suffix
     if bloom_cols:
         out += "_bloom"
     marker = os.path.join(out, "_inputs.json")
@@ -504,3 +510,42 @@ def codec_plan_report(sf_dir: str):
                 }
             )
     return pd.DataFrame(rows)
+
+
+def zorder_lookup(sf_dir: str, lo: int = 200, hi: int = 400):
+    """Multi-dimensional pruned scan over a Z-ORDERED layout: encode
+    with cluster_by=["source", "n_tok"] (Morton-interleaved range
+    sort — pipelines/zorder.py), then a 2-D filter
+    (source == 'books' AND lo <= n_tok <= hi) prunes through the
+    SAME per-column header min/max stats a 1-D cluster uses, but now
+    BOTH dimensions cut shards (a 1-D source sort leaves every shard
+    overlapping the full n_tok range). Asserts real pruning happened,
+    then aggregates the survivors per source. Oracle: the same filter
+    + aggregate in SQL over the source parquet — equality also proves
+    the z-order exchange is row-preserving."""
+    from ..state.manifest import Manifest  # noqa: F401 (layout check)
+    from .decode import prune_shards, shard_files
+
+    _, out = ensure_encoded(sf_dir, cluster_by=["source", "n_tok"])
+    filters = [
+        ("source", "==", "books"),
+        ("n_tok", ">=", lo),
+        ("n_tok", "<=", hi),
+    ]
+    shards = shard_files(out)
+    kept = prune_shards(shards, filters)
+    if len(shards) > 4 and not len(kept) < len(shards):
+        raise AssertionError(
+            f"z-order pruned nothing: {len(kept)}/{len(shards)} shards"
+        )
+    t = (
+        decode_dataset(out, columns=["source", "n_tok"], filters=filters)
+        .map_batches(_source_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out_df = t.groupby("source", as_index=False).agg(
+        n=("n", "sum"), sum_tok=("sum_tok", "sum")
+    )
+    out_df["n"] = out_df["n"].astype("int64")
+    out_df["sum_tok"] = out_df["sum_tok"].astype("int64")
+    return out_df.sort_values("source").reset_index(drop=True)

@@ -548,3 +548,88 @@ def test_tdigest_compress_invariants():
     assert m.size < 5 * 100
     # tail clusters carry less weight than the middle ones
     assert w[0] < w[w.size // 2] and w[-1] < w[w.size // 2]
+
+
+# ----------------------------------------------------------------- z-order
+
+
+def test_morton_kernel_bit_patterns():
+    from fastparquet_ray.pipelines.zorder import morton_key, _spread1
+
+    a = np.array([0b1011], dtype=np.uint64)
+    assert int(_spread1(a)[0]) == 0b1000101  # bits at even positions
+    k = morton_key([np.array([0b11], np.uint64), np.array([0b01], np.uint64)])
+    # x bits at even, y bits at odd: x=3 (1,1), y=1 (0,1) -> 0b0111
+    assert int(k[0]) == 0b0111
+    # 3-column variant round-trips low bits
+    k3 = morton_key([np.array([1], np.uint64), np.array([1], np.uint64),
+                     np.array([1], np.uint64)])
+    assert int(k3[0]) == 0b111
+
+
+def test_zorder_layout_prunes_both_dims(ray_session, tmp_path):
+    """Z-order on (source, n_tok): a 2-D filter must prune shards AND
+    decode bit-identical rows; a doc_id-ordered (unclustered) layout
+    of the same data cannot prune the n_tok dimension."""
+    import duckdb
+
+    from fastparquet_ray.data import write_tokens_dataset
+    from fastparquet_ray.pipelines.decode import (
+        decode_dataset,
+        prune_shards,
+        shard_files,
+    )
+    from fastparquet_ray.pipelines.encode import encode_pipeline
+
+    src = tmp_path / "src"
+    paths = write_tokens_dataset(str(src), 12000, n_fragments=8, seed=5)
+    zdir = tmp_path / "enc_z"
+    encode_pipeline(paths, str(zdir), cluster_by=["source", "n_tok"],
+                    batch_rows=1500)
+    filters = [("source", "==", "books"),
+               ("n_tok", ">=", 100), ("n_tok", "<=", 300)]
+    shards = shard_files(str(zdir))
+    kept = prune_shards(shards, filters)
+    assert len(shards) >= 6
+    assert len(kept) < len(shards), (len(kept), len(shards))
+    got = (
+        decode_dataset(str(zdir), columns=["doc_id", "n_tok"],
+                       filters=filters)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = duckdb.connect().execute(
+        "SELECT doc_id, n_tok FROM "
+        f"read_parquet('{src}/*.parquet') "
+        "WHERE source = 'books' AND n_tok BETWEEN 100 AND 300 "
+        "ORDER BY doc_id"
+    ).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_tok"].tolist() == exp["n_tok"].tolist()
+    # full roundtrip unchanged by the exchange: row counts match
+    assert (
+        decode_dataset(str(zdir), columns=["doc_id"]).count() == 12000
+    )
+
+
+def test_zorder_categorical_profile(ray_session, tmp_path):
+    """String key column normalizes by its sorted distinct table; the
+    profile pass and key derivation agree across blocks."""
+    import ray.data
+
+    from fastparquet_ray.pipelines.zorder import (
+        add_zkey, zorder_profile,
+    )
+
+    t = pa.table(
+        {"s": pa.array(["b", "a", "c", "a"]),
+         "x": pa.array([1.0, 2.0, 3.0, 4.0])}
+    )
+    ds = ray.data.from_arrow(t)
+    prof = zorder_profile(ds, ["s", "x"])
+    assert prof["s"][0] == "cat"
+    assert list(prof["s"][1]) == ["a", "b", "c"]
+    assert prof["x"] == ("num", 1.0, 4.0)
+    out = add_zkey(t, ["s", "x"], prof)
+    k = out.column("__zkey__").to_numpy()
+    # same (s, x) always maps to the same key; distinct inputs differ
+    assert len(set(k)) == 4
