@@ -633,3 +633,26 @@ def test_zorder_categorical_profile(ray_session, tmp_path):
     k = out.column("__zkey__").to_numpy()
     # same (s, x) always maps to the same key; distinct inputs differ
     assert len(set(k)) == 4
+
+
+def test_morton_kernel_inverse_property():
+    """Property: de-interleaving the Morton key recovers both inputs
+    exactly over random 32-bit values (hypothesis-style sweep)."""
+    from fastparquet_ray.pipelines.zorder import morton_key
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 1 << 32, 2000).astype(np.uint64)
+    b = rng.integers(0, 1 << 32, 2000).astype(np.uint64)
+    k = morton_key([a, b])
+
+    def unspread(x):
+        x = x & np.uint64(0x5555555555555555)
+        x = (x | (x >> np.uint64(1))) & np.uint64(0x3333333333333333)
+        x = (x | (x >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+        x = (x | (x >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+        return x
+
+    np.testing.assert_array_equal(unspread(k), a)
+    np.testing.assert_array_equal(unspread(k >> np.uint64(1)), b)
