@@ -241,14 +241,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only-by-design entries (tokens_roundtrip, codec_plan,
         # shard_stats) spend no window slots they cannot use
         "tokens_checksum", "tokens_groupby_source",
-        "tokens_export_parquet", "zorder_lookup", "clustered_lookup",
+        "tokens_export_parquet", "zorder_lookup",
         # dedup family (Arrow-native MinHash + sorted-segment CC —
         # rewritten since their r02 driver check, so they must sit
         # inside the sampled window)
         "dedup_exact", "minhash_lsh_pairs",
         "ngram_jaccard_pairs", "dedup_clusters", "dup_ngram_spans",
         # below this line = positions 51+: outside the sampled window
-        "nested_roundtrip", "tokens_roundtrip", "codec_plan", "shard_stats",
+        # (clustered_lookup's 1-D pruning machinery is a subset of
+        # zorder_lookup's, which holds the window slot)
+        "clustered_lookup", "nested_roundtrip", "tokens_roundtrip",
+        "codec_plan", "shard_stats",
         "events_roundtrip", "hive_partition_counts", "bloom_lookup",
         "corpus_clean", "simhash", "embedding_neardup", "decontaminate",
         # text analysis

@@ -196,7 +196,7 @@ def main(argv: list[str] | None = None) -> int:
                 partition_by_source=pbs,
                 hive_cols=args.hive_cols.split(",") if args.hive_cols else None,
                 cluster_by=(
-                    args.cluster_by.split(",")
+                    [c.strip() for c in args.cluster_by.split(",")]
                     if args.cluster_by and "," in args.cluster_by
                     else args.cluster_by
                 ),

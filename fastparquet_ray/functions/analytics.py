@@ -1782,9 +1782,14 @@ def first_last_event(sf_dir: str):
 
         def pack(idx: np.ndarray) -> np.ndarray:
             et = df["event_type"].to_numpy()[idx].astype("U")
+            # +2^62 keeps the decimal rendering non-negative (pre-1970
+            # timestamps would otherwise sort lexicographically wrong)
+            # and fits int64; 20 digits hold the full range of both
+            # fields — no truncation at any event_id scale
+            ts_k = (us[idx] + np.int64(1 << 62)).astype("U20")
             k = np.char.add(
-                np.char.add(np.char.zfill(us[idx].astype("U20"), 20), ":"),
-                np.char.zfill(eid[idx].astype("U12"), 12),
+                np.char.add(np.char.zfill(ts_k, 20), ":"),
+                np.char.zfill(eid[idx].astype("U20"), 20),
             )
             return np.char.add(np.char.add(k, ":"), et)
 

@@ -192,6 +192,20 @@ def tfidf_topk(sf_dir: str, top: int = 3):
 _HLL_P = 12  # 4096 registers; relative error ~ 1.04/sqrt(m) ~ 1.6%
 
 
+def _hll_bucket_rank(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Shared HLL kernel: hash values -> (register bucket, rank).
+    rank = leading zeros of the (64-p)-bit remainder + 1; frexp is
+    exact below 2^53 and 64-p = 52 here. The single source of truth
+    for HLLPartial and grouped_distinct_approx — their registers must
+    stay merge-compatible."""
+    h = pd.util.hash_array(vals).astype(np.uint64)
+    bucket = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - _HLL_P)) - 1)
+    bl = np.frexp(w.astype(np.float64))[1]
+    rank = (64 - _HLL_P) - bl + 1
+    return bucket, rank
+
+
 class HLLPartial:
     """Per-batch HyperLogLog registers over one column's values."""
 
@@ -201,13 +215,7 @@ class HLLPartial:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         vals = t.column(self.column).to_pandas().to_numpy()
-        h = pd.util.hash_array(vals).astype(np.uint64)
-        bucket = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
-        w = h & np.uint64((1 << (64 - _HLL_P)) - 1)
-        # rank = leading zeros of the (64-p)-bit remainder + 1; frexp is
-        # exact below 2^53 and 64-p = 52 here
-        bl = np.frexp(w.astype(np.float64))[1]
-        rank = (64 - _HLL_P) - bl + 1
+        bucket, rank = _hll_bucket_rank(vals)
         regs = np.zeros(self.m, dtype=np.int64)
         np.maximum.at(regs, bucket, rank)
         return pa.table({"regs": pa.array([regs.astype(np.uint8).tobytes()])})
@@ -282,13 +290,9 @@ def quantiles(sf_dir: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99)):
                          "value": np.asarray(vals, dtype=np.float64)})
 
 
-def quantiles_cont(sf_dir: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99)):
-    """Interpolated quantiles (percentile_cont / DuckDB quantile_cont
-    semantics: linear interpolation at position (n-1)*q of the sorted
-    column) — the same zero-sort histogram rank-selection as
-    quantiles(), fetching the TWO bracketing order statistics per q
-    and lerping on the driver."""
-    qs = list(qs)
+def _cont_ranks_of(qs: list[float]):
+    """ranks_fn for percentile_cont: the TWO bracketing 1-based order
+    statistics around position (n-1)*q, per q."""
 
     def ranks_of(n: int) -> list[int]:
         out = []
@@ -298,16 +302,36 @@ def quantiles_cont(sf_dir: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99)):
             out.append(int(np.ceil(pos)) + 1)
         return out
 
-    n, rank_value = _rank_select(sf_dir, "orders", "o_totalprice", ranks_of)
-    if n == 0:
-        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
-                             "value": pd.Series([np.nan] * len(qs))})
+    return ranks_of
+
+
+def _cont_values(n: int, rank_value: dict, qs: list[float]) -> list[float]:
+    """DuckDB quantile_cont lerp: vlo + (pos - floor(pos)) * (vhi - vlo)
+    at pos = (n-1)*q. ONE shared implementation — the hash-gate oracles
+    of every caller depend on this exact float op order."""
     vals = []
     for q in qs:
         pos = (n - 1) * q
         lo, hi = int(np.floor(pos)) + 1, int(np.ceil(pos)) + 1
         vlo, vhi = rank_value[lo], rank_value[hi]
-        vals.append(round(vlo + (pos - np.floor(pos)) * (vhi - vlo), 6))
+        vals.append(vlo + (pos - np.floor(pos)) * (vhi - vlo))
+    return vals
+
+
+def quantiles_cont(sf_dir: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99)):
+    """Interpolated quantiles (percentile_cont / DuckDB quantile_cont
+    semantics: linear interpolation at position (n-1)*q of the sorted
+    column) — the same zero-sort histogram rank-selection as
+    quantiles(), fetching the TWO bracketing order statistics per q
+    and lerping on the driver."""
+    qs = list(qs)
+    n, rank_value = _rank_select(
+        sf_dir, "orders", "o_totalprice", _cont_ranks_of(qs)
+    )
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                             "value": pd.Series([np.nan] * len(qs))})
+    vals = [round(v, 6) for v in _cont_values(n, rank_value, qs)]
     return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64),
                          "value": np.asarray(vals, dtype=np.float64)})
 
@@ -1307,16 +1331,7 @@ def length_band_filter(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
     col_ds = decode_dataset(enc, columns=["n_tok"]).materialize()
 
     qs = [lo_q, hi_q]
-
-    def ranks_of(n: int) -> list[int]:
-        out = []
-        for q in qs:
-            pos = (n - 1) * q
-            out.append(int(np.floor(pos)) + 1)
-            out.append(int(np.ceil(pos)) + 1)
-        return out
-
-    n, rank_value = _rank_select_ds(col_ds, "n_tok", ranks_of)
+    n, rank_value = _rank_select_ds(col_ds, "n_tok", _cont_ranks_of(qs))
     if n == 0:
         return pd.DataFrame(
             {"source": pd.Series([], dtype="object"),
@@ -1325,12 +1340,7 @@ def length_band_filter(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95):
              "lo": pd.Series([], dtype="float64"),
              "hi": pd.Series([], dtype="float64")}
         )
-    band = []
-    for q in qs:
-        pos = (n - 1) * q
-        lo_r, hi_r = int(np.floor(pos)) + 1, int(np.ceil(pos)) + 1
-        vlo, vhi = rank_value[lo_r], rank_value[hi_r]
-        band.append(vlo + (pos - np.floor(pos)) * (vhi - vlo))
+    band = _cont_values(n, rank_value, qs)
     lo, hi = float(band[0]), float(band[1])
 
     ds = decode_dataset(enc, columns=["source", "n_tok"])
@@ -1391,11 +1401,7 @@ def grouped_distinct_approx(sf_dir: str):
         et = t.column("event_type").to_numpy(zero_copy_only=False)
         uid = t.column("user_id").to_numpy(zero_copy_only=False)
         codes, uniq = pd.factorize(et)
-        h = pd.util.hash_array(uid).astype(np.uint64)
-        bucket = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
-        w = h & np.uint64((1 << (64 - _HLL_P)) - 1)
-        bl = np.frexp(w.astype(np.float64))[1]
-        rank = (64 - _HLL_P) - bl + 1
+        bucket, rank = _hll_bucket_rank(uid)
         regs = np.zeros((len(uniq), m), dtype=np.int64)
         np.maximum.at(regs, (codes, bucket), rank)
         return pd.DataFrame(

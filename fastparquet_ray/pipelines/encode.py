@@ -249,8 +249,17 @@ def encode_pipeline(
             # header min/max stats prune filters on EVERY key column
             from .zorder import ZKEY_COL, add_zkey, zorder_profile
 
-            zcols = list(cluster_by)
-            prof = zorder_profile(ds, zcols)
+            zcols = [str(c).strip() for c in cluster_by]
+            if not 2 <= len(zcols) <= 3:
+                raise ValueError(
+                    "z-order cluster_by needs 2 or 3 columns, got "
+                    f"{zcols!r}"
+                )
+            # profile over a KEY-COLUMN-ONLY read: the bounds pass must
+            # not pull the heavy payload columns (tokens lists dominate
+            # bytes) just to min/max two scalars
+            prof_ds = ray.data.read_parquet(paths, columns=zcols)
+            prof = zorder_profile(prof_ds, zcols)
             ds = (
                 ds.map_batches(
                     lambda t, _z=zcols, _p=prof: add_zkey(t, _z, _p),

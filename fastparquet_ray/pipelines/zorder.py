@@ -77,7 +77,9 @@ def zorder_profile(ds, cols: list[str]) -> dict:
         for c in cols:
             v = t.column(c).to_numpy(zero_copy_only=False)
             if v.dtype.kind in "OUS":
-                u = np.unique(v.astype(object))
+                u = np.unique(
+                    np.array([x for x in v if x is not None], dtype=object)
+                )
                 if u.size > _MAX_CAT:
                     raise ValueError(
                         f"z-order column {c!r}: > {_MAX_CAT} distinct "
@@ -128,9 +130,12 @@ def add_zkey(t: pa.Table, cols: list[str], prof: dict) -> pa.Table:
         p = prof[c]
         if p[0] == "cat":
             vals = p[1]
-            rank = np.searchsorted(vals, v.astype(object)).astype(
-                np.float64
+            # nulls sort first (bucket 0) — a stable, documented slot
+            filled = np.array(
+                [vals[0] if x is None and len(vals) else x for x in v],
+                dtype=object,
             )
+            rank = np.searchsorted(vals, filled).astype(np.float64)
             denom = max(len(vals) - 1, 1)
             q = rank / denom
         else:
@@ -139,6 +144,9 @@ def add_zkey(t: pa.Table, cols: list[str], prof: dict) -> pa.Table:
                 q = np.zeros(len(v), dtype=np.float64)
             else:
                 q = (v.astype(np.float64) - mn) / (mx - mn)
+            # nulls/NaNs cluster at bucket 0 (profile skipped them, so
+            # q is NaN here; uint64-casting NaN is undefined behavior)
+            q = np.nan_to_num(q, nan=0.0)
         norm.append(
             np.clip(np.round(q * top), 0, top).astype(np.uint64)
         )

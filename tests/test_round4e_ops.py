@@ -656,3 +656,24 @@ def test_morton_kernel_inverse_property():
 
     np.testing.assert_array_equal(unspread(k), a)
     np.testing.assert_array_equal(unspread(k >> np.uint64(1)), b)
+
+
+def test_zorder_null_values_stable(ray_session):
+    """Nulls in z-order key columns get the stable bucket-0 slot
+    (review fix): no undefined uint64 casts, no TypeError on None
+    strings, keys deterministic."""
+    import ray.data
+
+    from fastparquet_ray.pipelines.zorder import add_zkey, zorder_profile
+
+    t = pa.table(
+        {"s": pa.array(["b", None, "a", "b"]),
+         "x": pa.array([1.0, 2.0, None, 4.0])}
+    )
+    prof = zorder_profile(ray.data.from_arrow(t), ["s", "x"])
+    assert list(prof["s"][1]) == ["a", "b"]
+    out1 = add_zkey(t, ["s", "x"], prof).column("__zkey__").to_numpy()
+    out2 = add_zkey(t, ["s", "x"], prof).column("__zkey__").to_numpy()
+    np.testing.assert_array_equal(out1, out2)  # deterministic
+    # null string ranks as bucket 0 == rank of 'a'; null x as value-min
+    assert out1[2] <= out1[0]
