@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustered_lookup": flagship.clustered_lookup,
         "zorder_lookup": flagship.zorder_lookup,
         "bloom_lookup": flagship.bloom_lookup,
+        "token_bloom_lookup": flagship.token_bloom_lookup,
         "row_range_slice": flagship.row_range_slice,
         "sorted_detect_files": flagship.sorted_detect_files,
         "tokens_export_parquet": flagship.tokens_export_roundtrip,
@@ -241,7 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only-by-design entries (tokens_roundtrip, codec_plan,
         # shard_stats) spend no window slots they cannot use
         "tokens_checksum", "tokens_groupby_source",
-        "tokens_export_parquet", "zorder_lookup",
+        "zorder_lookup", "token_bloom_lookup",
         # dedup family (Arrow-native MinHash + sorted-segment CC —
         # rewritten since their r02 driver check, so they must sit
         # inside the sampled window)
@@ -249,9 +250,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs", "dedup_clusters", "dup_ngram_spans",
         # below this line = positions 51+: outside the sampled window
         # (clustered_lookup's 1-D pruning machinery is a subset of
-        # zorder_lookup's, which holds the window slot)
-        "clustered_lookup", "nested_roundtrip", "tokens_roundtrip",
-        "codec_plan", "shard_stats",
+        # zorder_lookup's, which holds the window slot; the export
+        # roundtrips are pytest-pinned)
+        "clustered_lookup", "tokens_export_parquet", "nested_roundtrip",
+        "tokens_roundtrip", "codec_plan", "shard_stats",
         "events_roundtrip", "hive_partition_counts", "bloom_lookup",
         "corpus_clean", "simhash", "embedding_neardup", "decontaminate",
         # text analysis
@@ -939,6 +941,11 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_TOKENS_GLOB}') "
             "WHERE source = 'books' AND n_tok >= 200 AND n_tok <= 400 "
             "GROUP BY source"
+        ),
+        "token_bloom_lookup": (
+            "SELECT doc_id, n_tok, source "
+            f"FROM read_parquet('{_TOKENS_GLOB}') "
+            "WHERE list_contains(tokens, 4999)"
         ),
         "bloom_lookup": (
             "SELECT doc_id, n_tok, source "

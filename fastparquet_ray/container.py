@@ -387,10 +387,24 @@ class ShardEncoder:
                     vname = "plain_float"
                 info["float_values"] = str(vnp.dtype)
             else:
-                vb = self._encode_int(_to_int_np(values), vspec)
+                ivals = _to_int_np(values)
+                vb = self._encode_int(ivals, vspec)
                 vname = _INT_CODEC_NAMES.get(vb[0], "?")
                 if vb[:1] == b"\x09":  # zrank-shared: drift signal
                     info["zrank_extras"] = ic.zranks_extras_count(vb)
+                if ivals.size:
+                    # ELEMENT-level stats: min/max over the flattened
+                    # values (range-prunes "contains" filters), plus an
+                    # opt-in bloom over the shard's distinct element
+                    # ids — parquet's split-block bloom idea applied to
+                    # list elements ("docs containing token X" skips
+                    # every shard provably lacking the id)
+                    info["min"] = int(ivals.min())
+                    info["max"] = int(ivals.max())
+                    if (spec or {}).get("bloom"):
+                        uniq = np.unique(ivals)
+                        info["distinct"] = int(uniq.size)
+                        info["bloom"] = bloom_build(uniq)
             bufs = [validity, lb, vb]
             info["sizes"] = [len(lb), len(vb)]
             info["codec"] = (

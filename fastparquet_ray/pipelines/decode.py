@@ -19,7 +19,7 @@ from ..state.manifest import Manifest
 
 # filters are [(col, op, value)] conjunctions, ops as in the reference
 # (util.py:411-419): == != > >= < <= in not-in
-_OPS = {"==", "!=", ">", ">=", "<", "<=", "in", "not in"}
+_OPS = {"==", "!=", ">", ">=", "<", "<=", "in", "not in", "contains"}
 
 
 def shard_files(out_dir: str, filesystem=None) -> list[str]:
@@ -112,7 +112,9 @@ def _stats_may_match(stats: dict, col: str, op: str, val) -> bool:
         return lo < val
     if op == "<=":
         return lo <= val
-    if op == "==":
+    if op in ("==", "contains"):
+        # "contains" (list columns): header min/max/bloom are over the
+        # FLATTENED elements, so the same equality pruning applies
         if not lo <= val <= hi:
             return False
         return _bloom_may_match(s, [val])
@@ -184,6 +186,16 @@ def _residual_filter(filters):
                 m = pc.is_in(c, value_set=pa.array(list(val)))
             elif op == "not in":
                 m = pc.invert(pc.is_in(c, value_set=pa.array(list(val))))
+            elif op == "contains":
+                # list membership: one vectorized flatten + segment-any
+                la = c.combine_chunks()
+                flat = la.flatten().to_numpy(zero_copy_only=False)
+                offs = la.offsets.to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                rel = offs - offs[0]  # sliced arrays: rebase offsets
+                cum = np.concatenate([[0], np.cumsum(flat == val)])
+                m = pa.array((cum[rel[1:]] - cum[rel[:-1]]) > 0)
             else:
                 raise ValueError(f"unsupported op {op}")
             mask = m if mask is None else pc.and_(mask, m)

@@ -66,7 +66,9 @@ def ensure_encoded(
         )
     out = encoded_dir_for(sf) + suffix
     if bloom_cols:
-        out += "_bloom"
+        # per-column-set dirs: bloom_cols=['doc_id'] and ['tokens']
+        # are different layouts and must not thrash one cache
+        out += "_bloom_" + "_".join(sorted(bloom_cols))
     marker = os.path.join(out, "_inputs.json")
     fp = _input_fingerprint(paths, partition_by_source)
     if cluster_by:
@@ -549,3 +551,43 @@ def zorder_lookup(sf_dir: str, lo: int = 200, hi: int = 400):
     out_df["n"] = out_df["n"].astype("int64")
     out_df["sum_tok"] = out_df["sum_tok"].astype("int64")
     return out_df.sort_values("source").reset_index(drop=True)
+
+
+def token_bloom_lookup(sf_dir: str, token: int = 4999):
+    """Docs CONTAINING a rare token id, pruned by per-shard blooms
+    over the FLATTENED tokens column (the parquet split-block bloom
+    idea applied to list elements): element min/max cannot prune
+    (every shard spans the zipf vocab) but the bloom drops every
+    shard provably lacking the id — the inverted-index-free "which
+    shards hold token X" primitive a token-corpus store needs. The
+    residual row predicate is one vectorized flatten + segment-any
+    per batch. Oracle: SQL list_contains over the source parquet."""
+    from .decode import prune_shards, shard_files
+
+    _, out = ensure_encoded(sf_dir, bloom_cols=["tokens"])
+    filters = [("tokens", "contains", token)]
+    shards = shard_files(out)
+    kept = prune_shards(shards, filters)
+    if len(shards) > 4 and not len(kept) < len(shards):
+        raise AssertionError(
+            f"token bloom pruned nothing: {len(kept)}/{len(shards)}"
+        )
+    df = (
+        decode_dataset(
+            out,
+            columns=["doc_id", "n_tok", "source"],
+            filters=filters,
+        )
+        .to_pandas()
+    )
+    if df.empty:  # token absent: every shard pruned
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="object"),
+             "n_tok": pd.Series([], dtype="int32"),
+             "source": pd.Series([], dtype="object")}
+        )
+    return (
+        df[["doc_id", "n_tok", "source"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -677,3 +677,46 @@ def test_zorder_null_values_stable(ray_session):
     np.testing.assert_array_equal(out1, out2)  # deterministic
     # null string ranks as bucket 0 == rank of 'a'; null x as value-min
     assert out1[2] <= out1[0]
+
+
+def test_token_list_bloom_prunes_and_filters(ray_session, tmp_path):
+    """Per-shard blooms over FLATTENED list elements: a rare token
+    prunes most shards, and the residual contains-filter returns
+    exactly the docs holding it (vs DuckDB list_contains)."""
+    import duckdb
+
+    from fastparquet_ray.data import write_tokens_dataset
+    from fastparquet_ray.pipelines.decode import (
+        decode_dataset, prune_shards, shard_files,
+    )
+    from fastparquet_ray.pipelines.encode import encode_pipeline
+
+    src = tmp_path / "src"
+    paths = write_tokens_dataset(str(src), 8000, n_fragments=8, seed=9)
+    enc = tmp_path / "enc_tb"
+    encode_pipeline(paths, str(enc), bloom_cols=["tokens"],
+                    batch_rows=1000)
+    con = duckdb.connect()
+    # pick a token appearing in exactly one doc (rarest)
+    tok = con.execute(
+        "SELECT tok FROM (SELECT unnest(tokens) AS tok FROM "
+        f"read_parquet('{src}/*.parquet')) GROUP BY tok "
+        "ORDER BY count(*), tok LIMIT 1"
+    ).fetchone()[0]
+    filters = [("tokens", "contains", int(tok))]
+    shards = shard_files(str(enc))
+    kept = prune_shards(shards, filters)
+    assert len(shards) >= 8
+    assert len(kept) < len(shards), (len(kept), len(shards))
+    got = (
+        decode_dataset(str(enc), columns=["doc_id", "n_tok"],
+                       filters=filters)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = con.execute(
+        "SELECT doc_id, n_tok FROM "
+        f"read_parquet('{src}/*.parquet') "
+        f"WHERE list_contains(tokens, {int(tok)}) ORDER BY doc_id"
+    ).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_tok"].tolist() == exp["n_tok"].tolist()
