@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "ann_topk_ivf": similarity.ann_topk_ivf,
         "embedding_centroids": similarity.embedding_centroids,
+        # iterative Lloyd's k-means: no SQL form -> rows-only check
+        "kmeans_embeddings": similarity.kmeans_embeddings,
         "dup_ngram_spans": dedup.dup_ngram_spans,
         "decontaminate": dedup.decontaminate,
         # --- multimodal plumbing (stubbed decode) ---

@@ -225,3 +225,92 @@ def embedding_centroids(sf_dir: str):
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 3):
+    """Distributed Lloyd's k-means over the embedding column — the
+    canonical ITERATIVE Ray pattern: centroids broadcast via ray.put,
+    each iteration is ONE streaming map_batches emitting per-centroid
+    sufficient statistics (count, vector sum, within-cluster squared
+    distance), merged on the driver at k x dim cardinality, centroids
+    updated closed-form. Deterministic init: the k hash-smallest
+    vec_ids (md5 parity with the sampling family), so every run and
+    engine version converges identically.
+
+    Rows-only driver check (iterative, no SQL form); pytest pins the
+    result against a serial numpy reference on the same data. Scale
+    shape: per-iteration cost = one corpus scan + a k x dim broadcast;
+    empty clusters keep their previous centroid (standard Lloyd
+    fallback). Returns per-cluster size and inertia plus the centroid
+    checksum so the output is summary-scaled."""
+    import ray
+    import ray.data
+
+    from .sampling import _md5_u64
+
+    ds = _emb(sf_dir).materialize()  # scanned iters+1 times
+
+    # ---- deterministic seeds: k hash-smallest vec_ids (select-k) ----
+    def seed_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_u64(df["vec_id"].to_numpy())
+        o = np.lexsort((df["vec_id"].to_numpy(), h))[:k]
+        out = df.iloc[o][["vec_id", "embedding"]].copy()
+        out["h"] = h[o]
+        return out
+
+    cand = (
+        ds.map_batches(seed_part, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["h", "vec_id"])
+        .head(k)
+    )
+    cent = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in cand["embedding"]]
+    )
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def stats(df: pd.DataFrame, _memo={}) -> pd.DataFrame:
+            if "c" not in _memo:
+                _memo["c"] = ray.get(cref)  # k x dim, tiny
+            c = _memo["c"]
+            x = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in df["embedding"]]
+            )
+            d2 = (
+                (x * x).sum(1)[:, None]
+                - 2.0 * (x @ c.T)
+                + (c * c).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            s = np.zeros_like(c)
+            np.add.at(s, a, x)
+            sse = np.bincount(a, weights=d2[np.arange(len(a)), a],
+                              minlength=k)
+            rows = {"cl": np.arange(k, dtype=np.int64), "n": n,
+                    "sse": sse}
+            for j in range(c.shape[1]):
+                rows[f"s{j}"] = s[:, j]
+            return pd.DataFrame(rows)
+
+        parts = (
+            ds.map_batches(stats, batch_format="pandas")
+            .to_pandas()
+            .groupby("cl", as_index=False)
+            .sum()  # k x (dim+2) — summary-scaled driver merge
+        )
+        n = parts["n"].to_numpy(np.float64)
+        s = parts[[f"s{j}" for j in range(cent.shape[1])]].to_numpy()
+        nz = n > 0
+        cent = np.where(nz[:, None], s / np.maximum(n, 1)[:, None], cent)
+        sizes = parts["n"].to_numpy(np.int64)
+        inertia = parts["sse"].to_numpy(np.float64)
+
+    return pd.DataFrame(
+        {"cluster": np.arange(k, dtype=np.int64),
+         "size": sizes,
+         "inertia": np.round(inertia, 4),
+         "centroid_norm": np.round(np.linalg.norm(cent, axis=1), 6)}
+    )

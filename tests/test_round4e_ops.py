@@ -720,3 +720,41 @@ def test_token_list_bloom_prunes_and_filters(ray_session, tmp_path):
     ).df()
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["n_tok"].tolist() == exp["n_tok"].tolist()
+
+
+def test_kmeans_embeddings_vs_serial(ray_session):
+    """Distributed Lloyd's iterations match a serial numpy reference
+    on the same data and deterministic seeds (block-order float drift
+    only)."""
+    import pyarrow.parquet as pq_
+
+    from fastparquet_ray.functions.sampling import _md5_u64
+    from fastparquet_ray.functions.similarity import kmeans_embeddings
+
+    k, iters = 8, 3
+    got = kmeans_embeddings(SF, k=k, iters=iters)
+    t = pq_.read_table(f"{SF}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    vid = t.column("vec_id").to_numpy()
+    x = np.stack([np.asarray(e, dtype=np.float64)
+                  for e in t.column("embedding").to_pylist()])
+    h = _md5_u64(vid)
+    o = np.lexsort((vid, h))[:k]
+    cent = x[o].copy()
+    for _ in range(iters):
+        d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ cent.T)
+              + (cent * cent).sum(1)[None, :])
+        a = d2.argmin(1)
+        n = np.bincount(a, minlength=k)
+        sse = np.bincount(a, weights=d2[np.arange(len(a)), a],
+                          minlength=k)
+        s = np.zeros_like(cent)
+        np.add.at(s, a, x)
+        nz = n > 0
+        cent = np.where(nz[:, None], s / np.maximum(n, 1)[:, None], cent)
+    assert got["size"].tolist() == n.tolist()
+    np.testing.assert_allclose(got["inertia"], sse, rtol=1e-9, atol=1e-4)
+    np.testing.assert_allclose(
+        got["centroid_norm"], np.linalg.norm(cent, axis=1), atol=1e-6
+    )
+    assert got["size"].sum() == len(vid)
