@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_lookup": flagship.zorder_lookup,
         "bloom_lookup": flagship.bloom_lookup,
         "token_bloom_lookup": flagship.token_bloom_lookup,
+        "token_probe_any": flagship.token_probe_any,
         "row_range_slice": flagship.row_range_slice,
         "sorted_detect_files": flagship.sorted_detect_files,
         "tokens_export_parquet": flagship.tokens_export_roundtrip,
@@ -244,7 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only-by-design entries (tokens_roundtrip, codec_plan,
         # shard_stats) spend no window slots they cannot use
         "tokens_checksum", "tokens_groupby_source",
-        "zorder_lookup", "token_bloom_lookup",
+        "zorder_lookup", "token_probe_any",
         # dedup family (Arrow-native MinHash + sorted-segment CC —
         # rewritten since their r02 driver check, so they must sit
         # inside the sampled window)
@@ -252,9 +253,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs", "dedup_clusters", "dup_ngram_spans",
         # below this line = positions 51+: outside the sampled window
         # (clustered_lookup's 1-D pruning machinery is a subset of
-        # zorder_lookup's, which holds the window slot; the export
-        # roundtrips are pytest-pinned)
-        "clustered_lookup", "tokens_export_parquet", "nested_roundtrip",
+        # zorder_lookup's, token_bloom_lookup's of token_probe_any's;
+        # the export roundtrips are pytest-pinned)
+        "token_bloom_lookup", "clustered_lookup",
+        "tokens_export_parquet", "nested_roundtrip",
         "tokens_roundtrip", "codec_plan", "shard_stats",
         "events_roundtrip", "hive_partition_counts", "bloom_lookup",
         "corpus_clean", "simhash", "embedding_neardup", "decontaminate",
@@ -948,6 +950,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tok, source "
             f"FROM read_parquet('{_TOKENS_GLOB}') "
             "WHERE list_contains(tokens, 4999)"
+        ),
+        "token_probe_any": (
+            "SELECT doc_id, n_tok, source "
+            f"FROM read_parquet('{_TOKENS_GLOB}') "
+            "WHERE list_has_any(tokens, [4999, 1009])"
         ),
         "bloom_lookup": (
             "SELECT doc_id, n_tok, source "

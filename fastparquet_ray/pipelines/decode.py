@@ -19,7 +19,10 @@ from ..state.manifest import Manifest
 
 # filters are [(col, op, value)] conjunctions, ops as in the reference
 # (util.py:411-419): == != > >= < <= in not-in
-_OPS = {"==", "!=", ">", ">=", "<", "<=", "in", "not in", "contains"}
+_OPS = {
+    "==", "!=", ">", ">=", "<", "<=", "in", "not in",
+    "contains", "contains_any",
+}
 
 
 def shard_files(out_dir: str, filesystem=None) -> list[str]:
@@ -118,6 +121,13 @@ def _stats_may_match(stats: dict, col: str, op: str, val) -> bool:
         if not lo <= val <= hi:
             return False
         return _bloom_may_match(s, [val])
+    if op == "contains_any":
+        # probe-set membership: the shard survives if ANY id may be
+        # present (range-filtered first, then the bloom)
+        vals = [v for v in val if lo <= v <= hi]
+        if not vals:
+            return False
+        return _bloom_may_match(s, vals)
     if op == "!=":
         return not (lo == hi == val)
     if op == "in":
@@ -186,7 +196,7 @@ def _residual_filter(filters):
                 m = pc.is_in(c, value_set=pa.array(list(val)))
             elif op == "not in":
                 m = pc.invert(pc.is_in(c, value_set=pa.array(list(val))))
-            elif op == "contains":
+            elif op in ("contains", "contains_any"):
                 # list membership: one vectorized flatten + segment-any
                 la = c.combine_chunks()
                 flat = la.flatten().to_numpy(zero_copy_only=False)
@@ -194,7 +204,12 @@ def _residual_filter(filters):
                     np.int64
                 )
                 rel = offs - offs[0]  # sliced arrays: rebase offsets
-                cum = np.concatenate([[0], np.cumsum(flat == val)])
+                hit = (
+                    flat == val
+                    if op == "contains"
+                    else np.isin(flat, np.asarray(list(val)))
+                )
+                cum = np.concatenate([[0], np.cumsum(hit)])
                 m = pa.array((cum[rel[1:]] - cum[rel[:-1]]) > 0)
             else:
                 raise ValueError(f"unsupported op {op}")

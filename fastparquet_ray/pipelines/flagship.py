@@ -591,3 +591,34 @@ def token_bloom_lookup(sf_dir: str, token: int = 4999):
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def token_probe_any(sf_dir: str, tokens: tuple = (4999, 1009)):
+    """Docs containing ANY id of a small probe set (the shard-routing
+    primitive behind eval-set decontamination sweeps and targeted
+    corpus audits): the per-shard element blooms drop shards lacking
+    the WHOLE probe set, the residual is one np.isin flatten +
+    segment-any. Oracle: SQL list_has_any."""
+    from .decode import shard_files  # noqa: F401 (pruning is in-path)
+
+    _, out = ensure_encoded(sf_dir, bloom_cols=["tokens"])
+    filters = [("tokens", "contains_any", list(tokens))]
+    df = (
+        decode_dataset(
+            out,
+            columns=["doc_id", "n_tok", "source"],
+            filters=filters,
+        )
+        .to_pandas()
+    )
+    if df.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="object"),
+             "n_tok": pd.Series([], dtype="int32"),
+             "source": pd.Series([], dtype="object")}
+        )
+    return (
+        df[["doc_id", "n_tok", "source"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

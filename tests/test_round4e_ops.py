@@ -758,3 +758,42 @@ def test_kmeans_embeddings_vs_serial(ray_session):
         got["centroid_norm"], np.linalg.norm(cent, axis=1), atol=1e-6
     )
     assert got["size"].sum() == len(vid)
+
+
+def test_contains_any_prunes_and_filters(ray_session, tmp_path):
+    """contains_any: probe-set shard routing through the element
+    blooms; residual np.isin matches DuckDB list_has_any."""
+    import duckdb
+
+    from fastparquet_ray.data import write_tokens_dataset
+    from fastparquet_ray.pipelines.decode import (
+        decode_dataset, prune_shards, shard_files,
+    )
+    from fastparquet_ray.pipelines.encode import encode_pipeline
+
+    src = tmp_path / "src"
+    paths = write_tokens_dataset(str(src), 8000, n_fragments=8, seed=21)
+    enc = tmp_path / "enc_ca"
+    encode_pipeline(paths, str(enc), bloom_cols=["tokens"],
+                    batch_rows=1000)
+    con = duckdb.connect()
+    toks = [r[0] for r in con.execute(
+        "SELECT tok FROM (SELECT unnest(tokens) AS tok FROM "
+        f"read_parquet('{src}/*.parquet')) GROUP BY tok "
+        "ORDER BY count(*), tok LIMIT 2"
+    ).fetchall()]
+    filters = [("tokens", "contains_any", [int(t) for t in toks])]
+    shards = shard_files(str(enc))
+    kept = prune_shards(shards, filters)
+    assert len(kept) < len(shards)
+    got = (
+        decode_dataset(str(enc), columns=["doc_id"], filters=filters)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = con.execute(
+        "SELECT doc_id FROM "
+        f"read_parquet('{src}/*.parquet') "
+        f"WHERE list_has_any(tokens, {[int(t) for t in toks]}) "
+        "ORDER BY doc_id"
+    ).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
