@@ -230,7 +230,8 @@ def run_bench() -> dict:
             "length_band_filter", "full_outer_join", "dense_rank",
             "cume_dist", "first_last_event", "interarrival_stats",
             "event_transitions", "top_bigrams_text", "weighted_sample",
-            "rolling_dau",
+            "rolling_dau", "zorder_lookup", "token_bloom_lookup",
+            "token_probe_any", "kmeans_embeddings",
         ]:
             t0 = time.time()
             res = qs[name](sf_dir)
