@@ -797,3 +797,46 @@ def test_contains_any_prunes_and_filters(ray_session, tmp_path):
         "ORDER BY doc_id"
     ).df()
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+
+
+@pytest.mark.parametrize("dist", ["lognormal", "constant", "bimodal"])
+def test_tdigest_adversarial_distributions(dist):
+    """Kernel-level rank-error bound on heavy-tailed / degenerate /
+    bimodal data: merged two-level digests (block partials -> final
+    compress, mirroring the operator) keep every probe quantile
+    within 2% rank error."""
+    from fastparquet_ray.functions.sketches import _tdigest_compress
+
+    rng = np.random.default_rng(17)
+    n = 40000
+    if dist == "lognormal":
+        v = rng.lognormal(0, 2, n)
+    elif dist == "constant":
+        v = np.full(n, 3.14)
+    else:
+        v = np.concatenate(
+            [rng.normal(-100, 1, n // 2), rng.normal(100, 1, n // 2)]
+        )
+    sv = np.sort(v)
+    # simulate 8 blocks -> per-block digests -> merged final digest
+    ms, ws = [], []
+    for blk in np.array_split(v, 8):
+        m, w = _tdigest_compress(
+            np.sort(blk), np.ones(blk.size), 200.0
+        )
+        ms.append(m)
+        ws.append(w)
+    m = np.concatenate(ms)
+    w = np.concatenate(ws)
+    o = np.argsort(m, kind="mergesort")
+    m, w = _tdigest_compress(m[o], w[o], 200.0)
+    cum = np.cumsum(w) - w / 2.0
+    total = w.sum()
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = float(np.interp(q * total, cum, m))
+        # rank INTERVAL of the estimate (ties span a range: exact
+        # estimates on constant data must count as zero error)
+        rl = np.searchsorted(sv, est, side="left") / n
+        rr = np.searchsorted(sv, est, side="right") / n
+        err = 0.0 if rl <= q <= rr else min(abs(q - rl), abs(q - rr))
+        assert err <= 0.02, (dist, q, est, rl, rr)
