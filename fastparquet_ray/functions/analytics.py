@@ -2092,71 +2092,165 @@ def rolling_dau(sf_dir: str, window_days: int = 7):
     and a rolling COUNT DISTINCT, which no plain window aggregate
     expresses (distinct does not decompose over sliding frames).
 
-    Scale shape: the corpus collapses block-locally to distinct
-    (day, user) pairs; the one exchange merges those partials at
-    users x active-days cardinality (the cohort_retention
-    grouped-aggregate footprint). The rolling fold is then a
-    vectorized interval-union sweep on the driver: per user, runs of
-    active days with gaps <= window-1 cover a contiguous window
-    range, so each run scatters one +1/-1 onto a days-sized diff
-    array and a single cumsum yields every day's trailing distinct
-    count — no per-day rescan, no users x days matrix."""
+    Scale shape (fully distributed — NO user-scaled driver state):
+    blocks collapse locally to distinct (day, user) pairs, ONE range
+    sort on (user_id, day) co-locates each user's active days, and
+    every sorted block emits two DAYS-SCALED partials — per-day
+    first-occurrence counts (dau) and interval-union diff deltas
+    (+1 at each run start, -1 past run end + window - 1; runs are
+    maximal day sequences with gaps < window). A pair or a run
+    straddling a block boundary is healed by O(blocks) driver
+    corrections (duplicate-pair -1; pairwise-consecutive overlap
+    subtraction — exact because chained run intervals have sorted
+    starts AND ends, so any point is covered by a contiguous set of
+    runs). The final merge is days-scaled; one cumsum over the
+    sorted delta days yields every day's trailing distinct count."""
     from .groupagg import merge_partials
 
     w = int(window_days)
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    empty = pd.DataFrame(
-        {"day": pd.Series([], dtype="int64"),
-         "user_id": pd.Series([], dtype="int64"),
-         "n": pd.Series([], dtype="int64")}
+    pair_empty = pd.DataFrame(
+        {"user_id": pd.Series([], dtype="int64"),
+         "day": pd.Series([], dtype="int64")}
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return empty
+            return pair_empty
         us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         g = pd.DataFrame(
-            {"day": us // _DAY_US,
-             "user_id": df["user_id"].to_numpy().astype(np.int64),
-             "n": 1}
+            {"user_id": df["user_id"].to_numpy().astype(np.int64),
+             "day": us // _DAY_US}
         )
-        return g.groupby(["day", "user_id"], as_index=False).agg(
-            n=("n", "sum")
+        return g.drop_duplicates(["user_id", "day"])
+
+    srt = (
+        ds.map_batches(pair_partial, batch_format="pandas")
+        .sort(["user_id", "day"])
+        .materialize()  # consumed twice: partials + border pull
+    )
+
+    out_empty = pd.DataFrame(
+        {"day": pd.Series([], dtype="int64"),
+         "dn": pd.Series([], dtype="int64"),
+         "dd": pd.Series([], dtype="int64")}
+    )
+
+    def _dedup_runs(u: np.ndarray, d: np.ndarray):
+        """Adjacent-duplicate mask + run boundaries over sorted
+        (user, day) rows; returns (keep, run_start_idx, run_end_idx)
+        into the DEDUPED arrays."""
+        keep = np.ones(u.size, dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        uu, dd_ = u[keep], d[keep]
+        newrun = np.ones(uu.size, dtype=bool)
+        newrun[1:] = (uu[1:] != uu[:-1]) | (dd_[1:] - dd_[:-1] > w - 1)
+        starts = np.flatnonzero(newrun)
+        ends = np.concatenate([starts[1:], [uu.size]]) - 1
+        return uu, dd_, starts, ends
+
+    def block_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return out_empty
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        uu, dd_, starts, ends = _dedup_runs(u, d)
+        days, dn = np.unique(dd_, return_counts=True)
+        delta_day = np.concatenate([dd_[starts], dd_[ends] + w])
+        delta = np.concatenate(
+            [np.ones(starts.size, np.int64), -np.ones(ends.size, np.int64)]
+        )
+        out = pd.DataFrame(
+            {"day": np.concatenate([days, delta_day]),
+             "dn": np.concatenate([dn, np.zeros(delta.size, np.int64)]),
+             "dd": np.concatenate([np.zeros(days.size, np.int64), delta])}
+        )
+        return out.groupby("day", as_index=False).agg(
+            dn=("dn", "sum"), dd=("dd", "sum")
         )
 
-    pairs = merge_partials(
-        ds.map_batches(partial, batch_format="pandas"),
-        ["day", "user_id"], {"n": "sum"},
+    edge_cols = {
+        "u0": pd.Series([], dtype="int64"),
+        "d0": pd.Series([], dtype="int64"),
+        "ul": pd.Series([], dtype="int64"),
+        "dl": pd.Series([], dtype="int64"),
+        "fs": pd.Series([], dtype="int64"),
+        "fe": pd.Series([], dtype="int64"),
+        "ls": pd.Series([], dtype="int64"),
+        "le": pd.Series([], dtype="int64"),
+    }
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(edge_cols)
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy()
+        uu, dd_, starts, ends = _dedup_runs(u, d)
+        return pd.DataFrame(
+            {"u0": [int(uu[0])], "d0": [int(dd_[0])],
+             "ul": [int(uu[-1])], "dl": [int(dd_[-1])],
+             "fs": [int(dd_[starts[0]])], "fe": [int(dd_[ends[0]])],
+             "ls": [int(dd_[starts[-1]])], "le": [int(dd_[ends[-1]])]}
+        )
+
+    parts = srt.map_batches(
+        block_partial, batch_format="pandas", batch_size=None
     )
-    if pairs.empty:
+    # O(blocks) edge rows — never pairs or users
+    bd = (
+        srt.map_batches(edges, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    corr_day, corr_dn, corr_dd = [], [], []
+    if len(bd) > 1:
+        bd = bd.sort_values(
+            ["u0", "d0", "ul", "dl"], kind="mergesort"
+        ).reset_index(drop=True)
+        for i in range(len(bd) - 1):
+            a, b = bd.iloc[i], bd.iloc[i + 1]
+            if a["ul"] != b["u0"]:
+                continue
+            if a["dl"] == b["d0"]:
+                # same (user, day) pair counted in both blocks
+                corr_day.append(int(b["d0"]))
+                corr_dn.append(-1)
+                corr_dd.append(0)
+            # consecutive runs of one user across the boundary: when
+            # the next block's first run starts inside the previous
+            # block's last covered window, subtract the overlap
+            # [b.fs, a.le + w - 1] once
+            if b["fs"] - a["le"] <= w - 1:
+                corr_day.extend([int(b["fs"]), int(a["le"]) + w])
+                corr_dn.extend([0, 0])
+                corr_dd.extend([-1, 1])
+    agg = merge_partials(parts, ["day"], {"dn": "sum", "dd": "sum"})
+    if corr_day:
+        agg = (
+            pd.concat(
+                [agg, pd.DataFrame(
+                    {"day": corr_day, "dn": corr_dn, "dd": corr_dd}
+                )],
+                ignore_index=True,
+            )
+            .groupby("day", as_index=False)
+            .agg(dn=("dn", "sum"), dd=("dd", "sum"))
+        )
+    if agg.empty:
         return pd.DataFrame(
             {"day": pd.Series([], dtype="int64"),
              "dau": pd.Series([], dtype="int64"),
              "wau": pd.Series([], dtype="int64")}
         )
-    day = pairs["day"].to_numpy(np.int64)
-    user = pairs["user_id"].to_numpy(np.int64)
-    o = np.lexsort((day, user))
-    day, user = day[o], user[o]
-    # per-user runs of active days with gap <= w-1: each run covers
-    # the contiguous window range [first_day, last_day + w - 1]
-    newint = np.ones(day.size, dtype=bool)
-    newint[1:] = (user[1:] != user[:-1]) | (day[1:] - day[:-1] > w - 1)
-    starts = np.flatnonzero(newint)
-    ends = np.concatenate([starts[1:], [day.size]]) - 1
-    s_day = day[starts]
-    e_day = day[ends] + (w - 1)
-    lo = int(day.min())
-    hi = int(day.max()) + w
-    diff = np.zeros(hi - lo + 1, dtype=np.int64)
-    np.add.at(diff, s_day - lo, 1)
-    np.add.at(diff, e_day + 1 - lo, -1)
-    wau_all = np.cumsum(diff)
-    obs = np.unique(day)
-    dau = pd.DataFrame({"day": day}).groupby("day").size()
+    agg = agg.sort_values("day").reset_index(drop=True)
+    dday = agg["day"].to_numpy(np.int64)
+    cum = np.cumsum(agg["dd"].to_numpy(np.int64))
+    obs_mask = agg["dn"].to_numpy(np.int64) > 0
+    obs = dday[obs_mask]
+    # wau(day) = sum of deltas at delta-days <= day
+    pos = np.searchsorted(dday, obs, side="right") - 1
     return pd.DataFrame(
         {"day": obs,
-         "dau": dau.loc[obs].to_numpy(np.int64),
-         "wau": wau_all[obs - lo].astype(np.int64)}
+         "dau": agg["dn"].to_numpy(np.int64)[obs_mask],
+         "wau": cum[pos].astype(np.int64)}
     )

@@ -840,3 +840,33 @@ def test_tdigest_adversarial_distributions(dist):
         rr = np.searchsorted(sv, est, side="right") / n
         err = 0.0 if rl <= q <= rr else min(abs(q - rl), abs(q - rr))
         assert err <= 0.02, (dist, q, est, rl, rr)
+
+
+def test_rolling_dau_straddling_blocks(ray_session, ev_dir):
+    """Tiny blocks force (user, day) pairs AND runs to straddle many
+    sorted blocks: duplicate-pair and overlap corrections must heal
+    both the dau counts and the interval-union coverage exactly."""
+    from ray.data import DataContext
+
+    from fastparquet_ray.functions.analytics import rolling_dau
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 4 * 1024
+    try:
+        got = rolling_dau(ev_dir)
+    finally:
+        ctx.target_max_block_size = old
+    exp = _duck(ev_dir).execute(
+        "WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 "
+        "AS day, user_id FROM events), "
+        "d AS (SELECT DISTINCT day FROM p) "
+        "SELECT d.day, count(DISTINCT CASE WHEN p.day = d.day "
+        "THEN p.user_id END) AS dau, "
+        "count(DISTINCT p.user_id) AS wau "
+        "FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day "
+        "GROUP BY d.day ORDER BY d.day"
+    ).df()
+    assert got["day"].tolist() == exp["day"].tolist()
+    assert got["dau"].tolist() == exp["dau"].tolist()
+    assert got["wau"].tolist() == exp["wau"].tolist()

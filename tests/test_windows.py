@@ -362,6 +362,7 @@ def test_window_carry_resolved_distributed():
         analytics.running_sum,
         analytics.dense_rank_day,
         analytics.event_transitions,
+        analytics.rolling_dau,
         analytics._user_rank_scaled,
         windows.asof_join,
         windows.funnel_conversion,
