@@ -393,18 +393,19 @@ class ShardEncoder:
                 if vb[:1] == b"\x09":  # zrank-shared: drift signal
                     info["zrank_extras"] = ic.zranks_extras_count(vb)
                 if ivals.size:
-                    # ELEMENT-level stats: min/max over the flattened
-                    # values (range-prunes "contains" filters), plus an
-                    # opt-in bloom over the shard's distinct element
-                    # ids — parquet's split-block bloom idea applied to
-                    # list elements ("docs containing token X" skips
-                    # every shard provably lacking the id)
-                    info["min"] = int(ivals.min())
-                    info["max"] = int(ivals.max())
+                    # ELEMENT-level stats under DEDICATED keys
+                    # (emin/emax — NOT min/max, which scalar consumers
+                    # like sorted_partitioned_columns and scalar-op
+                    # pruning interpret as row-value stats): range-
+                    # prunes "contains" filters, plus an opt-in bloom
+                    # over the shard's distinct element ids — parquet's
+                    # split-block bloom idea applied to list elements
+                    # ("docs containing token X" skips every shard
+                    # provably lacking the id)
+                    info["emin"] = int(ivals.min())
+                    info["emax"] = int(ivals.max())
                     if (spec or {}).get("bloom"):
-                        uniq = np.unique(ivals)
-                        info["distinct"] = int(uniq.size)
-                        info["bloom"] = bloom_build(uniq)
+                        info["bloom"] = bloom_build(np.unique(ivals))
             bufs = [validity, lb, vb]
             info["sizes"] = [len(lb), len(vb)]
             info["codec"] = (

@@ -2170,15 +2170,15 @@ def rolling_dau(sf_dir: str, window_days: int = 7):
             dn=("dn", "sum"), dd=("dd", "sum")
         )
 
+    # block-boundary facts reduce to the block's first/last (user,
+    # day): the first run of a block STARTS at its first row (so its
+    # start day == d0) and the last run ENDS at its last row (end day
+    # == dl) — no extra run fields needed
     edge_cols = {
         "u0": pd.Series([], dtype="int64"),
         "d0": pd.Series([], dtype="int64"),
         "ul": pd.Series([], dtype="int64"),
         "dl": pd.Series([], dtype="int64"),
-        "fs": pd.Series([], dtype="int64"),
-        "fe": pd.Series([], dtype="int64"),
-        "ls": pd.Series([], dtype="int64"),
-        "le": pd.Series([], dtype="int64"),
     }
 
     def edges(df: pd.DataFrame) -> pd.DataFrame:
@@ -2186,12 +2186,9 @@ def rolling_dau(sf_dir: str, window_days: int = 7):
             return pd.DataFrame(edge_cols)
         u = df["user_id"].to_numpy()
         d = df["day"].to_numpy()
-        uu, dd_, starts, ends = _dedup_runs(u, d)
         return pd.DataFrame(
-            {"u0": [int(uu[0])], "d0": [int(dd_[0])],
-             "ul": [int(uu[-1])], "dl": [int(dd_[-1])],
-             "fs": [int(dd_[starts[0]])], "fe": [int(dd_[ends[0]])],
-             "ls": [int(dd_[starts[-1]])], "le": [int(dd_[ends[-1]])]}
+            {"u0": [int(u[0])], "d0": [int(d[0])],
+             "ul": [int(u[-1])], "dl": [int(d[-1])]}
         )
 
     parts = srt.map_batches(
@@ -2217,11 +2214,12 @@ def rolling_dau(sf_dir: str, window_days: int = 7):
                 corr_dn.append(-1)
                 corr_dd.append(0)
             # consecutive runs of one user across the boundary: when
-            # the next block's first run starts inside the previous
-            # block's last covered window, subtract the overlap
-            # [b.fs, a.le + w - 1] once
-            if b["fs"] - a["le"] <= w - 1:
-                corr_day.extend([int(b["fs"]), int(a["le"]) + w])
+            # the next block's first run (starting at its first row,
+            # day b.d0) starts inside the previous block's last
+            # covered window (ending day a.dl + w - 1), subtract the
+            # overlap [b.d0, a.dl + w - 1] once
+            if b["d0"] - a["dl"] <= w - 1:
+                corr_day.extend([int(b["d0"]), int(a["dl"]) + w])
                 corr_dn.extend([0, 0])
                 corr_dd.extend([-1, 1])
     agg = merge_partials(parts, ["day"], {"dn": "sum", "dd": "sum"})

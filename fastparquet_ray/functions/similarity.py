@@ -264,17 +264,26 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 3):
         .sort_values(["h", "vec_id"])
         .head(k)
     )
+    k = min(k, len(cand))  # fewer rows than clusters: clamp
     cent = np.stack(
         [np.asarray(e, dtype=np.float64) for e in cand["embedding"]]
     )
 
-    for _ in range(iters):
+    for _ in range(max(1, int(iters))):
         cref = ray.put(cent)
 
         def stats(df: pd.DataFrame, _memo={}) -> pd.DataFrame:
             if "c" not in _memo:
                 _memo["c"] = ray.get(cref)  # k x dim, tiny
             c = _memo["c"]
+            if df.empty:
+                return pd.DataFrame(
+                    {"cl": pd.Series([], dtype="int64"),
+                     "n": pd.Series([], dtype="int64"),
+                     "sse": pd.Series([], dtype="float64"),
+                     **{f"s{j}": pd.Series([], dtype="float64")
+                        for j in range(c.shape[1])}}
+                )
             x = np.stack(
                 [np.asarray(e, dtype=np.float64) for e in df["embedding"]]
             )

@@ -93,6 +93,17 @@ def _stats_may_match(stats: dict, col: str, op: str, val) -> bool:
     """Can a shard whose `col` spans [min, max] contain matches?
     Unknown stats -> conservatively True."""
     s = stats.get(col)
+    if op in ("contains", "contains_any"):
+        # list-membership ops read the ELEMENT-level stats (emin/emax
+        # + bloom over flattened ids) — row-value min/max never apply
+        if not s or s.get("emin") is None or s.get("emax") is None:
+            return True
+        elo, ehi = s["emin"], s["emax"]
+        vals = [val] if op == "contains" else list(val)
+        vals = [v for v in vals if elo <= v <= ehi]
+        if not vals:
+            return False
+        return _bloom_may_match(s, vals)
     if not s or s.get("min") is None or s.get("max") is None:
         return True
     lo, hi = s["min"], s["max"]
@@ -115,19 +126,10 @@ def _stats_may_match(stats: dict, col: str, op: str, val) -> bool:
         return lo < val
     if op == "<=":
         return lo <= val
-    if op in ("==", "contains"):
-        # "contains" (list columns): header min/max/bloom are over the
-        # FLATTENED elements, so the same equality pruning applies
+    if op == "==":
         if not lo <= val <= hi:
             return False
         return _bloom_may_match(s, [val])
-    if op == "contains_any":
-        # probe-set membership: the shard survives if ANY id may be
-        # present (range-filtered first, then the bloom)
-        vals = [v for v in val if lo <= v <= hi]
-        if not vals:
-            return False
-        return _bloom_may_match(s, vals)
     if op == "!=":
         return not (lo == hi == val)
     if op == "in":
@@ -158,6 +160,8 @@ def prune_shards(
             c["name"]: {
                 "min": c.get("min"),
                 "max": c.get("max"),
+                "emin": c.get("emin"),
+                "emax": c.get("emax"),
                 "ltype": c.get("ltype"),
                 "bloom": c.get("bloom"),
             }

@@ -599,10 +599,16 @@ def token_probe_any(sf_dir: str, tokens: tuple = (4999, 1009)):
     corpus audits): the per-shard element blooms drop shards lacking
     the WHOLE probe set, the residual is one np.isin flatten +
     segment-any. Oracle: SQL list_has_any."""
-    from .decode import shard_files  # noqa: F401 (pruning is in-path)
+    from .decode import prune_shards, shard_files
 
     _, out = ensure_encoded(sf_dir, bloom_cols=["tokens"])
     filters = [("tokens", "contains_any", list(tokens))]
+    shards = shard_files(out)
+    kept = prune_shards(shards, filters)
+    if len(shards) > 4 and not len(kept) < len(shards):
+        raise AssertionError(
+            f"probe-set bloom pruned nothing: {len(kept)}/{len(shards)}"
+        )
     df = (
         decode_dataset(
             out,
