@@ -156,6 +156,17 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("enc")
     cp.add_argument("--target-rows", type=int, default=50_000)
 
+    op = sub.add_parser(
+        "optimize",
+        help="re-layout an encoded dataset: range-clustered (one "
+        "column) or Z-ORDERED (comma-separated 2-3 columns) shards "
+        "under the frozen plan",
+    )
+    op.add_argument("enc")
+    op.add_argument("out")
+    op.add_argument("--cluster-by", required=True)
+    op.add_argument("--key-column", default="doc_id")
+
     gen = sub.add_parser("gen")
     gen.add_argument("out")
     gen.add_argument("--rows", type=int, required=True)
@@ -260,6 +271,22 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.compact import compact_shards
 
             print(json.dumps(compact_shards(args.enc, args.target_rows)))
+        elif args.cmd == "optimize":
+            from .pipelines.compact import optimize_layout
+
+            cb = (
+                [c.strip() for c in args.cluster_by.split(",")]
+                if "," in args.cluster_by
+                else args.cluster_by
+            )
+            print(
+                json.dumps(
+                    optimize_layout(
+                        args.enc, args.out, cb,
+                        key_column=args.key_column,
+                    )
+                )
+            )
     finally:
         ray.shutdown()
     return 0

@@ -180,3 +180,47 @@ def compact_shards(
         "rows": int(sum(r["rows"] for r in all_records)),
         "out_dir": enc_dir,
     }
+
+
+def optimize_layout(
+    enc_dir: str,
+    out_dir: str,
+    cluster_by,
+    key_column: str = "doc_id",
+) -> dict:
+    """Re-layout an EXISTING encoded dataset into a clustered (str
+    ``cluster_by``) or Z-ORDERED (list) shard arrangement — the
+    OPTIMIZE / OPTIMIZE ZORDER BY operation a table format runs after
+    append-heavy ingestion, composed from the engine's own pieces:
+    stream-decode to a temporary Parquet spill, then the standard
+    encode pipeline with the requested layout, re-using the dataset's
+    FROZEN codec plan (compact_shards precedent) so symbol tables —
+    and therefore decoded bytes — stay identical across the rewrite.
+    Returns the encode summary.
+
+    Scale shape: both hops stream (decode writes one spill file per
+    block; encode reads them back pruned to nothing extra); the only
+    all-to-all is the layout sort itself. The spill doubles transient
+    storage — inherent to any full re-layout (Delta/Iceberg OPTIMIZE
+    rewrites files the same way)."""
+    import shutil
+    import tempfile
+
+    from .encode import encode_pipeline
+    from .export import export_parquet
+
+    manifest = Manifest(enc_dir)
+    plan = manifest.load_plan() if manifest.has_plan() else None
+    spill = tempfile.mkdtemp(prefix="fpray_optimize_")
+    try:
+        export_parquet(enc_dir, spill)
+        return encode_pipeline(
+            spill,
+            out_dir,
+            plan=plan,
+            cluster_by=cluster_by,
+            key_column=key_column,
+            resume=False,
+        )
+    finally:
+        shutil.rmtree(spill, ignore_errors=True)

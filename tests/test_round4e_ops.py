@@ -870,3 +870,43 @@ def test_rolling_dau_straddling_blocks(ray_session, ev_dir):
     assert got["day"].tolist() == exp["day"].tolist()
     assert got["dau"].tolist() == exp["dau"].tolist()
     assert got["wau"].tolist() == exp["wau"].tolist()
+
+
+def test_optimize_layout_zorder(ray_session, tmp_path):
+    """OPTIMIZE ZORDER composition: unclustered encode -> re-layout
+    into z-order under the frozen plan; decoded rows identical, 2-D
+    filters prune shards."""
+    import duckdb
+
+    from fastparquet_ray.data import write_tokens_dataset
+    from fastparquet_ray.pipelines.compact import optimize_layout
+    from fastparquet_ray.pipelines.decode import (
+        decode_dataset, prune_shards, shard_files,
+    )
+    from fastparquet_ray.pipelines.encode import encode_pipeline
+
+    src = tmp_path / "src"
+    paths = write_tokens_dataset(str(src), 10000, n_fragments=6, seed=3)
+    enc = tmp_path / "enc"
+    encode_pipeline(paths, str(enc), batch_rows=1500)
+    out = tmp_path / "encz"
+    s = optimize_layout(str(enc), str(out), ["source", "n_tok"])
+    assert s["rows"] == 10000
+    filters = [("source", "==", "code"),
+               ("n_tok", ">=", 50), ("n_tok", "<=", 200)]
+    shards = shard_files(str(out))
+    kept = prune_shards(shards, filters)
+    assert len(kept) < len(shards)
+    got = (
+        decode_dataset(str(out), columns=["doc_id", "n_tok"],
+                       filters=filters)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = duckdb.connect().execute(
+        "SELECT doc_id, n_tok FROM "
+        f"read_parquet('{src}/*.parquet') "
+        "WHERE source = 'code' AND n_tok BETWEEN 50 AND 200 "
+        "ORDER BY doc_id"
+    ).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_tok"].tolist() == exp["n_tok"].tolist()
