@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_distinct": relational.union_distinct,
         "intersect_keys": relational.intersect_keys,
         "except_keys": relational.except_keys,
+        "intersect_all": relational.intersect_all_counts,
+        "except_all": relational.except_all_counts,
         "mode_per_group": relational.mode_per_group,
         "case_expr": relational.case_expr,
         "json_field_agg": relational.json_field_agg,
@@ -254,7 +256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # below this line = positions 51+: outside the sampled window
         # (clustered_lookup's 1-D pruning machinery is a subset of
         # zorder_lookup's, token_bloom_lookup's of token_probe_any's;
-        # the export roundtrips are pytest-pinned)
+        # the export roundtrips are pytest-pinned; intersect/except_all
+        # are low-risk count variants of the green flags pattern)
+        "intersect_all", "except_all",
         "token_bloom_lookup", "clustered_lookup",
         "tokens_export_parquet", "nested_roundtrip",
         "tokens_roundtrip", "codec_plan", "shard_stats",
@@ -390,6 +394,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F' "
             "INTERSECT "
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+        ),
+        "intersect_all": (
+            "SELECT o_custkey, count(*) AS n FROM ("
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+            "INTERSECT ALL "
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+            ") GROUP BY o_custkey"
+        ),
+        "except_all": (
+            "SELECT o_custkey, count(*) AS n FROM ("
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+            "EXCEPT ALL "
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+            ") GROUP BY o_custkey"
         ),
         "except_keys": (
             "SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F' "

@@ -907,3 +907,60 @@ def full_outer_join(sf_dir: str):
     out["label"] = out["label"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def _status_key_counts(sf_dir: str):
+    """Shared partial for the BAG-semantics set-op pair: per
+    o_custkey, the COUNT of 'F' and of 'O' orders (where the boolean
+    flags of _status_key_flags keep only existence, INTERSECT ALL /
+    EXCEPT ALL need multiplicities). Same scale shape: one row per
+    (block, custkey) partial, customers-sized merge."""
+    from .groupagg import merge_partials
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = pc.cast(pc.equal(t["o_orderstatus"], "F"), pa.int64())
+        o = pc.cast(pc.equal(t["o_orderstatus"], "O"), pa.int64())
+        tt = pa.table(
+            {"o_custkey": t["o_custkey"], "n_f": f, "n_o": o}
+        )
+        g = tt.group_by(["o_custkey"]).aggregate(
+            [("n_f", "sum"), ("n_o", "sum")]
+        )
+        return g.rename_columns(["o_custkey", "n_f", "n_o"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return merge_partials(
+        parts, ["o_custkey"], {"n_f": "sum", "n_o": "sum"}
+    )
+
+
+def intersect_all_counts(sf_dir: str):
+    """SQL INTERSECT ALL folded to per-key multiplicities: each
+    custkey appears min(#F-orders, #O-orders) times in the bag
+    intersection — multiset semantics the boolean-flag INTERSECT
+    cannot express. Output (custkey, n) with n > 0; value-equal to
+    GROUP BY over the SQL INTERSECT ALL bag."""
+    c = _status_key_counts(sf_dir)
+    n = np.minimum(c["n_f"].to_numpy(np.int64), c["n_o"].to_numpy(np.int64))
+    keep = n > 0
+    return pd.DataFrame(
+        {"o_custkey": c["o_custkey"].to_numpy()[keep].astype("int64"),
+         "n": n[keep]}
+    ).sort_values("o_custkey").reset_index(drop=True)
+
+
+def except_all_counts(sf_dir: str):
+    """SQL EXCEPT ALL folded to per-key multiplicities: each custkey
+    survives max(#F - #O, 0) times — bag difference. Output
+    (custkey, n) with n > 0."""
+    c = _status_key_counts(sf_dir)
+    n = np.maximum(
+        c["n_f"].to_numpy(np.int64) - c["n_o"].to_numpy(np.int64), 0
+    )
+    keep = n > 0
+    return pd.DataFrame(
+        {"o_custkey": c["o_custkey"].to_numpy()[keep].astype("int64"),
+         "n": n[keep]}
+    ).sort_values("o_custkey").reset_index(drop=True)

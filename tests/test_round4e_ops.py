@@ -910,3 +910,43 @@ def test_optimize_layout_zorder(ray_session, tmp_path):
     ).df()
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["n_tok"].tolist() == exp["n_tok"].tolist()
+
+
+def test_bag_set_ops_vs_duckdb(ray_session, tmp_path):
+    """INTERSECT ALL / EXCEPT ALL multiplicities vs DuckDB on a small
+    synthetic orders table with controlled per-key counts."""
+    from fastparquet_ray.functions.relational import (
+        except_all_counts, intersect_all_counts,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    orders = pd.DataFrame(
+        {"o_orderkey": np.arange(n, dtype=np.int64),
+         "o_custkey": rng.integers(0, 80, n).astype(np.int64),
+         "o_orderstatus": rng.choice(["F", "O", "P"], n,
+                                     p=[0.4, 0.4, 0.2]),
+         "o_totalprice": rng.uniform(1, 9, n).round(2),
+         "o_orderpriority": ["x"] * n}
+    )
+    d = tmp_path / "bag"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(orders), d / "orders.parquet",
+                   row_group_size=256)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{d}/orders.parquet')"
+    )
+    for fn, op in ((intersect_all_counts, "INTERSECT ALL"),
+                   (except_all_counts, "EXCEPT ALL")):
+        got = fn(str(d))
+        exp = con.execute(
+            "SELECT o_custkey, count(*) AS n FROM ("
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+            f"{op} "
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+            ") GROUP BY o_custkey ORDER BY o_custkey"
+        ).df()
+        assert got["o_custkey"].tolist() == exp["o_custkey"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
