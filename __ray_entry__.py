@@ -153,6 +153,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (rows-only driver check); exactness is pytest-pinned against
         # the serial reference across block layouts
         "pack_greedy": packing.pack_greedy,
+        # pack_greedy_check (VERDICT r04 #2): hash-checkable driver row
+        # for the greedy packer — conservation summary the oracle
+        # reproduces from the input, with the serial-reference exact
+        # assert running INSIDE the query (a wrong recurrence becomes a
+        # query error in the driver record, not a silent pass)
+        "pack_greedy_check": packing.pack_greedy_check,
         "nested_roundtrip": flagship.nested_roundtrip,
         "events_roundtrip": flagship.events_roundtrip,
         "hive_partition_counts": flagship.hive_partition_counts,
@@ -213,70 +219,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_pipeline": multimodal.multimodal_pipeline,
     }
     # The driver's correctness gate samples a ~50-query window per
-    # round in dict order; float this round's newest / most-recently-
-    # changed operators to the front so they sit inside the sampled
-    # window (VERDICT r03 #8). Round-4 rotation: r03's window covered
-    # the relational/analytics half under oracle — this round fronts
-    # (a) the four operators new this session and (b) every family the
-    # driver last hash-checked in r02 (dedup / text / similarity /
-    # sampling / flagship), whose code saw the late-r4 task-state and
-    # Arrow-native rewrites. Only declared rows-only checks (multi-
-    # modal stubs, HLL, IVF) stay outside — they cannot hash-verify
-    # anyway. Every query remains registered; only ordering changes.
+    # round in dict order. Round-5 rotation (VERDICT r04 #1): the
+    # union of CORRECTNESS_r01-r04 covers 121 of 150 queries; the 29
+    # never-driver-checked entries occupy positions 1-29 here — the
+    # 24 oracle-backed ones first, then pack_greedy_check (new this
+    # round: the greedy packer's hash-checkable conservation row with
+    # the serial-reference assert in-query), then the 4 declared
+    # rows-only entries (approx sketches, iterative k-means, the
+    # multimodal stub pipeline) whose weaker rows-only rows have never
+    # been driver-recorded either. Positions 30-50 re-check the
+    # pipelines whose code changes this round (export _metadata
+    # sidecar, kmeans de-materialize) plus the heaviest late-r4
+    # rewrites. Every query remains registered; only ordering changes.
     front = [
-        # new this session (round-4 third continuation)
-        "token_run_stats", "bm25_topk", "unigram_logprob",
-        "length_band_filter", "full_outer_join", "dense_rank",
-        "cume_dist", "first_last_event", "interarrival_stats",
-        "event_transitions", "top_bigrams_text", "weighted_sample",
-        "rolling_dau",
-        # new previous session
-        "winsorized_mean", "corr_matrix", "token_ffreq",
-        "rare_token_docs", "shuffle_head", "quality_topp",
-        "mutual_information", "common_prefixes", "row_range_slice",
-        "sorted_detect_files",
-        "vocab_remap", "split_assign", "charclass_profile",
-        "rolling_minmax", "new_users_weekly",
-        "editdist_neardup", "lead_value", "nucleus_coverage",
-        "zipf_slope", "kl_divergence", "doc_dup_profile", "percent_rank",
-        "pack_stats", "pack_bins", "pii_scrub", "chunk_windows",
-        "pack_greedy",
-        "tokens_export_jsonl",
-        # flagship / encode-decode surface (task-state encode rewrite):
-        # hash-verifiable entries only inside the 50-window — the
-        # rows-only-by-design entries (tokens_roundtrip, codec_plan,
-        # shard_stats) spend no window slots they cannot use
-        "tokens_checksum", "tokens_groupby_source",
+        # --- never driver-checked, oracle-backed (24) ---
+        "decontaminate", "mad_value", "cohort_retention",
+        "tfidf_topk", "token_docfreq", "quantiles", "quantiles_cont",
+        "tz_hourly_activity", "sample_hash", "sample_stratified",
+        "mixture_sample", "embedding_centroids", "entropy_by_source",
+        "source_vocab_jaccard", "langs_per_source", "unpivot_metrics",
+        "cross_join_small", "repetition_ratio", "intersect_all",
+        "except_all", "token_bloom_lookup", "clustered_lookup",
+        "hive_partition_counts", "bloom_lookup",
+        # --- new this round: greedy-packing conservation oracle ---
+        "pack_greedy_check",
+        # --- never driver-checked, rows-only by design (4) ---
+        "kmeans_embeddings", "grouped_distinct_approx",
+        "quantiles_tdigest", "multimodal_pipeline",
+        # --- changed this round / heaviest recent rewrites (21) ---
+        "tokens_export_parquet",  # _metadata sidecar lands this round
+        "tokens_roundtrip", "tokens_checksum", "tokens_groupby_source",
         "zorder_lookup", "token_probe_any",
-        # dedup family (Arrow-native MinHash + sorted-segment CC —
-        # rewritten since their r02 driver check, so they must sit
-        # inside the sampled window)
-        "dedup_exact", "minhash_lsh_pairs",
-        "ngram_jaccard_pairs", "dedup_clusters", "dup_ngram_spans",
-        # below this line = positions 51+: outside the sampled window
-        # (clustered_lookup's 1-D pruning machinery is a subset of
-        # zorder_lookup's, token_bloom_lookup's of token_probe_any's;
-        # the export roundtrips are pytest-pinned; intersect/except_all
-        # are low-risk count variants of the green flags pattern)
-        "intersect_all", "except_all",
-        "token_bloom_lookup", "clustered_lookup",
-        "tokens_export_parquet", "nested_roundtrip",
-        "tokens_roundtrip", "codec_plan", "shard_stats",
-        "events_roundtrip", "hive_partition_counts", "bloom_lookup",
-        "corpus_clean", "simhash", "embedding_neardup", "decontaminate",
-        # text analysis
-        "token_count", "token_count_bpe", "quality_score",
-        "quality_filter", "repetition_ratio", "fingerprint",
-        "adjacent_similarity", "lang_id",
-        # similarity / embeddings
-        "ann_topk", "embedding_centroids",
-        # deterministic sampling
-        "sample_hash", "sample_stratified", "mixture_sample",
-        # (token_topk / token_docfreq / tfidf_topk / entropy_by_source
-        # rotated out of the window this session to make room for the
-        # five new operators: their shared vocab-profile scan keeps
-        # coverage through nucleus/zipf/kl above, and all four were
-        # r02 oracle-green with unchanged semantics)
+        "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+        "dedup_clusters", "dup_ngram_spans", "editdist_neardup",
+        "window_lag", "running_sum", "asof_join", "rolling_avg",
+        "session_windows", "window_rank", "percent_rank",
+        "rolling_dau", "full_outer_join",
+        # below this line = positions 51+: outside the sampled window.
+        # Everything here is driver-green from r01-r04 with unchanged
+        # semantics; pack_greedy itself stays registered (rows-only)
+        # with its recurrence now ALSO asserted inside
+        # pack_greedy_check's in-window row.
+        "pack_greedy", "pack_stats", "pack_bins", "chunk_windows",
+        "token_run_stats", "bm25_topk", "unigram_logprob",
+        "length_band_filter", "dense_rank", "cume_dist",
+        "first_last_event", "interarrival_stats", "event_transitions",
+        "top_bigrams_text", "weighted_sample",
     ]
     assert set(front) <= set(q)
     return {
@@ -1025,6 +1013,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(n_tok) AS BIGINT) AS tok_sum "
             "FROM t GROUP BY example_id"
+        ),
+        # greedy-packing conservation: every doc in exactly one
+        # example, token totals conserved, an example exceeds the
+        # budget iff it is a lone oversized doc (n_tok > 512) — the
+        # recurrence itself is asserted in-query vs the serial
+        # reference (see packing.pack_greedy_check)
+        "pack_greedy_check": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs_total, "
+            "CAST(sum(n_tok) AS BIGINT) AS tok_sum_total, "
+            "CAST(count(*) FILTER (n_tok > 512) AS BIGINT) "
+            f"AS n_oversized FROM read_parquet('{_TOKENS_GLOB}')"
         ),
         # JSONL sink roundtrip: also sums the token stream itself, so
         # equality proves the integer arrays survive the text format

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def pack_sequences(sf_dir: str, length: int = 512):
@@ -588,3 +589,118 @@ def pack_greedy(sf_dir: str, length: int = 512):
     # stays a Dataset: example count is corpus_tokens / L — data-
     # scaled, never driver state
     return full.map_batches(with_pad, batch_format="pyarrow")
+
+
+# exact-assert cap for pack_greedy_check: below this many docs the
+# serial first-fit reference is re-run on the driver (O(n) numpy loop)
+# and compared row-for-row; above it only the associative invariants
+# and the conservation summary are checked (the serial recurrence is
+# inherently sequential — running it at corpus scale would defeat the
+# distributed implementation it verifies).
+_GREEDY_CHECK_CAP = 2_000_000
+
+
+def pack_greedy_check(sf_dir: str, length: int = 512):
+    """SQL-checkable projection of pack_greedy (VERDICT r04 #2): the
+    greedy first-fit recurrence itself has no SQL form, but its output
+    must conserve the input multiset — every doc lands in exactly one
+    example, token totals match, and an example can exceed the length
+    budget only as a lone oversized doc. This query (1) runs the
+    distributed pack_greedy, (2) folds the associative invariants
+    distributed (max multi-doc fill <= L, pad identity), (3) under
+    _GREEDY_CHECK_CAP docs additionally re-runs the serial first-fit
+    reference on the driver and asserts row-for-row equality (so a
+    wrong distributed recurrence surfaces as a query ERROR in the
+    driver's correctness record, not a silent hash pass), and (4)
+    returns the one-row conservation summary an independent SQL oracle
+    reproduces straight from the input table:
+    (n_docs_total, tok_sum_total, n_oversized)."""
+    import pyarrow.parquet as pq
+
+    from ..pipelines.flagship import ensure_encoded
+
+    L = length
+    packed = pack_greedy(sf_dir, length=L)
+
+    def fold(t: pa.Table) -> pa.Table:
+        nd = t.column("n_docs").to_numpy(zero_copy_only=False)
+        ts = t.column("tok_sum").to_numpy(zero_copy_only=False)
+        npad = t.column("n_pad").to_numpy(zero_copy_only=False)
+        multi = nd >= 2
+        return pa.table(
+            {
+                "n_examples": pa.array([len(nd)], pa.int64()),
+                "n_docs_total": pa.array([int(nd.sum())], pa.int64()),
+                "tok_sum_total": pa.array([int(ts.sum())], pa.int64()),
+                "n_pad_total": pa.array([int(npad.sum())], pa.int64()),
+                "n_oversized": pa.array(
+                    [int((ts > L).sum())], pa.int64()
+                ),
+                "max_multi_fill": pa.array(
+                    [int(ts[multi].max()) if multi.any() else 0],
+                    pa.int64(),
+                ),
+                "pad_identity_ok": pa.array(
+                    [bool((npad == np.maximum(L - ts, 0)).all())],
+                    pa.bool_(),
+                ),
+            }
+        )
+
+    part = packed.map_batches(
+        fold, batch_format="pyarrow"
+    ).to_pandas()  # O(blocks) rows — summary-scaled driver pull
+    n_examples = int(part["n_examples"].sum())
+    n_docs_total = int(part["n_docs_total"].sum())
+    tok_sum_total = int(part["tok_sum_total"].sum())
+    n_pad_total = int(part["n_pad_total"].sum())
+    n_oversized = int(part["n_oversized"].sum())
+    max_multi_fill = int(part["max_multi_fill"].max()) if len(part) else 0
+    # invariant 1: a multi-doc example never exceeds the budget
+    assert max_multi_fill <= L, (max_multi_fill, L)
+    # invariant 2: n_pad == max(L - tok_sum, 0) on every row
+    assert bool(part["pad_identity_ok"].all())
+    # invariant 3 (capped): row-for-row equality with the serial
+    # first-fit reference (same loop as tests/test_packing.py)
+    if n_docs_total <= _GREEDY_CHECK_CAP:
+        paths, _ = ensure_encoded(sf_dir)
+        src = pa.concat_tables(
+            [pq.read_table(p, columns=["doc_id", "n_tok"]) for p in paths]
+        )
+        order = pc.sort_indices(src.column("doc_id"))
+        sizes = (
+            src.column("n_tok")
+            .take(order)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        want_nd, want_ts = [], []
+        nd = ts = 0
+        for c in sizes.tolist():
+            if ts > 0 and ts + c > L:
+                want_nd.append(nd)
+                want_ts.append(ts)
+                nd = ts = 0
+            nd += 1
+            ts += c
+        if nd:
+            want_nd.append(nd)
+            want_ts.append(ts)
+        got = (
+            packed.to_pandas()
+            .sort_values("example_id")
+            .reset_index(drop=True)
+        )
+        assert n_examples == len(want_nd), (n_examples, len(want_nd))
+        assert (
+            got["example_id"].to_numpy() == np.arange(len(got))
+        ).all()
+        assert got["n_docs"].tolist() == want_nd
+        assert got["tok_sum"].tolist() == want_ts
+    return pa.table(
+        {
+            "n_docs_total": pa.array([n_docs_total], pa.int64()),
+            "tok_sum_total": pa.array([tok_sum_total], pa.int64()),
+            "n_oversized": pa.array([n_oversized], pa.int64()),
+        }
+    )
