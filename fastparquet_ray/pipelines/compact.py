@@ -213,7 +213,8 @@ def optimize_layout(
     plan = manifest.load_plan() if manifest.has_plan() else None
     spill = tempfile.mkdtemp(prefix="fpray_optimize_")
     try:
-        export_parquet(enc_dir, spill)
+        # temp spill: no _metadata sidecar needed
+        export_parquet(enc_dir, spill, common_metadata=False)
         return encode_pipeline(
             spill,
             out_dir,

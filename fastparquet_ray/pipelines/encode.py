@@ -240,13 +240,32 @@ def encode_pipeline(
     provenance_col = (
         None if user_has_path or cluster_by else "path"
     )
+    cluster_split: list[str] = []
     if cluster_by:
+        # DETERMINISTIC range re-layout (pipelines/cluster.py) instead
+        # of Dataset.sort: sort's randomly-sampled boundaries change
+        # every run, which changed every content-hashed partition id
+        # and silently disabled resume for clustered layouts. The
+        # bucket exchange costs the same single all-to-all, keeps
+        # shard key ranges disjoint (same pruning contract), and makes
+        # partition ids a pure function of the data — a re-run (or a
+        # killed run restarted) skips finished buckets.
+        from .cluster import (
+            BUCKET_COL,
+            bucket_layout,
+            sample_boundaries,
+            target_buckets,
+            total_input_rows,
+        )
+
+        total_rows = total_input_rows(paths)
+        n_buckets = target_buckets(total_rows)
         if isinstance(cluster_by, (list, tuple)):
             # z-order layout: one profile pass (summary-scaled) for
-            # the normalization bounds, derive the Morton key, ONE
-            # range sort on it, drop the key — shards land on small
-            # hyper-rectangles of the clustered columns and the same
-            # header min/max stats prune filters on EVERY key column
+            # the normalization bounds, derive the Morton key, bucket
+            # on it — shards land on small hyper-rectangles of the
+            # clustered columns and the same header min/max stats
+            # prune filters on EVERY key column
             from .zorder import ZKEY_COL, add_zkey, zorder_profile
 
             zcols = [str(c).strip() for c in cluster_by]
@@ -255,30 +274,48 @@ def encode_pipeline(
                     "z-order cluster_by needs 2 or 3 columns, got "
                     f"{zcols!r}"
                 )
-            # profile over a KEY-COLUMN-ONLY read: the bounds pass must
-            # not pull the heavy payload columns (tokens lists dominate
-            # bytes) just to min/max two scalars
+            # profile + boundary sample over KEY-COLUMN-ONLY reads:
+            # neither pass may pull the heavy payload columns
             prof_ds = ray.data.read_parquet(paths, columns=zcols)
             prof = zorder_profile(prof_ds, zcols)
-            ds = (
+            bnd = sample_boundaries(
+                ray.data.read_parquet(paths, columns=zcols),
+                ZKEY_COL,
+                total_rows,
+                n_buckets,
+                map_key=lambda t, _z=zcols, _p=prof: add_zkey(t, _z, _p),
+            )
+            ds = bucket_layout(
                 ds.map_batches(
                     lambda t, _z=zcols, _p=prof: add_zkey(t, _z, _p),
                     batch_format="pyarrow",
-                )
-                .sort(ZKEY_COL)
-                .drop_columns([ZKEY_COL])
+                ),
+                ZKEY_COL,
+                bnd,
+                sort_cols=[ZKEY_COL, key_column],
+                drop_cols=[ZKEY_COL],
             )
         else:
-            # clustered layout (opt-in, one all-to-all range sort like
-            # the reference's sorted row-group writes): shards get
-            # DISJOINT cluster-key ranges, so key-equality and range
-            # filters prune to O(1) shards via the existing header
-            # min/max stats — sorted_detect then reports the column
-            # as globally sorted.
-            ds = ds.sort(cluster_by)
-        # one shard per sorted block: a row-count batcher may BUNDLE
-        # non-adjacent blocks arriving at the same actor into one
-        # batch, which would weld disjoint key ranges back together
+            # clustered layout: disjoint cluster-key bucket ranges, so
+            # key-equality and range filters prune to O(1) shards via
+            # the existing header min/max stats — sorted_detect then
+            # reports the column as globally range-partitioned.
+            bnd = sample_boundaries(
+                ray.data.read_parquet(paths, columns=[cluster_by]),
+                cluster_by,
+                total_rows,
+                n_buckets,
+            )
+            ds = bucket_layout(
+                ds,
+                cluster_by,
+                bnd,
+                sort_cols=[cluster_by, key_column],
+            )
+        cluster_split = [BUCKET_COL]
+        # one shard per bucket: blocks may bundle several buckets, so
+        # EncodeShard splits on BUCKET_COL; a row-count batcher would
+        # weld disjoint key ranges back together
         batch_rows = None
     if partition_by_source is True:
         ds = salted_shuffle(ds, plan)
@@ -301,6 +338,8 @@ def encode_pipeline(
         )
 
     split_by = ["__salt__"] if partition_by_source else None
+    if cluster_split:
+        split_by = (split_by or []) + cluster_split
     if hive_cols:
         # local split by the hive columns (no exchange); composes with
         # the salt column when a salted shuffle was also requested

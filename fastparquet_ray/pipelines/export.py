@@ -31,13 +31,20 @@ def export_parquet(
     columns: list[str] | None = None,
     partition_cols: list[str] | None = None,
     times: str = "int64",
+    common_metadata: bool = True,
 ) -> str:
     """Write the decoded dataset as a Parquet directory (streaming;
     one file per block, hive dirs when partition_cols given).
 
     ``times``: "int64" (default, modern TIMESTAMP) or "int96"
     (legacy 12-byte Impala/Hive timestamps — reference
-    times='int96', writer.py:302-307) for old readers."""
+    times='int96', writer.py:302-307) for old readers.
+
+    ``common_metadata``: also write consolidated ``_metadata`` +
+    ``_common_metadata`` sidecars so single-footer readers
+    (fastparquet/dask convention, pyarrow ``parquet_dataset``) open
+    the directory without listing+reading every file footer
+    (reference write_common_metadata writer.py:1108-1135)."""
     if times not in ("int64", "int96"):
         raise ValueError(f"times must be int64|int96, got {times!r}")
     ds = decode_dataset(enc_dir, columns=columns)
@@ -48,7 +55,84 @@ def export_parquet(
         ds.write_parquet(out_dir, partition_cols=partition_cols, **kw)
     else:
         ds.write_parquet(out_dir, **kw)
+    if common_metadata:
+        write_common_metadata(out_dir)
     return out_dir
+
+
+def write_common_metadata(out_dir: str, filesystem=None) -> dict:
+    """Consolidate the footers of every ``*.parquet`` file under
+    ``out_dir`` into a ``_metadata`` sidecar (all row groups, each
+    stamped with its file's dir-relative path) plus a schema-only
+    ``_common_metadata``, the fastparquet/dask one-footer convention
+    (reference writer.py:1108-1135 write_common_metadata +
+    util.py:115-213 metadata_from_many). A reader then plans the whole
+    dataset — row-group pruning included — from ONE footer read
+    instead of listing and opening N files: pyarrow consumes it via
+    ``pyarrow.dataset.parquet_dataset(out_dir + '/_metadata')``.
+
+    Footer collection is distributed (FileMetaData pickles, so each
+    task returns its shard's footer with the file path stamped); only
+    the O(files) footer merge runs on the driver — the same merge the
+    reference performs, on KB-sized thrift objects, never data."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from ..state import fs as fsmod
+
+    fs, root = fsmod.get_fs(out_dir, filesystem)
+    rootp = root.rstrip("/")
+    files = sorted(
+        p
+        for p in fs.find(rootp)
+        if p.endswith(".parquet") and not os.path.basename(p).startswith("_")
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {out_dir}")
+
+    fs_for_tasks = filesystem
+
+    def collect(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for path, rel in zip(batch["path"], batch["rel"]):
+            f, p = fsmod.get_fs(path, fs_for_tasks)
+            with f.open(p, "rb") as fh:
+                md = pq.read_metadata(fh)
+            md.set_file_path(rel)
+            out.append({"rel": rel, "md": md})
+        return pd.DataFrame(out)
+
+    jobs = [
+        {"path": p, "rel": p[len(rootp):].lstrip("/")} for p in files
+    ]
+    parts = (
+        ray.data.from_items(jobs)
+        .map_batches(collect, batch_format="pandas", batch_size=256)
+        .to_pandas()  # O(files) footers — metadata-scaled, never data
+        .sort_values("rel")
+    )
+    merged = None
+    for md in parts["md"]:
+        if merged is None:
+            merged = md
+        else:
+            merged.append_row_groups(md)
+    import io
+
+    buf = io.BytesIO()
+    merged.write_metadata_file(buf)
+    fsmod.atomic_write(fs, fsmod.join(fs, rootp, "_metadata"), buf.getvalue())
+    buf = io.BytesIO()
+    pq.write_metadata(merged.schema.to_arrow_schema(), buf)
+    fsmod.atomic_write(
+        fs, fsmod.join(fs, rootp, "_common_metadata"), buf.getvalue()
+    )
+    return {
+        "files": len(files),
+        "row_groups": merged.num_row_groups,
+        "rows": merged.num_rows,
+    }
 
 
 def export_jsonl(
@@ -117,6 +201,10 @@ def export_parquet_resumable(
             continue
         jobs.append({"src": p, "dst": dst})
     if not jobs:
+        # nothing to export, but a run killed between the last shard
+        # and the sidecar still needs the footer published
+        if not out_fs.exists(fsmod.join(out_fs, out_root, "_metadata")):
+            write_common_metadata(out_dir, filesystem=filesystem)
         return {"exported": 0, "skipped": skipped, "out_dir": out_dir}
 
     tables_ref = ray.put(tables)
@@ -147,6 +235,9 @@ def export_parquet_resumable(
         .map_batches(export_shards, batch_format="pandas", batch_size=64)
         .take_all()  # tiny: one row per shard
     )
+    # sidecar last, over ALL files present (skipped ones included), so
+    # a resumed run that finishes the stragglers refreshes the footer
+    write_common_metadata(out_dir, filesystem=filesystem)
     return {
         "exported": len(done),
         "skipped": skipped,

@@ -86,8 +86,14 @@ class EncodeShard:
     def _encode_one(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        if "__salt__" in batch.column_names:
-            batch = batch.drop_columns(["__salt__"])
+        # helper columns from the salted shuffle / deterministic range
+        # bucketing: split keys only, never payload — dropped BEFORE
+        # the content hash so partition ids are pure payload functions
+        helpers = [
+            c for c in ("__salt__", "__bucket__") if c in batch.column_names
+        ]
+        if helpers:
+            batch = batch.drop_columns(helpers)
         extra = ""
         pcol = self.provenance_col
         if pcol is not None and pcol in batch.column_names:

@@ -384,6 +384,32 @@ def test_cluster_by_gives_disjoint_ranges_and_pruning(ray_session, tmp_path):
     assert len(got) == 1 and got["doc_id"].iloc[0] == target
 
 
+def test_clustered_encode_resumes(ray_session, tmp_path):
+    """Clustered and z-order layouts must be resume-idempotent: the
+    deterministic bucket exchange (pipelines/cluster.py) makes
+    partition ids pure functions of the data, so a re-run skips every
+    shard instead of re-encoding the whole layout (round-5 smoke
+    finding: Dataset.sort's random boundary sampling broke this)."""
+    src = str(tmp_path / "src")
+    paths = write_tokens_dataset(src, 4000, n_fragments=4)
+
+    out = str(tmp_path / "enc1d")
+    s1 = encode_pipeline(paths, out, cluster_by="doc_id")
+    assert s1["encoded"] > 0
+    s2 = encode_pipeline(paths, out, cluster_by="doc_id")
+    assert s2["encoded"] == 0 and s2["skipped"] == s1["encoded"]
+    assert s2["orphans_removed"] == 0
+    assert verify_roundtrip(paths, out)["ok"]
+
+    outz = str(tmp_path / "encz")
+    z1 = encode_pipeline(paths, outz, cluster_by=["source", "n_tok"])
+    assert z1["encoded"] > 0
+    z2 = encode_pipeline(paths, outz, cluster_by=["source", "n_tok"])
+    assert z2["encoded"] == 0 and z2["skipped"] == z1["encoded"]
+    assert z2["orphans_removed"] == 0
+    assert verify_roundtrip(paths, outz)["ok"]
+
+
 def test_compact_preserves_clustered_ranges(ray_session, tmp_path):
     """Compacting a clustered dataset keeps shard key ranges disjoint
     (bins are key-ordered and concatenated in key order), so pruned

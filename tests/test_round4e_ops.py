@@ -758,6 +758,38 @@ def test_kmeans_embeddings_vs_serial(ray_session):
         got["centroid_norm"], np.linalg.norm(cent, axis=1), atol=1e-6
     )
     assert got["size"].sum() == len(vid)
+    # scale path (VERDICT r04 #4): pin=False re-creates the pruned
+    # parquet read every iteration — no materialize() pins the corpus
+    # in the object store — and must agree with the pinned mode
+    unpinned = kmeans_embeddings(SF, k=k, iters=iters, pin=False)
+    assert unpinned["size"].tolist() == got["size"].tolist()
+    np.testing.assert_allclose(
+        unpinned["inertia"], got["inertia"], rtol=1e-9, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        unpinned["centroid_norm"], got["centroid_norm"], atol=1e-9
+    )
+
+
+def test_should_pin_gate(ray_session):
+    """_should_pin: small datasets pin, corpus-scaled estimates and
+    unknown sizes never do."""
+    from fastparquet_ray.functions.similarity import _should_pin
+
+    class Fake:
+        def __init__(self, n):
+            self.n = n
+
+        def size_bytes(self):
+            return self.n
+
+    import ray
+
+    cap = ray.cluster_resources().get("object_store_memory", 0)
+    assert cap > 0
+    assert _should_pin(Fake(1024)) is True
+    assert _should_pin(Fake(int(cap))) is False
+    assert _should_pin(Fake(0)) is False  # unknown -> stream
 
 
 def test_contains_any_prunes_and_filters(ray_session, tmp_path):
